@@ -1,0 +1,47 @@
+"""fastk_tpu — a TPU-native k-mer counting framework with FastK's capabilities.
+
+A brand-new implementation (not a port) of the capabilities of
+thegenemyers/FASTK: canonical k-mer frequency histograms (``.hist``), sorted
+k-mer/count tables (``.ktab``) and per-read compressed count profiles
+(``.prof``/``.pidx``), designed TPU-first on JAX/XLA/Pallas/pjit.
+
+Public API mirrors the reference library surface (reference: libfastk.h:30-119):
+
+- :class:`fastk_tpu.formats.hist.Histogram`
+- :class:`fastk_tpu.formats.ktab.KmerTable` / :class:`fastk_tpu.formats.ktab.KmerStream`
+- :class:`fastk_tpu.formats.prof.ProfileIndex`
+- :func:`fastk_tpu.pipeline.count.count_fasta` — the end-to-end counting pipeline.
+"""
+
+from fastk_tpu._version import __version__
+
+from fastk_tpu.formats.hist import Histogram, read_histogram, write_histogram
+from fastk_tpu.formats.ktab import (
+    KmerTable,
+    KmerStream,
+    read_ktab,
+    write_ktab,
+)
+from fastk_tpu.formats.prof import (
+    ProfileIndex,
+    encode_profile,
+    decode_profile,
+    read_profiles,
+    write_prof,
+)
+
+__all__ = [
+    "__version__",
+    "Histogram",
+    "read_histogram",
+    "write_histogram",
+    "KmerTable",
+    "KmerStream",
+    "read_ktab",
+    "write_ktab",
+    "ProfileIndex",
+    "encode_profile",
+    "decode_profile",
+    "read_profiles",
+    "write_prof",
+]

@@ -187,6 +187,8 @@ def write_prof(
         p if isinstance(p, (bytes, bytearray)) else encode_profile(p)
         for p in profiles
     ]
+    if path.endswith(".prof"):
+        path = path[: -len(".prof")]
     with open(stub_path(path, ".prof"), "wb") as f:
         f.write(struct.pack("<ii", kmer, nparts))
     cuts = [nreads * i // nparts for i in range(nparts + 1)]
@@ -207,6 +209,8 @@ class ProfileIndex:
     libfastk.h:99-119, libfastk.c:1510-1805)."""
 
     def __init__(self, path: str):
+        if path.endswith(".prof"):
+            path = path[: -len(".prof")]
         self.path = path
         with open(stub_path(path, ".prof"), "rb") as f:
             self.kmer, self.nparts = struct.unpack("<ii", f.read(8))

@@ -1,0 +1,124 @@
+"""The main `fastk` CLI — flag-parity with the reference FastK driver
+(reference: FastK.c:223-561, usage README.md:67-69):
+
+    fastk [-k<int(40)>] [-t[<int(1)>]] [-p[:<table>[.ktab]]] [-c] [-bc<int>]
+          [-v] [-N<path_name>] [-P<dir($TMPDIR)>] [-M<int(12)>] [-T<int(4)>]
+          <source>[.fast[aq][.gz]] ...
+
+Produces <source>.hist always, <source>.ktab with -t, <source>.prof with -p.
+With -p:<table>, only relative profiles are produced (reference
+README.md:118-127).
+"""
+
+from __future__ import annotations
+
+import os
+import resource
+import sys
+import time
+
+from fastk_tpu.tools._cli import die, print_number, source_root
+
+USAGE = """Usage: fastk [-k<int(40)>] [-t[<int(1)>]] [-p[:<table>[.ktab]]] [-c] [-bc<int>]
+             [-v] [-N<path_name>] [-P<dir($TMPDIR)>] [-M<int(12)>] [-T<int(4)>]
+                 <source>[.cram|.[bs]am|.db|.dam|.f[ast][aq][.gz] ..."""
+
+
+def parse_argv(argv):
+    cfg = dict(k=40, t=None, p=False, ptable=None, c=False, bc=0, v=False,
+               N=None, P=os.environ.get("TMPDIR", "/tmp"), M=12, T=4,
+               inputs=[])
+    for a in argv:
+        if a.startswith("-k"):
+            cfg["k"] = int(a[2:])
+        elif a == "-t":
+            cfg["t"] = 1
+        elif a.startswith("-t"):
+            cfg["t"] = int(a[2:])
+        elif a == "-p":
+            cfg["p"] = True
+        elif a.startswith("-p:"):
+            cfg["p"] = True
+            cfg["ptable"] = a[3:]
+        elif a == "-c":
+            cfg["c"] = True
+        elif a.startswith("-bc"):
+            cfg["bc"] = int(a[3:])
+        elif a == "-v":
+            cfg["v"] = True
+        elif a.startswith("-N"):
+            cfg["N"] = a[2:]
+        elif a.startswith("-P"):
+            cfg["P"] = a[2:]
+        elif a.startswith("-M"):
+            cfg["M"] = int(a[2:])
+        elif a.startswith("-T"):
+            cfg["T"] = int(a[2:])
+        elif a.startswith("-"):
+            die(f"fastk: {a} is an illegal option\n{USAGE}")
+        else:
+            cfg["inputs"].append(a)
+    if not cfg["inputs"]:
+        die(USAGE)
+    if cfg["k"] < 5:
+        die("fastk: k must be at least 5")
+    return cfg
+
+
+def main(argv=None):
+    cfg = parse_argv(sys.argv[1:] if argv is None else argv)
+
+    from fastk_tpu.formats.hist import write_histogram
+    from fastk_tpu.formats.ktab import read_ktab, write_ktab
+    from fastk_tpu.formats.prof import write_prof
+    from fastk_tpu.pipeline.count import count_files
+
+    out_base = cfg["N"] or source_root(cfg["inputs"][0])
+    t0 = time.time()
+
+    rel = None
+    if cfg["ptable"]:
+        rel = read_ktab(cfg["ptable"])
+        if rel.kmer != cfg["k"]:
+            cfg["k"] = rel.kmer
+
+    # memory budget -> batch size (bases); the device path needs ~24B/base
+    batch_bases = min(256 << 20, int(cfg["M"] * 1e9 / 24))
+
+    out = count_files(
+        cfg["inputs"], cfg["k"],
+        table_min=cfg["t"],
+        profiles=cfg["p"],
+        hc=cfg["c"],
+        bc=cfg["bc"],
+        batch_bases=batch_bases,
+        relative_table=rel,
+        verbose=cfg["v"],
+    )
+
+    if cfg["v"]:
+        print(f"  {print_number(out.nreads)} reads, "
+              f"{print_number(out.totlen)} bases", file=sys.stderr)
+
+    nparts = max(1, cfg["T"])
+    if rel is None:
+        write_histogram(out_base, out.hist)
+        if out.table is not None:
+            write_ktab(out_base, out.table, nparts=nparts)
+            if cfg["v"]:
+                print(f"  There are {print_number(len(out.table))} {cfg['k']}-mers"
+                      f" that occur {cfg['t']}-or-more times", file=sys.stderr)
+    if out.profiles is not None:
+        write_prof(out_base, cfg["k"], out.profiles,
+                   nparts=min(nparts, max(1, len(out.profiles))))
+
+    if cfg["v"]:
+        ru = resource.getrusage(resource.RUSAGE_SELF)
+        print(f"\n  Total time: {time.time()-t0:.1f} wall, "
+              f"{ru.ru_utime:.1f} user, {ru.ru_stime:.1f} sys, "
+              f"{ru.ru_maxrss/1e6:.2f} GB peak", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

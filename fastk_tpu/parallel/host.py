@@ -1,0 +1,114 @@
+"""Host orchestration of the multi-chip counting step: shard placement,
+splitter training, result extraction and host-side assembly."""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from fastk_tpu.formats.hist import HIST_HIGH, Histogram
+from fastk_tpu.ops.kmers import nwords, pad_needed
+from fastk_tpu.parallel.dist import (
+    default_splitters,
+    prefix_histogram,
+    sharded_count_fn,
+    splitters_from_prefix_hist,
+)
+
+
+def _shard_codes(codes: np.ndarray, k: int, mesh: Mesh, shard_size: int):
+    D = mesh.devices.size
+    halo = pad_needed(k)
+    out = np.full((D, shard_size + halo), 4, dtype=np.uint8)
+    for d in range(D):
+        lo = d * shard_size
+        hi = min(len(codes), lo + shard_size + halo)
+        if hi > lo:
+            out[d, : hi - lo] = codes[lo:hi]
+    flat = out.reshape(D * (shard_size + halo))
+    sharding = NamedSharding(mesh, P(mesh.axis_names[0]))
+    return jax.device_put(flat, sharding)
+
+
+def train_splitters(codes: np.ndarray, k: int, mesh: Mesh,
+                    sample: int = 1 << 20, bits: int = 10) -> np.ndarray:
+    """Train keyspace splitters on a sample (single-chip prefix histogram).
+
+    The analog of the reference's minimizer-scheme trainer on the first
+    ~1Gbp block (Determine_Scheme, split.c:491-803)."""
+    D = mesh.devices.size
+    if D == 1:
+        return np.zeros(0, dtype=np.uint32)
+    n = min(len(codes), sample)
+    size = 1 << max(15, int(np.ceil(np.log2(max(n, 2)))))
+    buf = np.full(size + pad_needed(k), 4, dtype=np.uint8)
+    buf[:n] = codes[:n]
+    ph = np.asarray(prefix_histogram(jnp.asarray(buf), k, size, bits))
+    return splitters_from_prefix_hist(ph, D)
+
+
+def sharded_count(
+    codes: np.ndarray,
+    k: int,
+    mesh: Mesh,
+    splitters: Optional[np.ndarray] = None,
+    want_positions: bool = False,
+    slack: float = 1.8,
+):
+    """Count canonical k-mers of one host code stream across the mesh.
+
+    Returns (words (n,W) uint32 sorted, counts int64, hist_arr int32[32768],
+    overflow int, pos_counts int32[len(codes)] or None).
+    """
+    D = mesh.devices.size
+    W = nwords(k)
+    shard_size = (len(codes) + D - 1) // D
+    step = 1 << 14
+    shard_size = ((shard_size + step - 1) // step) * step
+
+    if splitters is None:
+        splitters = train_splitters(codes, k, mesh)
+    spl = jax.device_put(
+        jnp.asarray(splitters, dtype=jnp.uint32),
+        NamedSharding(mesh, P()),
+    )
+
+    fn = sharded_count_fn(mesh, k, shard_size, slack=slack,
+                          want_positions=want_positions)
+    codes_dev = _shard_codes(codes, k, mesh, shard_size)
+    out = fn(codes_dev, spl)
+    route_ovf = int(out["route_overflow"])
+    if route_ovf > 0:
+        raise RuntimeError(
+            f"bucket capacity exceeded by {route_ovf} records; "
+            "retrain splitters or raise slack")
+
+    # extract per-chip segments; chip order == key order
+    nseg = np.asarray(out["nseg"])
+    seg_valid = np.asarray(out["seg_valid"])
+    seg_counts = np.asarray(out["seg_counts"])
+    seg_words = [np.asarray(w) for w in out["seg_words"]]
+    words_list, counts_list = [], []
+    for d in range(D):
+        ns = int(nseg[d])
+        v = seg_valid[d, :ns]
+        words_list.append(
+            np.stack([w[d, :ns][v] for w in seg_words], axis=1)
+            if ns else np.zeros((0, W), np.uint32))
+        counts_list.append(seg_counts[d, :ns][v].astype(np.int64))
+    words = np.concatenate(words_list) if words_list else np.zeros((0, W), np.uint32)
+    counts = np.concatenate(counts_list) if counts_list else np.zeros(0, np.int64)
+
+    hist_arr = np.asarray(out["hist"])
+    overflow = int(out["overflow"])
+
+    pos_counts = None
+    if want_positions:
+        pc = np.asarray(out["pos_counts"]).reshape(D, shard_size)
+        pos_counts = pc.reshape(-1)[: len(codes)]
+    return words, counts, hist_arr, overflow, pos_counts

@@ -6,12 +6,20 @@ XLA's host-platform device emulation. Must run before jax is imported.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# force CPU even when the ambient environment selects the TPU (axon)
+# platform: the axon sitecustomize registers its PJRT plugin at interpreter
+# startup and overrides JAX_PLATFORMS, so the env var alone is not enough —
+# jax.config.update after import wins.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 # XLA:CPU compiles large sorts very slowly on this box; cache compilations
 # across pytest runs.
 os.environ.setdefault(

@@ -1,0 +1,77 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh.
+
+The invariant mirrors the reference's distributed contract: Fastmerge of
+per-part runs equals a whole run (README.md:263-297) — here, an 8-chip
+sharded count must equal the 1-chip count exactly.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(__file__))
+
+import jax
+
+from fastk_tpu.io.reader import read_file
+from fastk_tpu.parallel.dist import make_mesh
+from fastk_tpu.parallel.host import sharded_count, train_splitters
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "golden")
+
+
+@pytest.fixture(scope="module")
+def small_codes():
+    return read_file(os.path.join(GOLDEN, "inputs", "small.fasta"))
+
+
+@pytest.mark.parametrize("ndev", [1, 2, 8])
+def test_sharded_equals_single(small_codes, ndev):
+    if len(jax.devices()) < ndev:
+        pytest.skip("not enough devices")
+    k = 40
+    mesh1 = make_mesh(1)
+    w1, c1, h1, o1, _ = sharded_count(small_codes.codes, k, mesh1)
+    mesh = make_mesh(ndev)
+    w, c, h, o, _ = sharded_count(small_codes.codes, k, mesh)
+    assert np.array_equal(h, h1)
+    assert o == o1
+    assert np.array_equal(w, w1)
+    assert np.array_equal(c, c1)
+
+
+def test_sharded_matches_pipeline_hist(small_codes):
+    """The sharded histogram equals the oracle-validated single-chip one."""
+    from fastk_tpu.formats.hist import Histogram, read_histogram
+
+    k = 40
+    mesh = make_mesh(8)
+    w, c, hist_arr, overflow, _ = sharded_count(small_codes.codes, k, mesh)
+    got = Histogram.from_clipped_counts(
+        k, np.minimum(c, 32767), int(np.maximum(c - 32767, 0).sum()))
+    want = read_histogram(os.path.join(GOLDEN, "small_k40", "small"))
+    assert got == want
+    # the device histogram agrees too
+    assert np.array_equal(hist_arr[1:], want.counts)
+
+
+def test_sharded_positions(small_codes):
+    """Profile counts returned through the inverse all_to_all match the
+    single-chip position counts."""
+    k = 40
+    mesh1 = make_mesh(1)
+    _, _, _, _, p1 = sharded_count(small_codes.codes, k, mesh1,
+                                   want_positions=True)
+    mesh = make_mesh(8)
+    _, _, _, _, p8 = sharded_count(small_codes.codes, k, mesh,
+                                   want_positions=True)
+    assert np.array_equal(p1, p8)
+
+
+def test_trained_splitters_balance(small_codes):
+    mesh = make_mesh(8)
+    spl = train_splitters(small_codes.codes, 40, mesh)
+    assert len(spl) == 7
+    assert (np.diff(spl.astype(np.int64)) > 0).all()

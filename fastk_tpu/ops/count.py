@@ -58,81 +58,99 @@ def sort_records(words, invalid, values=()):
     )
 
 
-def segmented_count(s_words, s_inv, size: int, want_elem_counts: bool = False):
-    """Segment statistics over SORTED records.
+def compaction_sort(starts, operands):
+    """Move segment-start records to the front, preserving order.
 
-    Returns dict(seg_words, seg_counts, seg_valid, nseg, hist, overflow[,
-    elem_counts]) — see count_batch. elem_counts is the clipped count of each
-    sorted record's segment (in sorted order)."""
+    A stable single-key sort on (1 - starts) IS stream compaction; on TPU it
+    is ~4x cheaper than scattering each operand to its destination slot."""
+    key = (~starts).astype(jnp.uint8)
+    out = jax.lax.sort((key, *operands), num_keys=1, is_stable=True)
+    return out[1:]
+
+
+def segmented_count(s_words, s_inv, size: int, want_elem_counts: bool = False,
+                    want_hist: bool = False):
+    """Segment statistics over SORTED records. Scatter-free except the
+    optional histogram (multi-chip psum path); everything else is rolls,
+    scans and one stable compaction sort.
+
+    Returns dict(seg_words, seg_counts, seg_valid, nseg, overflow[, hist]
+    [, elem_counts]) — see count_batch. elem_counts is the clipped count of
+    each sorted record's segment (in sorted order)."""
     starts = jnp.zeros(size, dtype=bool)
     for w in s_words:
         starts = starts | (w != jnp.roll(w, 1))
     starts = (starts | (s_inv != jnp.roll(s_inv, 1))).at[0].set(True)
 
     idx = jnp.arange(size, dtype=jnp.int32)
-    seg_id = jnp.cumsum(starts.astype(jnp.int32)) - 1
-    nseg = seg_id[-1] + 1
+    nseg = jnp.sum(starts.astype(jnp.int32))
 
-    # compact per-segment data by scattering at monotonically increasing
-    # destinations (dst = seg ordinal); cheaper than gathering at sidx
-    dst = jnp.where(starts, seg_id, size)
-    sidx = jnp.full(size + 1, size, jnp.int32).at[dst].set(idx)[:-1]
-    bound = jnp.concatenate([sidx, jnp.full((1,), size, jnp.int32)])
-    seg_counts = jnp.where(sidx < size, bound[1:] - sidx, 0)
+    # per-element segment extent via scans (no random access): segment start
+    # = running max of start indices; end = next start at or after i+1
+    start_of = jax.lax.cummax(jnp.where(starts, idx, 0))
+    nxt = jnp.where(starts, idx, size)
+    end_of = jnp.concatenate([
+        jax.lax.cummin(nxt[::-1])[::-1][1:], jnp.full((1,), size, jnp.int32)
+    ])
+    seg_len = end_of - start_of  # true segment length at every element
 
-    def compact(arr, fill):
-        return jnp.full(size + 1, fill, arr.dtype).at[dst].set(arr)[:-1]
+    compacted = compaction_sort(
+        starts, (*s_words, seg_len.astype(jnp.uint32), s_inv))
+    W = len(s_words)
+    seg_words = tuple(compacted[:W])
+    raw_counts = compacted[W].astype(jnp.int32)
+    seg_inv = compacted[W + 1]
 
-    seg_words = tuple(compact(w, jnp.uint32(0)) for w in s_words)
-    seg_valid = (compact(s_inv, jnp.uint32(1)) == 0) & (seg_counts > 0)
+    slot = jnp.arange(size, dtype=jnp.int32)
+    seg_valid = (slot < nseg) & (seg_inv == 0)
+    seg_counts = jnp.where(slot < nseg, raw_counts, 0)
 
-    clipped = jnp.minimum(seg_counts, HIST_HIGH)
-    hist = jnp.zeros(HIST_HIGH + 1, jnp.int32).at[
-        jnp.where(seg_valid, clipped, 0)
-    ].add(jnp.where(seg_valid, 1, 0))
     overflow = jnp.sum(
         jnp.where(seg_valid & (seg_counts > HIST_HIGH), seg_counts - HIST_HIGH, 0)
     )
 
     out = dict(seg_words=seg_words, seg_counts=seg_counts, seg_valid=seg_valid,
-               nseg=nseg, hist=hist, overflow=overflow)
+               nseg=nseg, overflow=overflow)
+
+    if want_hist:
+        clipped = jnp.minimum(seg_counts, HIST_HIGH)
+        out["hist"] = jnp.zeros(HIST_HIGH + 1, jnp.int32).at[
+            jnp.where(seg_valid, clipped, 0)
+        ].add(jnp.where(seg_valid, 1, 0))
 
     if want_elem_counts:
-        # per-element segment extent via scans (no random gather): segment
-        # start = running max of start indices; segment end = next start at
-        # or after i+1 (reverse running min)
-        start_of = jax.lax.cummax(jnp.where(starts, idx, 0))
-        nxt = jnp.where(starts, idx, size)
-        end_of = jnp.concatenate([
-            jax.lax.cummin(nxt[::-1])[::-1][1:], jnp.full((1,), size, jnp.int32)
-        ])
         out["elem_counts"] = (
-            jnp.minimum(end_of - start_of, HIST_HIGH) * (s_inv == 0)
+            jnp.minimum(seg_len, HIST_HIGH) * (s_inv == 0)
         ).astype(jnp.int32)
     return out
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2, 3))
-def count_batch(codes: jnp.ndarray, k: int, size: int, want_positions: bool):
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))
+def count_batch(codes: jnp.ndarray, k: int, size: int, want_positions: bool,
+                want_hist: bool = False):
     """Count canonical k-mers of one code stream.
 
     Returns a dict of fixed-shape arrays (all [size] unless noted):
       seg_words: tuple of W uint32 — key of each segment (slot j holds the
-                 j-th segment; slots >= nseg are zero)
-      seg_counts: int32 — instance count per segment (0 beyond nseg)
+                 j-th segment; slots >= nseg are garbage)
+      seg_counts: int32 — instance count per segment (0 beyond nseg),
+                 unclipped (the histogram clip at 32767 happens at output)
       seg_valid: bool — segment is a real k-mer (not the invalid block)
       nseg:     int32 scalar — number of segments (incl. invalid block)
-      hist:     int32 [32768] — histogram over clipped counts (bin 0 unused)
       overflow: int32 scalar — instances lost to clipping at 32767
       pos_counts: int32 — clipped count of the k-mer starting at each
                  position, 0 at invalid positions (only if want_positions)
+
+    The histogram itself is host-side (a bincount over seg_counts): a device
+    scatter-add costs more than the entire sort.
     """
     words, invalid = canonical_kmers(codes, k, size)
 
     values = (jnp.arange(size, dtype=jnp.uint32),) if want_positions else ()
     s_words, s_inv, s_vals = sort_records(words, invalid, values)
 
-    out = segmented_count(s_words, s_inv, size, want_elem_counts=want_positions)
+    out = segmented_count(s_words, s_inv, size, want_elem_counts=want_positions,
+                          want_hist=want_hist)
 
     if want_positions:
         elem_cnt = out.pop("elem_counts")

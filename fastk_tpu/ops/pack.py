@@ -1,0 +1,52 @@
+"""2-bit packed host<->device transfer of code streams.
+
+Host->device bandwidth is a first-order cost (and on the dev tunnel, THE
+cost), so code streams cross packed 4 bases/byte plus a sparse list of
+exception positions (sentinels/N's), and are unpacked on device. The same
+idea as the reference's 2-bit Stuff_Seq disk streams (split.c:864-989),
+applied to PCIe/ICI instead of files.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def pack_stream(codes: np.ndarray, cap_step: int = 1 << 12) -> Tuple[np.ndarray, np.ndarray]:
+    """Pack a host code stream (values 0..4) into (packed, exceptions).
+
+    packed: uint8[ceil(n/4)], 4 codes/byte little-position-first; exception
+    positions (code >= 4) are packed as 0 and listed in `exceptions`
+    (uint32, padded to a multiple of cap_step with 0xFFFFFFFF).
+    """
+    n = len(codes)
+    exc = np.flatnonzero(codes >= 4).astype(np.uint32)
+    c = np.where(codes >= 4, 0, codes).astype(np.uint8)
+    pad = (-n) % 4
+    if pad:
+        c = np.concatenate([c, np.zeros(pad, np.uint8)])
+    c = c.reshape(-1, 4)
+    packed = c[:, 0] | (c[:, 1] << 2) | (c[:, 2] << 4) | (c[:, 3] << 6)
+    m = max(cap_step, ((len(exc) + cap_step - 1) // cap_step) * cap_step)
+    exc_padded = np.full(m, 0xFFFFFFFF, dtype=np.uint32)
+    exc_padded[: len(exc)] = exc
+    return packed, exc_padded
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def unpack_stream(packed: jnp.ndarray, exceptions: jnp.ndarray, size: int) -> jnp.ndarray:
+    """Device: reconstruct the uint8 code stream (sentinels restored)."""
+    p = packed.astype(jnp.uint8)
+    codes = jnp.stack(
+        [p & 3, (p >> 2) & 3, (p >> 4) & 3, (p >> 6) & 3], axis=1
+    ).reshape(-1)[:size]
+    idx = jnp.minimum(exceptions, size)  # 0xFFFFFFFF pads -> dump slot
+    codes = jnp.concatenate([codes, jnp.zeros(1, jnp.uint8)])
+    codes = codes.at[idx].set(4)
+    return codes[:size]

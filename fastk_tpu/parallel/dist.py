@@ -126,7 +126,7 @@ def _count_received(words, valid, D_cap: int, want_rec_counts: bool):
     values = (jnp.arange(D_cap, dtype=jnp.uint32),) if want_rec_counts else ()
     s_words, s_inv, s_vals = sort_records(list(words), inv, values)
     res = segmented_count(s_words, s_inv, D_cap,
-                          want_elem_counts=want_rec_counts)
+                          want_elem_counts=want_rec_counts, want_hist=True)
     if want_rec_counts:
         elem = res.pop("elem_counts")
         # back to received-record order (for the inverse all_to_all)

@@ -159,7 +159,6 @@ def count_files(
             size = _round_size(len(batch.codes), k)
             codes = _pad_codes(batch, k, size)
             res = count_batch(jnp.asarray(codes), k, size, False)
-            jax.block_until_ready(res["hist"])
             acc = acc.merged_with(_extract_batch_unique(res, W))
         if verbose:
             print(f"  batch {len(batches)}: {batch.nreads} reads, "

@@ -1,0 +1,333 @@
+"""K-mer table algebra: the expression language of the reference's Logex
+(reference: Logex.c:36-557 parser, 608-750 evaluator), evaluated vectorized
+over the merged k-mer universe of the argument tables instead of a scalar
+stream merge.
+
+Grammar (precedence low to high):  or := minus ('|' MOD minus)*
+  minus := xor ('-' xor)*          xor := and ('^' and)*
+  and := filter ('&' MOD filter)*  filter := atom ( '[' ranges ']' | '{' ranges '}' )*
+  atom := '#' atom | '(' or ')' | letter
+MOD is one of + - < > * . (sum, left-minus-right floored at 0, min, max,
+average-floor, left-else-right); a missing modulator means "count 1" and is
+only legal under a '#' or when a count/GC filter absorbs the result.
+
+Count 0 == absent, throughout. GC% of a k-mer is (100 * #gc) // k.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from fastk_tpu.formats.hist import Histogram
+from fastk_tpu.formats.ktab import KmerTable, unpack_codes
+
+MODS = "+-<>*."
+
+
+class ParseError(ValueError):
+    def __init__(self, msg: str, pos: int):
+        super().__init__(f"{msg} (at column {pos})")
+        self.pos = pos
+
+
+@dataclass
+class Node:
+    op: str  # 'arg' | 'or' | 'and' | 'xor' | 'minus' | 'num' | 'cnt' | 'gc'
+    mode: Optional[str] = None
+    lft: Optional["Node"] = None
+    rgt: Optional["Node"] = None
+    var: int = -1
+    ranges: Optional[List[Tuple[int, int]]] = None
+
+
+class _Parser:
+    def __init__(self, s: str, ntabs: int):
+        self.s = s
+        self.i = 0
+        self.ntabs = ntabs
+        self.vars_seen = 0
+        self.no_mode_at: Optional[int] = None
+
+    def _ws(self):
+        while self.i < len(self.s) and self.s[self.i].isspace():
+            self.i += 1
+
+    def peek(self) -> str:
+        self._ws()
+        return self.s[self.i] if self.i < len(self.s) else ""
+
+    def parse(self) -> Node:
+        v = self.or_()
+        if self.peek() != "":
+            raise ParseError("Extra characters at end of expression", self.i)
+        if self.no_mode_at is not None:
+            raise ParseError("& or | operator has no mode and result counts"
+                             " are used", self.no_mode_at)
+        return v
+
+    def or_(self) -> Node:
+        v = self.minus()
+        while self.peek() == "|":
+            self.i += 1
+            m = self._mode()
+            v = Node("or", m, v, self.minus())
+        return v
+
+    def minus(self) -> Node:
+        v = self.xor()
+        while self.peek() == "-":
+            self.i += 1
+            v = Node("minus", None, v, self.xor())
+        return v
+
+    def xor(self) -> Node:
+        v = self.and_()
+        while self.peek() == "^":
+            self.i += 1
+            v = Node("xor", None, v, self.and_())
+        return v
+
+    def and_(self) -> Node:
+        v = self.filter()
+        while self.peek() == "&":
+            self.i += 1
+            m = self._mode()
+            v = Node("and", m, v, self.filter())
+        return v
+
+    def _mode(self) -> Optional[str]:
+        c = self.s[self.i] if self.i < len(self.s) else ""
+        if c in MODS:
+            self.i += 1
+            return c
+        if c == "(" or c == "#" or c.isalpha() or c.isspace() or c == "":
+            if self.no_mode_at is None:
+                self.no_mode_at = self.i
+            return None
+        raise ParseError("Invalid modulator", self.i)
+
+    def filter(self) -> Node:
+        saved = self.no_mode_at
+        self.no_mode_at = None
+        v = self.atom()
+        had_inner = self.no_mode_at
+        self.no_mode_at = saved
+        got_filter = False
+        while self.peek() in ("[", "{"):
+            close = "]" if self.peek() == "[" else "}"
+            self.i += 1
+            rngs = self._ranges(close)
+            v = Node("cnt" if close == "]" else "gc", None, v, ranges=rngs)
+            got_filter = True
+        if had_inner is not None and not got_filter:
+            # a count/GC filter "absorbs" modeless subexpressions
+            # (reference: Logex.c:356-358); otherwise the flag propagates
+            if self.no_mode_at is None:
+                self.no_mode_at = had_inner
+        return v
+
+    def _ranges(self, close: str) -> List[Tuple[int, int]]:
+        rngs = []
+        while True:
+            self._ws()
+            lo = hi = None
+            if self.i < len(self.s) and self.s[self.i].isdigit():
+                lo = self._number()
+            self._ws()
+            if self.i < len(self.s) and self.s[self.i] == "-":
+                self.i += 1
+                self._ws()
+                if self.i < len(self.s) and self.s[self.i].isdigit():
+                    hi = self._number()
+                else:
+                    hi = 0x7FFF
+                if lo is None:
+                    lo = 1
+            else:
+                if lo is None:
+                    raise ParseError("Invalid range", self.i)
+                hi = lo
+            rngs.append((lo, hi))
+            self._ws()
+            if self.i < len(self.s) and self.s[self.i] == ",":
+                self.i += 1
+                continue
+            if self.i < len(self.s) and self.s[self.i] == close:
+                self.i += 1
+                break
+            raise ParseError("Invalid range syntax", self.i)
+        # normalize: sort and merge overlaps (reference: Logex.c:336-349)
+        rngs.sort()
+        merged = [list(rngs[0])]
+        for lo, hi in rngs[1:]:
+            if lo <= merged[-1][1]:
+                merged[-1][1] = max(merged[-1][1], hi)
+            else:
+                merged.append([lo, hi])
+        return [tuple(r) for r in merged]
+
+    def _number(self) -> int:
+        j = self.i
+        while j < len(self.s) and self.s[j].isdigit():
+            j += 1
+        n = int(self.s[self.i: j])
+        self.i = j
+        return n
+
+    def atom(self) -> Node:
+        c = self.peek()
+        if c == "#":
+            self.i += 1
+            sub = self.atom()
+            self.no_mode_at = None  # '#' discards counts, excusing modeless ops
+            return Node("num", None, sub)
+        if c == "(":
+            self.i += 1
+            v = self.or_()
+            if self.peek() != ")":
+                raise ParseError("Unbalanced parentheses", self.i)
+            self.i += 1
+            return v
+        if c.isalpha():
+            var = ord(c.lower()) - ord("a")
+            if var >= self.ntabs:
+                raise ParseError(
+                    f"Variable '{c}' out of range for {self.ntabs} tables", self.i)
+            self.i += 1
+            self.vars_seen |= 1 << var
+            return Node("arg", var=var)
+        raise ParseError("Expected an argument or (", self.i)
+
+
+def parse_expression(s: str, ntabs: int) -> Node:
+    return _Parser(s, ntabs).parse()
+
+
+def _modulate(x: np.ndarray, y: np.ndarray, mode: Optional[str]) -> np.ndarray:
+    if mode == "*":
+        return (x + y) >> 1
+    if mode == "+":
+        return x + y
+    if mode == "-":
+        return np.maximum(x - y, 0)
+    if mode == "<":
+        return np.minimum(x, y)
+    if mode == ">":
+        return np.maximum(x, y)
+    if mode == ".":
+        return np.where(x == 0, y, x)
+    return np.ones_like(x)  # modeless
+
+
+def evaluate(node: Node, counts: Sequence[np.ndarray], gc: np.ndarray) -> np.ndarray:
+    """Evaluate to an int64 count vector over the universe; 0 == rejected."""
+    if node.op == "arg":
+        return counts[node.var]
+    if node.op == "num":
+        return (evaluate(node.lft, counts, gc) > 0).astype(np.int64)
+    if node.op == "cnt":
+        x = evaluate(node.lft, counts, gc)
+        ok = np.zeros(x.shape, bool)
+        for lo, hi in node.ranges:
+            ok |= (x >= lo) & (x <= hi)
+        return np.where(ok, x, 0)
+    if node.op == "gc":
+        x = evaluate(node.lft, counts, gc)
+        ok = np.zeros(x.shape, bool)
+        for lo, hi in node.ranges:
+            ok |= (gc >= lo) & (gc <= hi)
+        return np.where(ok, x, 0)
+    x = evaluate(node.lft, counts, gc)
+    y = evaluate(node.rgt, counts, gc)
+    if node.op == "or":
+        return np.where(x == 0, y, np.where(y == 0, x, _modulate(x, y, node.mode)))
+    if node.op == "and":
+        return np.where((x == 0) | (y == 0), 0, _modulate(x, y, node.mode))
+    if node.op == "xor":
+        return np.where(x == 0, y, np.where(y == 0, x, 0))
+    if node.op == "minus":
+        return np.where(y == 0, x, 0)
+    raise ValueError(node.op)
+
+
+def merge_universe(tables: Sequence[KmerTable]):
+    """Union of the tables' k-mers (sorted packed rows) + aligned count
+    vectors per table (0 where absent)."""
+    kmer = tables[0].kmer
+    kb = tables[0].packed.shape[1]
+    allp = np.concatenate([t.packed for t in tables])
+    view = allp.view(f"S{kb}").ravel()
+    order = np.argsort(view, kind="stable")
+    sv = view[order]
+    keep = np.ones(len(sv), bool)
+    keep[1:] = sv[1:] != sv[:-1]
+    universe = allp[order[keep]]
+    uview = universe.view(f"S{kb}").ravel()
+    cvecs = []
+    for t in tables:
+        pos = np.searchsorted(uview, t.packed.view(f"S{kb}").ravel())
+        c = np.zeros(len(universe), np.int64)
+        c[pos] = t.counts
+        cvecs.append(c)
+    return universe, cvecs
+
+
+def gc_percent(packed: np.ndarray, kmer: int) -> np.ndarray:
+    """(100 * #gc) // k per k-mer (reference: gc_setup/gcontent
+    Logex.c:927-963 computes 100*count summed then /kmer)."""
+    codes = unpack_codes(packed, kmer)
+    ngc = ((codes == 1) | (codes == 2)).sum(axis=1).astype(np.int64)
+    return (100 * ngc) // kmer
+
+
+def histogram_of(counts: np.ndarray, kmer: int, low: int, high: int) -> Histogram:
+    """Boundary-accumulating histogram of accepted counts (reference:
+    Logex.c:1143-1165)."""
+    c = counts[counts > 0]
+    bins = np.bincount(np.clip(c, low, high) - low, minlength=high - low + 1
+                       ).astype(np.int64)
+    ilow = int(c[c <= low].sum())
+    ihigh = int(c[c >= high].sum())
+    return Histogram(kmer, low, high, bins, ilow, ihigh)
+
+
+def logex_apply(
+    assignments: Sequence[Tuple[str, str]],
+    tables: Sequence[KmerTable],
+    hist_range: Optional[Tuple[int, int]] = None,
+):
+    """Apply `name=expr` assignments to the tables.
+
+    Returns a list of (name, KmerTable, Histogram|None); table counts clip
+    at 32767 (reference: Logex.c:1143-1144)."""
+    ntabs = len(tables)
+    kmer = tables[0].kmer
+    for t in tables[1:]:
+        if t.kmer != kmer:
+            raise ValueError("tables have different k-mer sizes")
+    parsed = [(name, parse_expression(expr, ntabs)) for name, expr in assignments]
+
+    universe, cvecs = merge_universe(tables)
+    need_gc = any(_has_gc(n) for _, n in parsed)
+    gc = gc_percent(universe, kmer) if need_gc else np.zeros(len(universe), np.int64)
+
+    out = []
+    for name, node in parsed:
+        c = evaluate(node, cvecs, gc)
+        acc = c > 0
+        table = KmerTable(kmer, 1, universe[acc],
+                          np.minimum(c[acc], 32767).astype(np.uint16))
+        h = None
+        if hist_range is not None:
+            h = histogram_of(c, kmer, hist_range[0], hist_range[1])
+        out.append((name, table, h))
+    return out
+
+
+def _has_gc(n: Node) -> bool:
+    if n is None:
+        return False
+    return n.op == "gc" or _has_gc(n.lft) or _has_gc(n.rgt)

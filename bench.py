@@ -1,8 +1,8 @@
 """Headline benchmark: bases/sec/chip computing the canonical 40-mer
 frequency histogram (FastK's default `FastK -k40` job) on a synthetic
 50X-HiFi-like dataset, end-to-end per batch: 2-bit-packed host->device
-transfer, device unpack, canonical k-mer keys, sort, segmented count, device
-histogram, histogram to host.
+transfer, device unpack, canonical k-mer keys, sort, segment reduction,
+device histogram, histogram to host.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "bases/sec", "vs_baseline": N}
@@ -10,6 +10,12 @@ Prints ONE JSON line:
 vs_baseline is against the reference FastK's published throughput of ~300 GB
 input per wall-hour on an 8-core laptop (README.md:252-253) ~= 8.3e7 bases/s
 for FASTA input — the reference's own headline number. Values > 1.0 beat it.
+
+The synthetic dataset is generated ON DEVICE (this host's memory subsystem
+is first-touch throttled; bulk host work would measure the VM, not the
+pipeline) and round-tripped to host as the packed byte stream the timed
+region uploads, so the timed path is exactly the production ingest path:
+host packed bytes -> H2D -> unpack -> count -> histogram -> D2H.
 """
 
 import json
@@ -20,64 +26,89 @@ import numpy as np
 
 BASELINE_BASES_PER_SEC = 8.3e7  # FastK: ~300GB FASTA/hour on 8 cores
 
+K = 40
+SIZE = 1 << 26  # positions per batch (67M; 1<<27 exhausts 16GB HBM)
+READ_LEN = 20_000
+GENOME = 2_000_000  # ~33X coverage at SIZE bases
 
-def synth_hifi(total_bases: int, genome: int = 2_000_000, read_len: int = 20_000,
-               err: float = 0.003, seed: int = 0) -> np.ndarray:
-    """50X-HiFi-like codes stream: reads sampled from a genome with errors,
-    joined by sentinel 4."""
-    rng = np.random.default_rng(seed)
-    g = rng.integers(0, 4, size=genome, dtype=np.uint8)
-    nreads = total_bases // read_len
-    out = np.empty(nreads * (read_len + 1), dtype=np.uint8)
-    o = 0
-    for _ in range(nreads):
-        s = int(rng.integers(0, genome - read_len))
-        r = g[s: s + read_len].copy()
-        ne = int(err * read_len)
-        if ne:
-            pos = rng.integers(0, read_len, size=ne)
-            r[pos] = (r[pos] + rng.integers(1, 4, size=ne)) % 4
-        if rng.random() < 0.5:
-            r = (3 - r)[::-1]
-        out[o: o + read_len] = r
-        o += read_len
-        out[o] = 4
-        o += 1
-    return out
+
+def synth_hifi_device(size: int, genome: int, read_len: int,
+                      err: float = 0.003, seed: int = 0):
+    """50X-HiFi-like code stream, generated on device: reads sampled from a
+    random genome with point errors, half reverse-complemented, joined by
+    sentinel 4."""
+    import jax
+    import jax.numpy as jnp
+
+    stride = read_len + 1
+    nreads = size // stride
+    ks = jax.random.split(jax.random.PRNGKey(seed), 5)
+    g = jax.random.randint(ks[0], (genome,), 0, 4, dtype=jnp.uint8)
+    starts = jax.random.randint(ks[1], (nreads,), 0, genome - read_len)
+    offs = starts[:, None] + jnp.arange(read_len)[None, :]
+    reads = g[offs.reshape(-1)].reshape(nreads, read_len)
+    emask = jax.random.bernoulli(ks[2], err, (nreads, read_len))
+    bump = jax.random.randint(ks[3], (nreads, read_len), 1, 4, dtype=jnp.uint8)
+    reads = jnp.where(emask, (reads + bump) % 4, reads)
+    flip = jax.random.bernoulli(ks[4], 0.5, (nreads,))
+    reads = jnp.where(flip[:, None], (3 - reads)[:, ::-1], reads)
+    block = jnp.concatenate(
+        [reads, jnp.full((nreads, 1), 4, jnp.uint8)], axis=1).reshape(-1)
+    return block, nreads, stride
+
+
+def pack_codes_device(codes):
+    """Device 2-bit pack (sentinels packed as 0; caller tracks exceptions)."""
+    import jax.numpy as jnp
+
+    c = jnp.where(codes >= 4, 0, codes).reshape(-1, 4)
+    return (c[:, 0] | (c[:, 1] << 2) | (c[:, 2] << 4) | (c[:, 3] << 6)
+            ).astype(jnp.uint8)
 
 
 def main():
     import jax
     import jax.numpy as jnp
 
-    from fastk_tpu.ops.count import count_batch
+    from fastk_tpu.ops.count import hist_batch
     from fastk_tpu.ops.kmers import pad_needed
-    from fastk_tpu.ops.pack import pack_stream, unpack_stream
+    from fastk_tpu.ops.pack import unpack_stream
 
-    k = 40
-    size = 1 << 26  # 64M positions per step
-    total = size + pad_needed(k)
+    total = SIZE + pad_needed(K)
+    pad4 = (-total) % 4
 
-    codes_host = np.full(total, 4, dtype=np.uint8)
-    data = synth_hifi(size)
-    n = min(len(data), size)
-    codes_host[:n] = data[:n]
+    block, nreads, stride = synth_hifi_device(SIZE, GENOME, READ_LEN)
+    n = int(block.shape[0])  # bases incl. sentinels actually generated
+    full = jnp.concatenate(
+        [block, jnp.full(total + pad4 - n, 4, jnp.uint8)])
+    packed_host = np.asarray(pack_codes_device(full))  # one-time D2H
 
-    packed_host, exc_host = pack_stream(codes_host)
+    # exception (sentinel) positions, known analytically on host
+    sent = np.arange(stride - 1, n, stride, dtype=np.uint32)
+    tail = np.arange(n, total, dtype=np.uint32)
+    exc = np.concatenate([sent, tail])
+    m = ((len(exc) + 4095) // 4096) * 4096
+    exc_host = np.full(m, 0xFFFFFFFF, dtype=np.uint32)
+    exc_host[: len(exc)] = exc
+
+    @jax.jit
+    def device_step(packed, excs):
+        codes = unpack_stream(packed, excs, total)
+        return hist_batch(codes, K, SIZE)
 
     def run_once():
         """One full batch, host to host: packed H2D, device unpack + count +
         histogram, histogram D2H."""
         packed = jnp.asarray(packed_host)
-        exc = jnp.asarray(exc_host)
-        codes = unpack_stream(packed, exc, total)
-        out = count_batch(codes, k, size, False, True)
+        excs = jnp.asarray(exc_host)
+        out = device_step(packed, excs)
         hist = np.asarray(out["hist"])
-        overflow = int(out["overflow"])
-        return hist, overflow
+        nvalid = int(out["nvalid"])
+        return hist, nvalid
 
-    hist, _ = run_once()  # warm-up / compile
+    hist, nvalid = run_once()  # warm-up / compile
     assert int(hist[1:].sum()) > 0
+    assert nvalid == nreads * (READ_LEN - K + 1)
 
     times = []
     for _ in range(3):
@@ -86,7 +117,8 @@ def main():
         times.append(time.perf_counter() - t0)
     t = float(np.median(times))
 
-    value = float(n) / t
+    bases = nreads * READ_LEN
+    value = float(bases) / t
     print(json.dumps({
         "metric": "bases/sec/chip: canonical 40-mer histogram, 50X HiFi-like, end-to-end per batch",
         "value": round(value),

@@ -137,6 +137,22 @@ class Histogram:
         ihigh = int(bins[-1]) * HIST_HIGH + int(instance_overflow)
         return Histogram(kmer, HIST_LOW, HIST_HIGH, bins, ilow, ihigh)
 
+    @staticmethod
+    def from_bins(kmer: int, bins: np.ndarray,
+                  instance_overflow: int = 0) -> "Histogram":
+        """Build the full-range histogram from already-binned clipped counts.
+
+        ``bins`` has 32768 entries; bins[c] = number of unique k-mers whose
+        clipped count is c (bins[0] is ignored). This is the device-histogram
+        entry point: the TPU pipeline bins counts on device and only the
+        32768-bin array crosses to host."""
+        bins = np.asarray(bins, dtype=np.int64)
+        assert bins.shape == (HIST_HIGH + 1,)
+        counts = bins[1:].copy()
+        ilow = int(counts[0])
+        ihigh = int(counts[-1]) * HIST_HIGH + int(instance_overflow)
+        return Histogram(kmer, HIST_LOW, HIST_HIGH, counts, ilow, ihigh)
+
     def __eq__(self, other: object) -> bool:
         if not isinstance(other, Histogram):
             return NotImplemented

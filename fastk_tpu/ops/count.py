@@ -1,29 +1,36 @@
-"""Device-side k-mer counting: sort, segment-count, histogram, profile
-inversion.
+"""Device-side k-mer counting: sort, segment reduction, histogram, inversion.
 
 The reference's two-stage weighted sort (super-mer dedup then weighted k-mer
 sort, count.c:1-18) exists to shrink CPU sort volume; on TPU the sort is a
 device-wide radix-style sort over fixed-shape key-word arrays, so we sort
 k-mer instances directly and fold counting into a segmented reduction.
 
-Sort strategy is platform-dependent:
-- TPU: one variadic lax.sort carrying all key words plus value operands —
-  measured 2x the cost of a single-key sort, and it eliminates every
-  post-sort random gather (random HBM access is ~10x the cost of the sort
-  pass itself on v5e).
-- CPU (tests): chained stable single-key argsorts — the variadic
-  comparator compiles ~6x slower on the 1-core CI host; runtime there is
-  irrelevant.
+Primitive costs measured on v5e (64M records) dictate every choice here:
 
-Profile inversion — the reference's pair of LSD sorts on ordinal indices
-(count.c:619-1004) — becomes: carry the position through the sort and
-scatter each segment's count back through it (one permutation scatter).
+  variadic lax.sort        ~160ms +60-90ms per extra operand
+  1-bit-key compaction     ~125ms (stable sort by !starts)
+  cumsum / rolls           ~free
+  searchsorted (32k keys)  ~free
+  scatter-add -> 32k bins  ~570ms   -> histogram is sort+searchsorted instead
+  gather  by permutation   ~940ms   -> avoided except profile join
+  scatter by permutation   >100s    -> NEVER; inversion is a sort by position
+
+Consequences:
+- invalid positions are encoded IN the key as all-ones words (a canonical
+  k-mer can never be all-ones: the RC of T^k is A^k which is smaller), so the
+  sort carries no separate invalid operand;
+- per-segment sums come from one 1-bit compaction sort: exclusive-cumsum of
+  the weights is carried through the compaction and differenced;
+- the 32768-bin count histogram is a 1-key sort of clipped per-segment counts
+  plus one searchsorted over the bin boundaries — no scatter;
+- the reference's profile inversion by a pair of LSD sorts on ordinal indices
+  (count.c:619-1004) is a single value-carrying sort by position.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -31,128 +38,305 @@ import jax.numpy as jnp
 from fastk_tpu.ops.kmers import canonical_kmers, nwords
 
 HIST_HIGH = 0x7FFF
+ONES = jnp.uint32(0xFFFFFFFF)
 
 
-def _use_variadic_sort() -> bool:
-    return jax.default_backend() != "cpu"
+def fold_invalid(words, invalid):
+    """Encode invalid records as all-ones keys (sort last, need no flag).
+
+    Safe because a canonical key is never all-ones in every word: canonical =
+    min(fwd, rc) and an all-T k-mer canonicalizes to all-A (see module doc).
+    """
+    return tuple(jnp.where(invalid != 0, ONES, w) for w in words)
+
+
+def is_invalid_key(words) -> jnp.ndarray:
+    m = words[0] == ONES
+    for w in words[1:]:
+        m = m & (w == ONES)
+    return m
 
 
 def sort_records(words, invalid, values=()):
-    """Sort records keyed by (invalid, words...) carrying `values` along.
+    """Sort records keyed by (invalid-folded words...) carrying `values`.
 
-    Returns (s_words, s_invalid, s_values) in ascending key order with all
-    invalid records last."""
-    if _use_variadic_sort():
-        ops = (invalid, *words, *values)
-        out = jax.lax.sort(ops, num_keys=1 + len(words), is_stable=False)
-        return out[1: 1 + len(words)], out[0], out[1 + len(words):]
-    # chained stable argsorts, least-significant first
-    perm = jnp.argsort(words[-1], stable=True)
-    for w in reversed(words[:-1]):
-        perm = perm[jnp.argsort(w[perm], stable=True)]
-    perm = perm[jnp.argsort(invalid[perm], stable=True)]
-    return (
-        tuple(w[perm] for w in words),
-        invalid[perm],
-        tuple(v[perm] for v in values),
-    )
+    Returns (s_words, s_invalid, s_values) ascending, invalid records last.
+    Kept as the generic entry point for the multi-chip path."""
+    ops = (*fold_invalid(words, invalid), *values)
+    out = jax.lax.sort(ops, num_keys=len(words), is_stable=False)
+    s_words = out[: len(words)]
+    return s_words, is_invalid_key(s_words).astype(jnp.uint32), out[len(words):]
 
 
-def compaction_sort(starts, operands):
-    """Move segment-start records to the front, preserving order.
+def segment_reduce(s_words, size: int, weights=None, carry_words: bool = False,
+                   extra_values=()):
+    """Segment statistics over SORTED (invalid-folded) keys.
 
-    A stable single-key sort on (1 - starts) IS stream compaction; on TPU it
-    is ~4x cheaper than scattering each operand to its destination slot."""
+    weights: int32 per-record weights to sum per segment (None -> run length).
+    carry_words / extra_values: additionally compact the key words / extra
+    per-record values to segment slots (slot j = j-th segment in key order).
+
+    Returns dict:
+      nseg        int32 scalar — number of segments (the trailing all-ones
+                  invalid block, if present, is ONE of them)
+      seg_counts  int32[size] — per-segment weight sums (0 beyond nseg)
+      seg_start   int32[size] — start index of each segment (size beyond nseg)
+      seg_words   tuple of uint32[size] (if carry_words)
+      seg_extra   tuple (if extra_values)
+      elem_seg    int32[size] — segment slot of every sorted record
+    """
+    starts = jnp.zeros(size, dtype=bool)
+    for w in s_words:
+        starts = starts | (w != jnp.roll(w, 1))
+    starts = starts.at[0].set(True)
+    nseg = jnp.sum(starts.astype(jnp.int32))
+
+    idx = jnp.arange(size, dtype=jnp.int32)
+    if weights is None:
+        # unweighted: run length = distance between consecutive start
+        # indices, so the compaction need not carry a cumsum operand
+        carried = (idx,)
+        total = jnp.int32(size)
+    else:
+        cs = jax.lax.cumsum(weights.astype(jnp.int32))
+        carried = (idx, cs - weights)
+        total = cs[-1]
+
+    if carry_words:
+        carried = carried + tuple(s_words)
+    carried = carried + tuple(extra_values)
+
     key = (~starts).astype(jnp.uint8)
-    out = jax.lax.sort((key, *operands), num_keys=1, is_stable=True)
-    return out[1:]
+    out = jax.lax.sort((key, *carried), num_keys=1, is_stable=True)
+    c_idx = out[1]
+
+    slot = idx
+    in_seg = slot < nseg
+    seg_start = jnp.where(in_seg, c_idx, size)
+    if weights is None:
+        csx = seg_start
+    else:
+        csx = jnp.where(in_seg, out[2], total)
+    csx_next = jnp.concatenate([csx[1:], jnp.full((1,), total, jnp.int32)])
+    seg_counts = jnp.where(in_seg, csx_next - csx, 0)
+
+    res = dict(nseg=nseg, seg_counts=seg_counts, seg_start=seg_start,
+               elem_seg=jax.lax.cumsum(starts.astype(jnp.int32)) - 1)
+    o = 2 if weights is None else 3
+    if carry_words:
+        W = len(s_words)
+        res["seg_words"] = tuple(
+            jnp.where(in_seg, w, ONES) for w in out[o: o + W])
+        o += W
+    if extra_values:
+        res["seg_extra"] = tuple(out[o:])
+    return res
+
+
+def bincount_by_sort(values: jnp.ndarray, nbins: int) -> jnp.ndarray:
+    """Histogram WITHOUT scatter: 1-key sort + searchsorted on bin edges.
+
+    values must already be clipped to [0, nbins); anything to exclude should
+    be set >= nbins by the caller (but below 2^16 - sorting runs in uint16
+    when nbins allows, which is cheaper on the VPU)."""
+    if nbins + 1 < (1 << 16):
+        values = values.astype(jnp.uint16)
+    sv = jax.lax.sort((values,), num_keys=1)[0]
+    edges = jnp.searchsorted(sv, jnp.arange(nbins + 1, dtype=sv.dtype))
+    return (edges[1:] - edges[:-1]).astype(jnp.int32)
+
+
+def _segment_hist(seg_counts, nseg, ninvalid, size: int):
+    """32768-bin histogram of per-segment counts, excluding empty slots and
+    the trailing invalid segment; plus the count of valid k-mer instances
+    (for exact overflow accounting on host: overflow = nvalid - sum b*hist[b])."""
+    slot = jnp.arange(size, dtype=jnp.int32)
+    has_inv = (ninvalid > 0).astype(jnp.int32)
+    valid_seg = slot < (nseg - has_inv)
+    vals = jnp.where(valid_seg, jnp.minimum(seg_counts, HIST_HIGH),
+                     HIST_HIGH + 1)
+    hist = bincount_by_sort(vals, HIST_HIGH + 1)
+    return hist
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def hist_batch(codes: jnp.ndarray, k: int, size: int):
+    """Lean histogram-only counting of one code stream (the `FastK -k` job).
+
+    Returns dict(hist int32[32768] — hist[c] = unique canonical k-mers with
+    clipped count c, hist[0] unused; nvalid int32 — valid k-mer instances).
+    Host computes instance overflow = nvalid - sum(c * hist[c]).
+
+    Unlike the general path this skips even the compaction sort: run lengths
+    are read off AT the start positions (next-start scan minus index) and the
+    whole [size] array goes to the uint16 bincount sort, with non-starts and
+    the invalid tail mapped to the excluded sentinel bin."""
+    words, invalid = canonical_kmers(codes, k, size)
+    ninv = jnp.sum(invalid.astype(jnp.int32))
+    f = fold_invalid(words, invalid)
+    s_words = jax.lax.sort(f, num_keys=len(f), is_stable=False)
+
+    starts = jnp.zeros(size, dtype=bool)
+    for w in s_words:
+        starts = starts | (w != jnp.roll(w, 1))
+    starts = starts.at[0].set(True)
+
+    idx = jnp.arange(size, dtype=jnp.int32)
+    # next start index strictly after i (size if none): reverse cummin
+    nxt = jnp.where(starts, idx, size)
+    nxt_after = jnp.concatenate(
+        [jax.lax.cummin(nxt[::-1])[::-1][1:], jnp.full((1,), size, jnp.int32)])
+    seg_len = nxt_after - idx
+
+    # a start element is a valid k-mer segment unless it is in the all-ones
+    # invalid tail (the tail starts at size - ninv)
+    use = starts & (idx < size - ninv)
+    vals = jnp.where(use, jnp.minimum(seg_len, HIST_HIGH), HIST_HIGH + 1)
+    hist = bincount_by_sort(vals, HIST_HIGH + 1)
+    return dict(hist=hist, nvalid=jnp.int32(size) - ninv)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def unique_batch(codes: jnp.ndarray, k: int, size: int):
+    """Sorted unique canonical k-mers of one code stream with counts.
+
+    Returns dict(seg_words tuple of uint32[size] (slot j = j-th unique key,
+    all-ones beyond), seg_counts int32[size], nseg int32 (INCLUDING a trailing
+    invalid segment if any input positions were invalid), nuniq int32 (number
+    of real unique k-mers), nvalid int32)."""
+    words, invalid = canonical_kmers(codes, k, size)
+    ninv = jnp.sum(invalid.astype(jnp.int32))
+    f = fold_invalid(words, invalid)
+    s_words = jax.lax.sort(f, num_keys=len(f), is_stable=False)
+    seg = segment_reduce(s_words, size, carry_words=True)
+    has_inv = (ninv > 0).astype(jnp.int32)
+    nuniq = seg["nseg"] - has_inv
+    slot = jnp.arange(size, dtype=jnp.int32)
+    seg_counts = jnp.where(slot < nuniq, seg["seg_counts"], 0)
+    seg_words = tuple(jnp.where(slot < nuniq, w, ONES) for w in seg["seg_words"])
+    return dict(seg_words=seg_words, seg_counts=seg_counts, nseg=seg["nseg"],
+                nuniq=nuniq, nvalid=jnp.int32(size) - ninv)
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def merge_unique_blocks(words, counts, size: int):
+    """Merge concatenated per-batch unique blocks into global sorted uniques.
+
+    words: tuple of W uint32[size] (all-ones = empty slot), counts int32[size]
+    (0 at empty slots). Returns the same layout globally deduplicated, plus
+    the device histogram of merged counts.
+    """
+    s = jax.lax.sort((*words, counts), num_keys=len(words), is_stable=False)
+    s_words, s_counts = s[:-1], s[-1]
+    seg = segment_reduce(s_words, size, weights=s_counts, carry_words=True)
+    # empty slots (all-ones keys, weight 0) form the trailing segment with
+    # count 0 unless none exist; exclude empties AND anything with count 0
+    inv_tail = is_invalid_key(tuple(w for w in seg["seg_words"]))
+    slot = jnp.arange(size, dtype=jnp.int32)
+    real = (slot < seg["nseg"]) & (~inv_tail) & (seg["seg_counts"] > 0)
+    nuniq = jnp.sum(real.astype(jnp.int32))
+    seg_counts = jnp.where(real, seg["seg_counts"], 0)
+    seg_words = tuple(jnp.where(real, w, ONES) for w in seg["seg_words"])
+    vals = jnp.where(real, jnp.minimum(seg_counts, HIST_HIGH), HIST_HIGH + 1)
+    hist = bincount_by_sort(vals, HIST_HIGH + 1)
+    return dict(seg_words=seg_words, seg_counts=seg_counts, nuniq=nuniq,
+                hist=hist)
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4))
+def profile_join(table_words, table_counts, codes: jnp.ndarray, k: int,
+                 size: int):
+    """Per-position clipped counts of a code stream against a sorted table.
+
+    table_words: tuple of W uint32[A], sorted unique keys, all-ones at empty
+    slots; table_counts: int32[A], 0 at empty slots.
+
+    A sort-merge join: table entries and query positions are sorted together
+    keyed by (words..., is_query) so each table entry leads its key's
+    segment; the segment weight-sum (only table entries carry weight) is the
+    key's count, broadcast to every query of the segment, then one sort by
+    position restores stream order. Invalid query positions share the
+    all-ones segment with empty table slots, whose weight sum is 0 — so they
+    get count 0 for free. Replaces the reference's per-bucket reference-table
+    stream intersection (cmer_merge_thread, count.c:675-792).
+    """
+    W = len(table_words)
+    A = table_counts.shape[0]
+    words, invalid = canonical_kmers(codes, k, size)
+    q = fold_invalid(words, invalid)
+    N = A + size
+    merged = tuple(jnp.concatenate([tw, qw]) for tw, qw in zip(table_words, q))
+    is_query = jnp.concatenate(
+        [jnp.zeros(A, jnp.uint8), jnp.ones(size, jnp.uint8)])
+    cnt = jnp.concatenate([table_counts.astype(jnp.int32),
+                           jnp.zeros(size, jnp.int32)])
+    pos = jnp.concatenate([jnp.full(A, ONES, jnp.uint32),
+                           jnp.arange(size, dtype=jnp.uint32)])
+    out = jax.lax.sort((*merged, is_query, cnt, pos), num_keys=W + 1,
+                       is_stable=False)
+    s_words, s_cnt, s_pos = out[:W], out[W + 1], out[W + 2]
+    seg = segment_reduce(s_words, N, weights=s_cnt)
+    elem_cnt = seg["seg_counts"][seg["elem_seg"]]
+    by_pos = jax.lax.sort((s_pos, elem_cnt), num_keys=1, is_stable=False)[1]
+    return jnp.minimum(by_pos[:size], HIST_HIGH)
+
+
+def positions_inverse(pos: jnp.ndarray, values: jnp.ndarray):
+    """Return `values` reordered to position order (pos is a permutation).
+
+    The TPU-safe inverse permutation: one value-carrying 1-key sort. A
+    scatter `.at[pos].set(v)` is catastrophically slow on TPU (>100s at 64M)."""
+    out = jax.lax.sort((pos, values), num_keys=1, is_stable=False)
+    return out[1]
 
 
 def segmented_count(s_words, s_inv, size: int, want_elem_counts: bool = False,
                     want_hist: bool = False):
-    """Segment statistics over SORTED records. Scatter-free except the
-    optional histogram (multi-chip psum path); everything else is rolls,
-    scans and one stable compaction sort.
+    """Compatibility wrapper over segment_reduce for the multi-chip path.
 
     Returns dict(seg_words, seg_counts, seg_valid, nseg, overflow[, hist]
-    [, elem_counts]) — see count_batch. elem_counts is the clipped count of
-    each sorted record's segment (in sorted order)."""
-    starts = jnp.zeros(size, dtype=bool)
-    for w in s_words:
-        starts = starts | (w != jnp.roll(w, 1))
-    starts = (starts | (s_inv != jnp.roll(s_inv, 1))).at[0].set(True)
-
-    idx = jnp.arange(size, dtype=jnp.int32)
-    nseg = jnp.sum(starts.astype(jnp.int32))
-
-    # per-element segment extent via scans (no random access): segment start
-    # = running max of start indices; end = next start at or after i+1
-    start_of = jax.lax.cummax(jnp.where(starts, idx, 0))
-    nxt = jnp.where(starts, idx, size)
-    end_of = jnp.concatenate([
-        jax.lax.cummin(nxt[::-1])[::-1][1:], jnp.full((1,), size, jnp.int32)
-    ])
-    seg_len = end_of - start_of  # true segment length at every element
-
-    compacted = compaction_sort(
-        starts, (*s_words, seg_len.astype(jnp.uint32), s_inv))
-    W = len(s_words)
-    seg_words = tuple(compacted[:W])
-    raw_counts = compacted[W].astype(jnp.int32)
-    seg_inv = compacted[W + 1]
-
+    [, elem_counts]). s_inv marks records whose keys were NOT invalid-folded;
+    pass zeros when keys already encode invalid as all-ones."""
+    folded = fold_invalid(s_words, s_inv)
+    ninv = jnp.sum((is_invalid_key(folded) | (s_inv != 0)).astype(jnp.int32))
+    seg = segment_reduce(folded, size, carry_words=True,
+                         extra_values=())
     slot = jnp.arange(size, dtype=jnp.int32)
-    seg_valid = (slot < nseg) & (seg_inv == 0)
-    seg_counts = jnp.where(slot < nseg, raw_counts, 0)
-
+    inv_tail = is_invalid_key(seg["seg_words"])
+    seg_valid = (slot < seg["nseg"]) & (~inv_tail)
+    seg_counts = jnp.where(slot < seg["nseg"], seg["seg_counts"], 0)
     overflow = jnp.sum(
-        jnp.where(seg_valid & (seg_counts > HIST_HIGH), seg_counts - HIST_HIGH, 0)
-    )
-
-    out = dict(seg_words=seg_words, seg_counts=seg_counts, seg_valid=seg_valid,
-               nseg=nseg, overflow=overflow)
-
+        jnp.where(seg_valid & (seg_counts > HIST_HIGH),
+                  seg_counts - HIST_HIGH, 0))
+    out = dict(seg_words=seg["seg_words"], seg_counts=seg_counts,
+               seg_valid=seg_valid, nseg=seg["nseg"], overflow=overflow)
     if want_hist:
-        clipped = jnp.minimum(seg_counts, HIST_HIGH)
-        out["hist"] = jnp.zeros(HIST_HIGH + 1, jnp.int32).at[
-            jnp.where(seg_valid, clipped, 0)
-        ].add(jnp.where(seg_valid, 1, 0))
-
+        vals = jnp.where(seg_valid, jnp.minimum(seg_counts, HIST_HIGH),
+                         HIST_HIGH + 1)
+        out["hist"] = bincount_by_sort(vals, HIST_HIGH + 1)
     if want_elem_counts:
+        # count of each SORTED record's segment: gather once via elem_seg
         out["elem_counts"] = (
-            jnp.minimum(seg_len, HIST_HIGH) * (s_inv == 0)
-        ).astype(jnp.int32)
+            jnp.minimum(seg_counts, HIST_HIGH)[seg["elem_seg"]]
+            * (is_invalid_key(folded) == 0)).astype(jnp.int32)
     return out
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))
 def count_batch(codes: jnp.ndarray, k: int, size: int, want_positions: bool,
                 want_hist: bool = False):
-    """Count canonical k-mers of one code stream.
+    """Count canonical k-mers of one code stream (full-feature single batch).
 
-    Returns a dict of fixed-shape arrays (all [size] unless noted):
-      seg_words: tuple of W uint32 — key of each segment (slot j holds the
-                 j-th segment; slots >= nseg are garbage)
-      seg_counts: int32 — instance count per segment (0 beyond nseg),
-                 unclipped (the histogram clip at 32767 happens at output)
-      seg_valid: bool — segment is a real k-mer (not the invalid block)
-      nseg:     int32 scalar — number of segments (incl. invalid block)
-      overflow: int32 scalar — instances lost to clipping at 32767
-      pos_counts: int32 — clipped count of the k-mer starting at each
-                 position, 0 at invalid positions (only if want_positions)
-
-    The histogram itself is host-side (a bincount over seg_counts): a device
-    scatter-add costs more than the entire sort.
-    """
+    Returns dict(seg_words, seg_counts, seg_valid, nseg, overflow[, hist]
+    [, pos_counts]): slot j of seg_* is the j-th segment in key order;
+    pos_counts[i] = clipped count of the k-mer starting at position i (0 at
+    invalid positions)."""
     words, invalid = canonical_kmers(codes, k, size)
-
     values = (jnp.arange(size, dtype=jnp.uint32),) if want_positions else ()
     s_words, s_inv, s_vals = sort_records(words, invalid, values)
-
-    out = segmented_count(s_words, s_inv, size, want_elem_counts=want_positions,
-                          want_hist=want_hist)
-
+    out = segmented_count(s_words, jnp.zeros(size, jnp.uint32), size,
+                          want_elem_counts=want_positions, want_hist=want_hist)
     if want_positions:
-        elem_cnt = out.pop("elem_counts")
-        out["pos_counts"] = jnp.zeros(size, jnp.int32).at[s_vals[0]].set(elem_cnt)
+        elem = out.pop("elem_counts")
+        out["pos_counts"] = positions_inverse(s_vals[0], elem)
     return out

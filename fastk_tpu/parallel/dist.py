@@ -120,17 +120,19 @@ def _count_received(words, valid, D_cap: int, want_rec_counts: bool):
 
     Records with valid==0 are padding; they sort to the end (valid is the
     most significant sort key, inverted)."""
-    from fastk_tpu.ops.count import segmented_count, sort_records
+    from fastk_tpu.ops.count import (
+        positions_inverse, segmented_count, sort_records)
 
     inv = (valid == 0).astype(jnp.uint32)
     values = (jnp.arange(D_cap, dtype=jnp.uint32),) if want_rec_counts else ()
     s_words, s_inv, s_vals = sort_records(list(words), inv, values)
-    res = segmented_count(s_words, s_inv, D_cap,
+    res = segmented_count(s_words, jnp.zeros(D_cap, jnp.uint32), D_cap,
                           want_elem_counts=want_rec_counts, want_hist=True)
     if want_rec_counts:
         elem = res.pop("elem_counts")
-        # back to received-record order (for the inverse all_to_all)
-        res["rec_counts"] = jnp.zeros(D_cap, jnp.int32).at[s_vals[0]].set(elem)
+        # back to received-record order (for the inverse all_to_all);
+        # a sort by position, never a scatter (ops.count module doc)
+        res["rec_counts"] = positions_inverse(s_vals[0], elem)
     return res
 
 
@@ -157,20 +159,24 @@ def sharded_count_fn(mesh: Mesh, k: int, shard_size: int, slack: float = 1.6,
         # codes: local shard [shard_size + pad]; positions are local
         words, invalid = canonical_kmers(codes, k, shard_size)
         pos = jnp.arange(shard_size, dtype=jnp.uint32)
-        (send_words, send_valid, route_ovf, orig, flat
-         ) = _route_chip(words, invalid, pos, splitters, D, cap, shard_size)
 
-        if D > 1:
+        if D == 1:
+            # no exchange: count the local shard directly (and skip the
+            # routing scatter, which is very slow on real TPU chips)
+            rw, rv = words, (invalid == 0).astype(jnp.uint32)
+            route_ovf = jnp.int32(0)
+            orig = flat = None
+            res = _count_received(rw, rv, D_cap, want_positions)
+        else:
+            (send_words, send_valid, route_ovf, orig, flat
+             ) = _route_chip(words, invalid, pos, splitters, D, cap, shard_size)
             recv_words = tuple(
                 jax.lax.all_to_all(w, axis, 0, 0, tiled=False) for w in send_words
             )
             recv_valid = jax.lax.all_to_all(send_valid, axis, 0, 0, tiled=False)
-        else:
-            recv_words, recv_valid = send_words, send_valid
-
-        rw = tuple(w.reshape(D_cap) for w in recv_words)
-        rv = recv_valid.reshape(D_cap)
-        res = _count_received(rw, rv, D_cap, want_positions)
+            rw = tuple(w.reshape(D_cap) for w in recv_words)
+            rv = recv_valid.reshape(D_cap)
+            res = _count_received(rw, rv, D_cap, want_positions)
 
         hist = jax.lax.psum(res["hist"], axis) if D > 1 else res["hist"]
         overflow = jax.lax.psum(res["overflow"], axis) if D > 1 else res["overflow"]
@@ -187,13 +193,19 @@ def sharded_count_fn(mesh: Mesh, k: int, shard_size: int, slack: float = 1.6,
         )
 
         if want_positions:
-            rc = res["rec_counts"].reshape(D, cap)
-            back = jax.lax.all_to_all(rc, axis, 0, 0, tiled=False) if D > 1 else rc
-            # undo routing: record with original position `orig` sat at send
-            # slot `flat`
-            flat_counts = back.reshape(D_cap)
-            got = jnp.concatenate([flat_counts, jnp.zeros(1, jnp.int32)])[flat]
-            pos_counts = jnp.zeros(shard_size, jnp.int32).at[orig].set(got)
+            if D == 1:
+                pos_counts = res["rec_counts"]
+            else:
+                rc = res["rec_counts"].reshape(D, cap)
+                back = jax.lax.all_to_all(rc, axis, 0, 0, tiled=False)
+                # undo routing: record with original position `orig` sat at
+                # send slot `flat`; invert by sort, never scatter
+                from fastk_tpu.ops.count import positions_inverse
+
+                flat_counts = back.reshape(D_cap)
+                got = jnp.concatenate(
+                    [flat_counts, jnp.zeros(1, jnp.int32)])[flat]
+                pos_counts = positions_inverse(orig, got)
             out["pos_counts"] = pos_counts[None]
         return out
 

@@ -3,22 +3,30 @@
 Phases (vs the reference's 4-phase disk pipeline, FastK.c:223-561):
 
 1. Host ingest: parse + pack reads into code-stream batches (io.reader).
-2. Device count: canonical keys -> sort -> segmented count (ops.count).
-3. Host merge: per-batch unique (key, count) runs merged across batches.
-4. Outputs: .hist (exact, from final global counts), .ktab (threshold
-   filter), .prof (positions pass: per-position counts looked up against the
-   final table — the reference's profile inversion by LSD sorts becomes a
-   scatter/lookup).
+2. Device count: per batch, canonical keys -> sort -> segment reduction ->
+   compacted sorted unique (k-mer, count) blocks, kept DEVICE-RESIDENT
+   (ops.count.unique_batch).
+3. Device merge: one global sort of the concatenated unique blocks sums
+   counts across batches (ops.count.merge_unique_blocks) — the analog of the
+   reference's phase-3 table merge (table.c:346-533), as a device sort
+   instead of a file heap-merge.
+4. Outputs: .hist from the device histogram (exact overflow accounting on
+   host: overflow = nvalid - sum(c*hist[c])), .ktab via one final D2H of the
+   merged table, .prof via a second device pass per batch that sort-merge
+   joins every position's key against the merged table (ops.count
+   .profile_join) — the reference's profile inversion by LSD sorts
+   (count.c:619-1004) becomes a join + one sort by position.
 
-Single-batch inputs take the fused path where the device histogram and
-per-position counts are used directly.
+Everything bulky stays in HBM; the host only sees scalars until final
+output encoding. (Host-side merging is also pathologically slow on
+first-touch-throttled VMs, which this design sidesteps entirely.)
 """
 
 from __future__ import annotations
 
 import math
 from dataclasses import dataclass
-from typing import List, Optional, Sequence
+from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -28,17 +36,27 @@ import jax.numpy as jnp
 from fastk_tpu.formats.hist import HIST_HIGH, Histogram
 from fastk_tpu.formats.ktab import KmerTable, kbytes
 from fastk_tpu.io.reader import ReadBatch, batched_reads, pack_reads
-from fastk_tpu.ops.count import count_batch
-from fastk_tpu.ops.kmers import canonical_kmers, pad_needed, words_to_packed
+from fastk_tpu.ops.count import (
+    merge_unique_blocks,
+    profile_join,
+    unique_batch,
+)
+from fastk_tpu.ops.kmers import (
+    nwords,
+    pad_needed,
+    packed_to_words,
+    words_to_packed,
+)
 
 DEFAULT_BATCH_BASES = 64 << 20  # bases per device batch
+_MIN_SIZE = 1 << 15
 
 
 def _round_size(n: int, k: int) -> int:
     """Static device shape for a batch: next power of two (min 32k), so the
     number of distinct compilations stays logarithmic in input size."""
     want = n + pad_needed(k)
-    size = 1 << 15
+    size = _MIN_SIZE
     while size < want:
         size <<= 1
     return size
@@ -51,69 +69,19 @@ def _pad_codes(batch: ReadBatch, k: int, size: int) -> np.ndarray:
     return codes
 
 
-@dataclass
-class UniqueRuns:
-    """Sorted unique canonical k-mers with counts (host, numpy)."""
-
-    words: np.ndarray  # (n, W) uint32, lexicographically sorted rows
-    counts: np.ndarray  # (n,) int64
-
-    def merged_with(self, other: "UniqueRuns") -> "UniqueRuns":
-        if len(self.counts) == 0:
-            return other
-        if len(other.counts) == 0:
-            return self
-        words = np.concatenate([self.words, other.words])
-        counts = np.concatenate([self.counts, other.counts])
-        return _dedup_sorted(*_sort_rows(words, counts))
-
-
-def _sort_rows(words: np.ndarray, counts: np.ndarray):
-    order = np.lexsort(tuple(words[:, j] for j in reversed(range(words.shape[1]))))
-    return words[order], counts[order]
-
-
-def _dedup_sorted(words: np.ndarray, counts: np.ndarray) -> UniqueRuns:
-    if len(counts) == 0:
-        return UniqueRuns(words, counts.astype(np.int64))
-    neq = np.any(words[1:] != words[:-1], axis=1)
-    starts = np.concatenate([[True], neq])
-    idx = np.flatnonzero(starts)
-    summed = np.add.reduceat(counts.astype(np.int64), idx)
-    return UniqueRuns(words[idx], summed)
-
-
-def _extract_batch_unique(res, W: int) -> UniqueRuns:
-    nseg = int(res["nseg"])
-    valid = np.asarray(res["seg_valid"][:nseg])
-    words = np.stack([np.asarray(w[:nseg]) for w in res["seg_words"]], axis=1)
-    counts = np.asarray(res["seg_counts"][:nseg], dtype=np.int64)
-    return UniqueRuns(words[valid], counts[valid])
+def _trim(n: int) -> int:
+    """Block slot count to keep for n uniques (multiple of 32k)."""
+    return max(_MIN_SIZE, ((n + _MIN_SIZE - 1) // _MIN_SIZE) * _MIN_SIZE)
 
 
 @dataclass
 class CountOutput:
     kmer: int
-    hist: Histogram
+    hist: Optional[Histogram]
     table: Optional[KmerTable]
     profiles: Optional[List[np.ndarray]]
     nreads: int
     totlen: int
-
-
-def _lookup_counts(table_words: np.ndarray, counts: np.ndarray,
-                   query_words: np.ndarray) -> np.ndarray:
-    """Clipped counts of query keys in the sorted table (0 if absent)."""
-    W = table_words.shape[1]
-    tv = np.ascontiguousarray(table_words.astype(">u4")).view(f"S{4*W}").ravel()
-    qv = np.ascontiguousarray(query_words.astype(">u4")).view(f"S{4*W}").ravel()
-    pos = np.searchsorted(tv, qv)
-    pos_c = np.minimum(pos, len(tv) - 1) if len(tv) else np.zeros(len(qv), np.int64)
-    hit = (len(tv) > 0) & (tv[pos_c] == qv)
-    out = np.zeros(len(qv), dtype=np.int32)
-    if len(tv):
-        out[hit] = np.minimum(counts[pos_c[hit]], HIST_HIGH).astype(np.int32)
-    return out
 
 
 def _profiles_from_positions(batch: ReadBatch, pos_counts: np.ndarray, k: int
@@ -127,6 +95,21 @@ def _profiles_from_positions(batch: ReadBatch, pos_counts: np.ndarray, k: int
         else:
             profs.append(pos_counts[o: o + n].astype(np.uint16))
     return profs
+
+
+def _device_table(table: KmerTable, k: int) -> Tuple[tuple, jnp.ndarray]:
+    """Host table -> device (words tuple, counts), padded to a 32k multiple
+    with all-ones/0 empty slots."""
+    W = nwords(k)
+    words = packed_to_words(table.packed, k)
+    n = words.shape[0]
+    cap = _trim(n)
+    wpad = np.full((cap, W), 0xFFFFFFFF, dtype=np.uint32)
+    wpad[:n] = words
+    cpad = np.zeros(cap, dtype=np.int32)
+    cpad[:n] = np.minimum(table.counts, HIST_HIGH)
+    return (tuple(jnp.asarray(wpad[:, j]) for j in range(W)),
+            jnp.asarray(cpad))
 
 
 def count_files(
@@ -143,23 +126,26 @@ def count_files(
     """Count canonical k-mers in the given sequence files.
 
     relative_table: if given, profiles are taken against this table instead of
-    the input's own counts (the -p:<table> mode, reference split.c:1943-2131).
+    the input's own counts (the -p:<table> mode, reference split.c:1943-2131)
+    and no counting pass runs at all.
     """
-    from fastk_tpu.ops.kmers import nwords, packed_to_words
-
     W = nwords(k)
     batches: List[ReadBatch] = []
-    ordinals: List[int] = []
-    acc = UniqueRuns(np.zeros((0, W), np.uint32), np.zeros(0, np.int64))
+    blocks_words: List[tuple] = []  # device-resident compacted unique blocks
+    blocks_counts: List[jnp.ndarray] = []
+    nvalid_total = 0
 
-    for batch, ordinal in batched_reads(list(paths), batch_bases, hc=hc, bc=bc):
+    for batch, _ordinal in batched_reads(list(paths), batch_bases, hc=hc, bc=bc):
         batches.append(batch)
-        ordinals.append(ordinal)
         if relative_table is None:
             size = _round_size(len(batch.codes), k)
             codes = _pad_codes(batch, k, size)
-            res = count_batch(jnp.asarray(codes), k, size, False)
-            acc = acc.merged_with(_extract_batch_unique(res, W))
+            res = unique_batch(jnp.asarray(codes), k, size)
+            nu = int(res["nuniq"])
+            nvalid_total += int(res["nvalid"])
+            keep = min(_trim(nu), size)
+            blocks_words.append(tuple(w[:keep] for w in res["seg_words"]))
+            blocks_counts.append(res["seg_counts"][:keep])
         if verbose:
             print(f"  batch {len(batches)}: {batch.nreads} reads, "
                   f"{batch.totlen} bases", flush=True)
@@ -168,42 +154,63 @@ def count_files(
     totlen = sum(b.totlen for b in batches)
 
     if relative_table is not None:
-        # relative profiles: no counting pass at all, only lookups
-        table_words = packed_to_words(relative_table.packed, k)
-        table_counts = relative_table.counts.astype(np.int64)
-        hist = None
-        table = None
-        profs = _lookup_profiles(batches, k, table_words, table_counts)
-        return CountOutput(k, hist, table, profs, nreads, totlen)
+        # relative profiles: no counting pass at all, only the join
+        t_words, t_counts = _device_table(relative_table, k)
+        profs = _join_profiles(batches, k, t_words, t_counts)
+        return CountOutput(k, None, None, profs, nreads, totlen)
 
-    clipped = np.minimum(acc.counts, HIST_HIGH)
-    overflow = int(np.maximum(acc.counts - HIST_HIGH, 0).sum())
-    hist = Histogram.from_clipped_counts(k, clipped, overflow)
+    # final device merge of all unique blocks
+    total = sum(int(b.shape[0]) for b in blocks_counts)
+    cap = 1 << max(15, math.ceil(math.log2(max(total, 2))))
+    m_words = []
+    for j in range(W):
+        parts = [blk[j] for blk in blocks_words]
+        parts.append(jnp.full(cap - total, 0xFFFFFFFF, jnp.uint32))
+        m_words.append(jnp.concatenate(parts))
+    m_counts = jnp.concatenate(
+        blocks_counts + [jnp.zeros(cap - total, jnp.int32)])
+    merged = merge_unique_blocks(tuple(m_words), m_counts, cap)
+
+    hist_arr = np.asarray(merged["hist"]).astype(np.int64)
+    overflow = nvalid_total - int(
+        (hist_arr[1:] * np.arange(1, HIST_HIGH + 1, dtype=np.int64)).sum())
+    hist = Histogram.from_bins(k, hist_arr, overflow)
 
     table = None
-    if table_min is not None:
-        keep = clipped >= table_min
-        packed = words_to_packed(acc.words[keep], k)
-        table = KmerTable(k, table_min, packed, clipped[keep].astype(np.uint16))
+    need_table = table_min is not None or profiles
+    if need_table:
+        nuniq = int(merged["nuniq"])
+        u_words = np.stack(
+            [np.asarray(w[:nuniq]) for w in merged["seg_words"]], axis=1)
+        u_counts = np.minimum(np.asarray(merged["seg_counts"][:nuniq]),
+                              HIST_HIGH).astype(np.uint16)
+        tmin = table_min if table_min is not None else 1
+        keepm = u_counts >= tmin
+        packed = words_to_packed(u_words[keepm], k)
+        tab = KmerTable(k, tmin, packed, u_counts[keepm])
+        if table_min is not None:
+            table = tab
 
     profs = None
     if profiles:
-        profs = _lookup_profiles(batches, k, acc.words, acc.counts)
+        # join against the device-resident merged table (cutoff 1)
+        nuniq = int(merged["nuniq"])
+        capt = _trim(nuniq)
+        t_words = tuple(w[:capt] for w in merged["seg_words"])
+        t_counts = jnp.minimum(merged["seg_counts"][:capt], HIST_HIGH)
+        profs = _join_profiles(batches, k, t_words, t_counts)
     return CountOutput(k, hist, table, profs, nreads, totlen)
 
 
-def _lookup_profiles(batches, k, table_words, table_counts):
-    """Second pass: per-position canonical keys -> clipped table counts."""
+def _join_profiles(batches, k, t_words, t_counts):
+    """Second pass: per-position counts via the device sort-merge join."""
     profs: List[np.ndarray] = []
     for batch in batches:
         size = _round_size(len(batch.codes), k)
         codes = _pad_codes(batch, k, size)
-        words, invalid = canonical_kmers(jnp.asarray(codes), k, size)
-        wnp = np.stack([np.asarray(w) for w in words], axis=1)
-        inv = np.asarray(invalid).astype(bool)
-        counts = _lookup_counts(table_words, table_counts, wnp)
-        counts[inv] = 0
-        profs.extend(_profiles_from_positions(batch, counts, k))
+        pc = profile_join(t_words, t_counts, jnp.asarray(codes), k, size)
+        pos_counts = np.asarray(pc)
+        profs.extend(_profiles_from_positions(batch, pos_counts, k))
     return profs
 
 

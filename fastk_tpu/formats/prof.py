@@ -105,8 +105,15 @@ def encode_profile(counts: np.ndarray) -> bytes:
 
 def decode_profile(buf: bytes | np.ndarray) -> np.ndarray:
     """Decompress one profile to uint16 counts (reference: Fetch_Profile
-    decode loop, libfastk.c:1710-1805). Vectorized token scan."""
+    decode loop, libfastk.c:1710-1805). Native decoder when available,
+    vectorized token scan otherwise."""
     b = np.frombuffer(buf, dtype=np.uint8) if not isinstance(buf, np.ndarray) else buf
+    if b.size:
+        from fastk_tpu import native
+
+        if native.load() is not None:
+            # every token byte decodes to at most 63 counts
+            return native.prof_decode(b, 63 * b.size + 2)
     if b.size == 0:
         return np.zeros(0, dtype=np.uint16)
     if b[0] & 0x80:

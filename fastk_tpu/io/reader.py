@@ -69,6 +69,14 @@ def iter_reads(path: str) -> Iterator[bytes]:
         from fastk_tpu.io.sam import iter_sam_reads
 
         yield from iter_sam_reads(path, fmt)
+    elif fmt == "dazz":
+        from fastk_tpu.io.dazz import iter_dazz_reads
+
+        yield from iter_dazz_reads(path)
+    elif fmt == "cram":
+        from fastk_tpu.io.cram import iter_cram_reads
+
+        yield from iter_cram_reads(path)
     else:
         raise NotImplementedError(f"{fmt} input not supported yet")
 
@@ -164,6 +172,19 @@ def read_file(path: str, hc: bool = False) -> ReadBatch:
     return pack_reads(list(iter_reads(path)), hc=hc)
 
 
+def _scan_file_native(path: str, fmt: str, hc: bool, bc: int):
+    """Whole-file native parse -> (codes, boff, rlen), or None."""
+    if fmt not in ("fasta", "fastq"):
+        return None
+    from fastk_tpu import native
+
+    if native.load() is None:
+        return None
+    with _open(path) as f:
+        buf = f.read()
+    return native.scan_seq(buf, fastq=(fmt == "fastq"), hc=hc, bc=bc)
+
+
 def batched_reads(
     paths: List[str], batch_bases: int, hc: bool = False, bc: int = 0
 ) -> Iterator[Tuple[ReadBatch, int]]:
@@ -171,12 +192,38 @@ def batched_reads(
 
     Yields (batch, first_read_ordinal). Reads are never split across batches
     (long-read splitting with a k-1 halo is handled at the device chunking
-    layer, not here).
+    layer, not here). FASTA/FASTQ files parse through the native scanner
+    (fastk_tpu.native) when it is available; batches are then zero-copy
+    slices of the whole-file code stream.
     """
     ordinal = 0
     cur: List[bytes] = []
     cur_bases = 0
     for path in paths:
+        fmt = detect_format(path)
+        scanned = _scan_file_native(path, fmt, hc, bc)
+        if scanned is not None:
+            if cur:  # flush python-path reads before zero-copy batches
+                yield pack_reads(cur, hc=hc, bc=bc), ordinal
+                ordinal += len(cur)
+                cur, cur_bases = [], 0
+            codes, boff, rlen = scanned
+            nreads = len(rlen)
+            lo = 0
+            while lo < nreads:
+                hi = lo
+                bases = 0
+                while hi < nreads and bases < batch_bases:
+                    bases += int(rlen[hi]) + 1
+                    hi += 1
+                yield ReadBatch(
+                    codes=codes[boff[lo]: boff[hi]],
+                    boff=boff[lo: hi + 1] - boff[lo],
+                    rlen=rlen[lo:hi],
+                ), ordinal
+                ordinal += hi - lo
+                lo = hi
+            continue
         for r in iter_reads(path):
             cur.append(r)
             cur_bases += len(r) + 1

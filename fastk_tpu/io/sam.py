@@ -1,0 +1,100 @@
+"""SAM/BAM sequence ingestion (host side).
+
+Mirrors the reference's record semantics (io.c:1317-1501): alignment records
+whose FLAG has 0x900 set (secondary 0x100 / supplementary 0x800) are skipped
+so every template is counted exactly once; everything else contributes its
+stored SEQ. BGZF is a sequence of gzip members, which Python's zlib/gzip
+layer decodes directly (the reference uses libdeflate for the same blocks,
+io.c:858-1078).
+
+Deviation from the reference, on purpose: the reference maps SAM ambiguity
+codes to concrete bases (IUPAC_2_DNA, io.c:1398-1477 — 'N' becomes 'a') but
+leaves BAM ambiguity codes as IUPAC letters that later code as invalid. We
+treat every non-ACGT symbol as invalid in both formats, which is both
+consistent and the biologically correct reading of ambiguity codes.
+"""
+
+from __future__ import annotations
+
+import gzip
+import struct
+from typing import Iterator
+
+import numpy as np
+
+# BAM 4-bit SEQ codes "=ACMGRSVTWYHKDBN" -> bytes; non-ACGT stays an
+# ambiguity letter and codes as invalid downstream (reader.CODE_TABLE)
+_NIB = np.frombuffer(b"=ACMGRSVTWYHKDBN", dtype=np.uint8)
+_NIB_HI = _NIB[np.arange(256) >> 4]
+_NIB_LO = _NIB[np.arange(256) & 0xF]
+
+_SKIP_FLAGS = 0x900  # secondary | supplementary (reference io.c:1357,1466)
+
+
+def _open(path: str):
+    if path.endswith(".gz") or path.endswith(".bam"):
+        return gzip.open(path, "rb")
+    return open(path, "rb")
+
+
+def iter_sam_reads(path: str, fmt: str) -> Iterator[bytes]:
+    if fmt == "sam":
+        yield from _iter_sam(path)
+    else:
+        yield from _iter_bam(path)
+
+
+def _iter_sam(path: str) -> Iterator[bytes]:
+    with _open(path) as f:
+        for line in f:
+            if line.startswith(b"@"):
+                continue
+            fields = line.rstrip(b"\n").split(b"\t")
+            if len(fields) < 11:
+                if line.strip():
+                    raise ValueError(f"{path}: truncated SAM record")
+                continue
+            flag = int(fields[1])
+            if flag & _SKIP_FLAGS:
+                continue
+            seq = fields[9]
+            if seq != b"*":
+                yield seq
+
+
+def _read_exact(f, n: int, path: str) -> bytes:
+    b = f.read(n)
+    if len(b) != n:
+        raise ValueError(f"{path}: truncated BAM file")
+    return b
+
+
+def _iter_bam(path: str) -> Iterator[bytes]:
+    with _open(path) as f:
+        magic = _read_exact(f, 4, path)
+        if magic != b"BAM\x01":
+            raise ValueError(f"{path}: not a BAM file (bad magic)")
+        (l_text,) = struct.unpack("<i", _read_exact(f, 4, path))
+        f.read(l_text)
+        (n_ref,) = struct.unpack("<i", _read_exact(f, 4, path))
+        for _ in range(n_ref):
+            (l_name,) = struct.unpack("<i", _read_exact(f, 4, path))
+            f.read(l_name + 4)
+        while True:
+            hdr = f.read(4)
+            if not hdr:
+                return
+            (block_size,) = struct.unpack("<i", hdr)
+            rec = _read_exact(f, block_size, path)
+            l_read_name = rec[8]
+            n_cigar_op, flag = struct.unpack_from("<HH", rec, 12)
+            (l_seq,) = struct.unpack_from("<i", rec, 16)
+            if flag & _SKIP_FLAGS or l_seq <= 0:
+                continue
+            off = 32 + l_read_name + 4 * n_cigar_op
+            nb = (l_seq + 1) // 2
+            packed = np.frombuffer(rec, dtype=np.uint8, count=nb, offset=off)
+            seq = np.empty(2 * nb, dtype=np.uint8)
+            seq[0::2] = _NIB_HI[packed]
+            seq[1::2] = _NIB_LO[packed]
+            yield seq[:l_seq].tobytes()

@@ -1,0 +1,120 @@
+"""Native (C) host codecs, loaded via ctypes with transparent fallback.
+
+The compute path is JAX/XLA on TPU; these are the host-side per-byte loops
+around it (sequence parsing, 2-bit packing, profile decode — the parts the
+reference implements in io.c/split.c). Compiled on first use with the system
+C compiler into ``_build/fastk_native.so``; if no compiler is available the
+callers silently use their pure-Python implementations.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import sysconfig
+from typing import Optional, Tuple
+
+import numpy as np
+
+_HERE = os.path.dirname(__file__)
+_SRC = os.path.join(_HERE, "fastk_native.c")
+_SO = os.path.join(_HERE, "_build", "fastk_native.so")
+
+_lib = None
+_tried = False
+
+
+def _build() -> bool:
+    os.makedirs(os.path.dirname(_SO), exist_ok=True)
+    cc = os.environ.get("CC", "cc")
+    cmd = [cc, "-O2", "-shared", "-fPIC", "-o", _SO, _SRC]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True)
+        return True
+    except (OSError, subprocess.CalledProcessError):
+        return False
+
+
+def load() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    if os.environ.get("FASTK_TPU_NO_NATIVE"):
+        return None
+    if not os.path.exists(_SO) or (
+            os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
+        if not _build():
+            return None
+    try:
+        lib = ctypes.CDLL(_SO)
+    except OSError:
+        return None
+    lib.fk_scan_seq.restype = ctypes.c_long
+    lib.fk_scan_seq.argtypes = [
+        ctypes.c_void_p, ctypes.c_long, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_long]
+    lib.fk_pack2.restype = ctypes.c_long
+    lib.fk_pack2.argtypes = [
+        ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_long]
+    lib.fk_prof_decode.restype = ctypes.c_long
+    lib.fk_prof_decode.argtypes = [
+        ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p, ctypes.c_long]
+    _lib = lib
+    return _lib
+
+
+def scan_seq(buf: bytes, fastq: bool, hc: bool = False, bc: int = 0
+             ) -> Optional[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
+    """Parse a whole FASTA/FASTQ buffer -> (codes, boff, rlen), or None if
+    the native library is unavailable."""
+    lib = load()
+    if lib is None:
+        return None
+    n = len(buf)
+    src = np.frombuffer(buf, dtype=np.uint8)
+    codes = np.empty(n + 2, dtype=np.uint8)
+    rcap = max(16, n // 8 + 16)
+    boff = np.empty(rcap + 1, dtype=np.int64)
+    rlen = np.empty(rcap, dtype=np.int64)
+    r = lib.fk_scan_seq(
+        src.ctypes.data, n, int(fastq), int(hc), int(bc),
+        codes.ctypes.data, len(codes), boff.ctypes.data, rlen.ctypes.data,
+        rcap)
+    if r == -3:
+        raise ValueError("malformed sequence file")
+    if r < 0:  # capacity (shouldn't happen with these bounds)
+        return None
+    return codes[: int(boff[r])], boff[: r + 1].copy(), rlen[:r].copy()
+
+
+def pack2(codes: np.ndarray, ecap: int
+          ) -> Optional[Tuple[np.ndarray, np.ndarray, int]]:
+    """2-bit pack (codes length must be a multiple of 4)."""
+    lib = load()
+    if lib is None:
+        return None
+    n = len(codes)
+    codes = np.ascontiguousarray(codes, dtype=np.uint8)
+    packed = np.empty(n // 4, dtype=np.uint8)
+    exc = np.empty(ecap, dtype=np.uint32)
+    ne = lib.fk_pack2(codes.ctypes.data, n, packed.ctypes.data,
+                      exc.ctypes.data, ecap)
+    if ne < 0:
+        return None
+    return packed, exc, int(ne)
+
+
+def prof_decode(buf: np.ndarray, ocap: int) -> Optional[np.ndarray]:
+    lib = load()
+    if lib is None:
+        return None
+    b = np.ascontiguousarray(buf, dtype=np.uint8)
+    out = np.empty(ocap, dtype=np.uint16)
+    m = lib.fk_prof_decode(b.ctypes.data, len(b), out.ctypes.data, ocap)
+    if m < 0:
+        raise ValueError("malformed profile")
+    return out[:m]

@@ -72,6 +72,15 @@ def main(argv=None):
         low = max(low, h.low)
         high = min(high, h.high)
 
+    if flags["1"]:
+        from fastk_tpu.formats.onecode import write_khist
+
+        m = h.modified(low, high, True)
+        cmd = "histex " + " ".join(argv) + " >?.khist"
+        write_khist(m.counts, pos[0] if pos[0].endswith(".hist")
+                    else pos[0] + ".hist", low, high, cmd)
+        return 0
+
     m = h.modified(low, high, unique)
     hist = m.counts
 

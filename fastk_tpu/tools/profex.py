@@ -47,6 +47,14 @@ def main(argv=None):
     if not ranges:
         ranges = [(1, nmax)]
 
+    if flags["1"]:
+        from fastk_tpu.formats.onecode import write_prf
+
+        cmd = "profex " + " ".join(argv) + " >?.prf"
+        write_prf((pi.fetch(p - 1) for id1, id2 in ranges
+                   for p in range(id1, id2 + 1)), cmd)
+        return 0
+
     zflag, aflag = flags["z"], flags["A"]
     for id1, id2 in ranges:
         for p in range(id1, id2 + 1):

@@ -94,6 +94,13 @@ def main(argv=None):
         print("\nTable is OK")
         return 0
 
+    if flags["1"]:
+        from fastk_tpu.formats.onecode import write_kmr
+
+        cmd = "tabex " + " ".join(argv) + " >?.kmr"
+        write_kmr(s, cut, cmd)
+        return 0
+
     if not flags["A"]:
         msg = (f"Opening {s.kmer}-mer table with {print_number(s.nels)} entries")
         if s.minval > 1:

@@ -1,0 +1,162 @@
+"""Input-format readers: SAM, BAM, Dazzler DB (reference: io.c parsers)."""
+
+import gzip
+import os
+import struct
+
+import numpy as np
+import pytest
+
+from fastk_tpu.io.reader import iter_reads
+
+
+READS = [b"ACGTACGTACGGTTTACACGT", b"TTGACCAGATTACACAGGATT",
+         b"CCCGTGTGTTTACGATCAGGA"]
+
+
+def _write_sam(path, reads):
+    with open(path, "w") as f:
+        f.write("@HD\tVN:1.6\tSO:unsorted\n")
+        f.write("@SQ\tSN:chr1\tLN:1000\n")
+        for i, r in enumerate(reads):
+            s = r.decode()
+            f.write(f"r{i}\t4\t*\t0\t0\t*\t*\t0\t0\t{s}\t*\n")
+        # secondary + supplementary records must be skipped
+        f.write(f"r9\t{0x100 | 4}\t*\t0\t0\t*\t*\t0\t0\tAAAA\t*\n")
+        f.write(f"r9\t{0x800 | 4}\t*\t0\t0\t*\t*\t0\t0\tCCCC\t*\n")
+
+
+_NIBBLE = {c: i for i, c in enumerate(b"=ACMGRSVTWYHKDBN")}
+
+
+def _bam_record(name: bytes, flag: int, seq: bytes) -> bytes:
+    nib = [_NIBBLE[c] for c in seq]
+    if len(nib) % 2:
+        nib.append(0)
+    packed = bytes((nib[i] << 4) | nib[i + 1] for i in range(0, len(nib), 2))
+    qual = b"\xff" * len(seq)
+    body = struct.pack(
+        "<iiBBHHHiiii", -1, -1, len(name) + 1, 0, 4680, 0, flag,
+        len(seq), -1, -1, 0) + name + b"\x00" + packed + qual
+    return struct.pack("<i", len(body)) + body
+
+
+def _write_bam(path, reads):
+    hdr_text = b"@HD\tVN:1.6\n"
+    out = b"BAM\x01" + struct.pack("<i", len(hdr_text)) + hdr_text
+    out += struct.pack("<i", 1)  # one reference
+    out += struct.pack("<i", 5) + b"chr1\x00" + struct.pack("<i", 1000)
+    for i, r in enumerate(reads):
+        out += _bam_record(b"r%d" % i, 4, r)
+    out += _bam_record(b"sec", 0x104, b"AAAA")
+    with gzip.open(path, "wb") as f:
+        f.write(out)
+
+
+def _write_dazz(dirpath, reads, cutoff=0, all_=1, best_mask=None):
+    """Synthesize root.db + .root.idx + .root.bps."""
+    stub = os.path.join(dirpath, "root.db")
+    with open(stub, "w") as f:
+        f.write("files =         1\n")
+        f.write(f"  {len(reads):9d} reads root\n")
+        f.write("blocks =         1\n")
+        f.write(f"size =         200 cutoff = {cutoff:9d} all = {all_:1d}\n")
+        f.write("         0         %d\n" % len(reads))
+
+    code = {97: 0, 99: 1, 103: 2, 116: 3}
+    bps = bytearray()
+    boffs = []
+    for r in reads:
+        boffs.append(len(bps))
+        cs = [code[c] for c in r.lower()]
+        while len(cs) % 4:
+            cs.append(0)
+        for i in range(0, len(cs), 4):
+            bps.append((cs[i] << 6) | (cs[i + 1] << 4)
+                       | (cs[i + 2] << 2) | cs[i + 3])
+    with open(os.path.join(dirpath, ".root.bps"), "wb") as f:
+        f.write(bytes(bps))
+
+    hdr = bytearray(112)
+    struct.pack_into("<i", hdr, 0, len(reads))
+    idx = bytearray(hdr)
+    for j, r in enumerate(reads):
+        rec = bytearray(40)
+        struct.pack_into("<i", rec, 4, len(r))
+        struct.pack_into("<q", rec, 16, boffs[j])
+        flags = 0x0800 if (best_mask is None or best_mask[j]) else 0
+        struct.pack_into("<i", rec, 32, flags)
+        idx += rec
+    with open(os.path.join(dirpath, ".root.idx"), "wb") as f:
+        f.write(bytes(idx))
+    return stub
+
+
+def test_sam_reader(tmp_path):
+    p = str(tmp_path / "in.sam")
+    _write_sam(p, READS)
+    assert list(iter_reads(p)) == READS
+
+
+def test_sam_gz_reader(tmp_path):
+    p = str(tmp_path / "in.sam.gz")
+    raw = str(tmp_path / "in.sam")
+    _write_sam(raw, READS)
+    with open(raw, "rb") as f, gzip.open(p, "wb") as g:
+        g.write(f.read())
+    assert list(iter_reads(p)) == READS
+
+
+def test_bam_reader(tmp_path):
+    p = str(tmp_path / "in.bam")
+    _write_bam(p, READS)
+    assert list(iter_reads(p)) == READS
+
+
+def test_bam_ambiguity_codes_invalid(tmp_path):
+    p = str(tmp_path / "amb.bam")
+    _write_bam(p, [b"ACGTNACGT"])
+    (got,) = list(iter_reads(p))
+    assert got == b"ACGTNACGT"  # N preserved; codes as invalid downstream
+
+
+def test_dazz_reader(tmp_path):
+    stub = _write_dazz(str(tmp_path), READS)
+    got = list(iter_reads(stub))
+    assert got == [r.lower() for r in READS]
+
+
+def test_dazz_trimming(tmp_path):
+    reads = [b"ACGTACGTACGT", b"ACG", b"TTTTGGGGCCCC"]
+    stub = _write_dazz(str(tmp_path), reads, cutoff=4, all_=0,
+                       best_mask=[True, True, False])
+    got = list(iter_reads(stub))
+    # read 1 trimmed by cutoff, read 2 trimmed as non-best
+    assert got == [reads[0].lower()]
+
+
+def test_sam_counts_match_fasta(tmp_path):
+    from fastk_tpu.pipeline.count import count_files
+
+    sam = str(tmp_path / "in.sam")
+    _write_sam(sam, READS)
+    fa = str(tmp_path / "in.fasta")
+    with open(fa, "w") as f:
+        for i, r in enumerate(READS):
+            f.write(f">r{i}\n{r.decode()}\n")
+    a = count_files([sam], 8)
+    b = count_files([fa], 8)
+    assert a.hist == b.hist
+
+
+def test_cram_gated(tmp_path):
+    p = str(tmp_path / "in.cram")
+    with open(p, "wb") as f:
+        f.write(b"CRAM\x03\x00")
+    try:
+        import pysam  # noqa: F401
+        pytest.skip("pysam present; gate not exercised")
+    except ImportError:
+        pass
+    with pytest.raises(NotImplementedError):
+        list(iter_reads(p))

@@ -50,3 +50,37 @@ def unpack_stream(packed: jnp.ndarray, exceptions: jnp.ndarray, size: int) -> jn
     codes = jnp.concatenate([codes, jnp.zeros(1, jnp.uint8)])
     codes = codes.at[idx].set(4)
     return codes[:size]
+
+
+def pack_stream_words(codes: np.ndarray, cap_step: int = 1 << 12
+                      ) -> Tuple[np.ndarray, np.ndarray]:
+    """Pack a host code stream into uint32 words for transfer.
+
+    Same layout as pack_stream's bytes, viewed little-endian as uint32 (so
+    code p sits at bits 2*(p%16) of word p//16). The word view exists because
+    some PJRT transports move uint8 arrays pathologically slowly; uint32
+    moves at full rate. Uses the native packer when available.
+    """
+    n = len(codes)
+    pad = (-n) % 16
+    if pad:
+        codes = np.concatenate([codes, np.full(pad, 4, np.uint8)])
+    from fastk_tpu import native
+
+    got = native.pack2(codes, ecap=max(cap_step, len(codes)))
+    if got is not None:
+        packed, exc, ne = got
+        m = max(cap_step, ((ne + cap_step - 1) // cap_step) * cap_step)
+        exc_padded = np.full(m, 0xFFFFFFFF, dtype=np.uint32)
+        exc_padded[:ne] = exc[:ne]
+    else:
+        packed, exc_padded = pack_stream(codes, cap_step)
+    return packed.view(np.uint32), exc_padded
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def unpack_words(packed_words: jnp.ndarray, exceptions: jnp.ndarray,
+                 size: int) -> jnp.ndarray:
+    """Device: uint32-word packed stream -> uint8 codes (sentinels restored)."""
+    p = jax.lax.bitcast_convert_type(packed_words, jnp.uint8).reshape(-1)
+    return unpack_stream(p, exceptions, size)

@@ -69,6 +69,15 @@ def _pad_codes(batch: ReadBatch, k: int, size: int) -> np.ndarray:
     return codes
 
 
+def _device_codes(codes_np: np.ndarray):
+    """Host codes -> device codes via the 2-bit uint32-word ingress (some
+    transports move uint8 arrays ~1000x slower than uint32)."""
+    from fastk_tpu.ops.pack import pack_stream_words, unpack_words
+
+    pw, exc = pack_stream_words(codes_np)
+    return unpack_words(jnp.asarray(pw), jnp.asarray(exc), len(codes_np))
+
+
 def _trim(n: int) -> int:
     """Block slot count to keep for n uniques (multiple of 32k)."""
     return max(_MIN_SIZE, ((n + _MIN_SIZE - 1) // _MIN_SIZE) * _MIN_SIZE)
@@ -140,7 +149,7 @@ def count_files(
         if relative_table is None:
             size = _round_size(len(batch.codes), k)
             codes = _pad_codes(batch, k, size)
-            res = unique_batch(jnp.asarray(codes), k, size)
+            res = unique_batch(_device_codes(codes), k, size)
             nu = int(res["nuniq"])
             nvalid_total += int(res["nvalid"])
             keep = min(_trim(nu), size)
@@ -208,7 +217,7 @@ def _join_profiles(batches, k, t_words, t_counts):
     for batch in batches:
         size = _round_size(len(batch.codes), k)
         codes = _pad_codes(batch, k, size)
-        pc = profile_join(t_words, t_counts, jnp.asarray(codes), k, size)
+        pc = profile_join(t_words, t_counts, _device_codes(codes), k, size)
         pos_counts = np.asarray(pc)
         profs.extend(_profiles_from_positions(batch, pos_counts, k))
     return profs

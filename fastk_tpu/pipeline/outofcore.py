@@ -1,0 +1,212 @@
+"""Out-of-core counting: datasets whose unique k-mer set exceeds HBM.
+
+The reference bounds memory by routing super-mers to NPARTS disk buckets
+sized so one bucket's k-mer array fits in -M GB (FastK.c:422-429,
+split.c:1407-1713), then counts bucket-by-bucket. The TPU version:
+
+1. The canonical keyspace is RANGE-partitioned into `parts` intervals of
+   word0, with edges trained on the first batch's prefix histogram (the
+   trainer analog of Determine_Scheme, split.c:491-803).
+2. Each input batch is deduplicated ON DEVICE first (unique_batch), so what
+   spills to disk is per-batch (k-mer, count) records — at coverage C this
+   is ~C-fold less IO than the reference's super-mer streams.
+3. Spill files hold fixed-width (W*uint32 key, uint32 count) records,
+   appended per (part); each part's records stay sorted per batch segment.
+4. Per part: load spill, device merge (merge_unique_blocks), accumulate the
+   histogram, emit the part's table slice. Parts are keyspace-ordered, so
+   concatenating their tables yields the final sorted table (the phase-3
+   merge of table.c:346-533 is free by construction).
+5. Profiles (optional): per batch x part, the device sort-merge join adds
+   the part's counts into the batch's position vector; parts partition the
+   keyspace, so the sum over parts is exact.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from fastk_tpu.formats.hist import HIST_HIGH, Histogram
+from fastk_tpu.formats.ktab import KmerTable
+from fastk_tpu.io.reader import batched_reads
+from fastk_tpu.ops.count import merge_unique_blocks, profile_join, unique_batch
+from fastk_tpu.ops.kmers import nwords, words_to_packed
+
+from fastk_tpu.pipeline.count import (
+    CountOutput,
+    _device_codes,
+    _pad_codes,
+    _profiles_from_positions,
+    _round_size,
+    _trim,
+    _MIN_SIZE,
+)
+
+
+def _train_edges(words0: np.ndarray, parts: int) -> np.ndarray:
+    """Upper-bound edges (exclusive) on word0 for each part but the last,
+    chosen at quantiles of the first batch's uniques."""
+    if parts <= 1:
+        return np.zeros(0, dtype=np.uint32)
+    if len(words0) == 0:
+        return ((np.arange(1, parts) * (1 << 32)) // parts).astype(np.uint32)
+    qs = [words0[min(len(words0) - 1, len(words0) * t // parts)]
+          for t in range(1, parts)]
+    return np.array(qs, dtype=np.uint32)
+
+
+class _Spill:
+    """Per-part append-only spill of (W words, count) uint32 records."""
+
+    def __init__(self, dirpath: str, parts: int, W: int):
+        os.makedirs(dirpath, exist_ok=True)
+        self.W = W
+        self.paths = [os.path.join(dirpath, f"part{p}.spill")
+                      for p in range(parts)]
+        self.files = [open(p, "wb") for p in self.paths]
+        self.nrec = [0] * parts
+
+    def append(self, p: int, words: np.ndarray, counts: np.ndarray) -> None:
+        n = len(counts)
+        if n == 0:
+            return
+        rec = np.empty((n, self.W + 1), dtype=np.uint32)
+        rec[:, : self.W] = words
+        rec[:, self.W] = counts
+        rec.tofile(self.files[p])
+        self.nrec[p] += n
+
+    def load(self, p: int) -> Tuple[np.ndarray, np.ndarray]:
+        self.files[p].flush()
+        rec = np.fromfile(self.paths[p], dtype=np.uint32
+                          ).reshape(self.nrec[p], self.W + 1)
+        return rec[:, : self.W], rec[:, self.W]
+
+    def close(self, remove: bool = True) -> None:
+        for f in self.files:
+            f.close()
+        if remove:
+            for p in self.paths:
+                try:
+                    os.unlink(p)
+                except OSError:
+                    pass
+
+
+def count_files_ooc(
+    paths: Sequence[str],
+    k: int,
+    parts: int,
+    sort_path: str = "/tmp",
+    table_min: Optional[int] = None,
+    profiles: bool = False,
+    hc: bool = False,
+    bc: int = 0,
+    batch_bases: int = 64 << 20,
+    verbose: bool = False,
+) -> CountOutput:
+    """Bounded-memory counting via `parts` disk buckets (the -M path)."""
+    W = nwords(k)
+    spill = _Spill(os.path.join(sort_path, f"fastk_tpu_ooc.{os.getpid()}"),
+                   parts, W)
+    edges: Optional[np.ndarray] = None
+    batches = []
+    nvalid_total = 0
+
+    try:
+        # ---- phase 1: per-batch device dedup, spill by key range ----------
+        for batch, _ord in batched_reads(list(paths), batch_bases,
+                                         hc=hc, bc=bc):
+            batches.append(batch)
+            size = _round_size(len(batch.codes), k)
+            codes = _pad_codes(batch, k, size)
+            res = unique_batch(_device_codes(codes), k, size)
+            nu = int(res["nuniq"])
+            nvalid_total += int(res["nvalid"])
+            words = np.stack(
+                [np.asarray(w[:nu]) for w in res["seg_words"]], axis=1)
+            counts = np.asarray(res["seg_counts"][:nu]).astype(np.uint32)
+            if edges is None:
+                edges = _train_edges(words[:, 0] if nu else
+                                     np.zeros(0, np.uint32), parts)
+            cuts = ([0] + [int(np.searchsorted(words[:, 0], e))
+                           for e in edges] + [nu])
+            for p in range(parts):
+                spill.append(p, words[cuts[p]: cuts[p + 1]],
+                             counts[cuts[p]: cuts[p + 1]])
+            if verbose:
+                print(f"  batch {len(batches)}: {batch.nreads} reads, "
+                      f"{nu} uniques spilled", flush=True)
+
+        nreads = sum(b.nreads for b in batches)
+        totlen = sum(b.totlen for b in batches)
+
+        # ---- phase 2: per-part device merge -------------------------------
+        hist_arr = np.zeros(HIST_HIGH + 1, dtype=np.int64)
+        packed_parts: List[np.ndarray] = []
+        count_parts: List[np.ndarray] = []
+        part_tables: List[Tuple[tuple, jnp.ndarray]] = []
+
+        for p in range(parts):
+            words, counts = spill.load(p)
+            n = len(counts)
+            cap = 1 << max(15, math.ceil(math.log2(max(n, 2))))
+            m_words = tuple(
+                jnp.concatenate([
+                    jnp.asarray(np.ascontiguousarray(words[:, j])),
+                    jnp.full(cap - n, 0xFFFFFFFF, jnp.uint32)])
+                for j in range(W))
+            m_counts = jnp.concatenate([
+                jnp.asarray(counts.astype(np.int32)),
+                jnp.zeros(cap - n, jnp.int32)])
+            merged = merge_unique_blocks(m_words, m_counts, cap)
+            hist_arr += np.asarray(merged["hist"]).astype(np.int64)
+
+            nuniq = int(merged["nuniq"])
+            if table_min is not None or profiles:
+                u_words = np.stack(
+                    [np.asarray(w[:nuniq]) for w in merged["seg_words"]],
+                    axis=1)
+                u_counts = np.minimum(
+                    np.asarray(merged["seg_counts"][:nuniq]), HIST_HIGH
+                ).astype(np.uint16)
+                tmin = table_min if table_min is not None else 1
+                keep = u_counts >= tmin
+                packed_parts.append(words_to_packed(u_words[keep], k))
+                count_parts.append(u_counts[keep])
+            if profiles:
+                capt = _trim(nuniq)
+                part_tables.append((
+                    tuple(w[:capt] for w in merged["seg_words"]),
+                    jnp.minimum(merged["seg_counts"][:capt], HIST_HIGH)))
+
+        overflow = nvalid_total - int(
+            (hist_arr[1:] * np.arange(1, HIST_HIGH + 1, dtype=np.int64)).sum())
+        hist = Histogram.from_bins(k, hist_arr, overflow)
+
+        table = None
+        if table_min is not None:
+            table = KmerTable(k, table_min, np.concatenate(packed_parts),
+                              np.concatenate(count_parts))
+
+        profs = None
+        if profiles:
+            profs = []
+            for batch in batches:
+                size = _round_size(len(batch.codes), k)
+                codes = _pad_codes(batch, k, size)
+                dc = _device_codes(codes)
+                pos_counts = np.zeros(size, dtype=np.int32)
+                for t_words, t_counts in part_tables:
+                    pc = profile_join(t_words, t_counts, dc, k, size)
+                    pos_counts += np.asarray(pc)
+                profs.extend(
+                    _profiles_from_positions(batch, pos_counts, k))
+        return CountOutput(k, hist, table, profs, nreads, totlen)
+    finally:
+        spill.close()

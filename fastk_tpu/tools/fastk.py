@@ -13,6 +13,7 @@ README.md:118-127).
 from __future__ import annotations
 
 import os
+import math
 import resource
 import sys
 import time
@@ -85,16 +86,42 @@ def main(argv=None):
     # memory budget -> batch size (bases); the device path needs ~24B/base
     batch_bases = min(256 << 20, int(cfg["M"] * 1e9 / 24))
 
-    out = count_files(
-        cfg["inputs"], cfg["k"],
-        table_min=cfg["t"],
-        profiles=cfg["p"],
-        hc=cfg["c"],
-        bc=cfg["bc"],
-        batch_bases=batch_bases,
-        relative_table=rel,
-        verbose=cfg["v"],
-    )
+    # out-of-core when the worst-case unique-record volume exceeds the -M
+    # budget (the reference's NPARTS = ceil(est_bytes/SORT_MEMORY),
+    # FastK.c:422-429); dedup-before-spill makes this an upper bound
+    from fastk_tpu.ops.kmers import nwords
+
+    est_bytes = sum(os.path.getsize(f) for f in cfg["inputs"]
+                    if os.path.exists(f)) * (nwords(cfg["k"]) + 1) * 4
+    parts = max(1, math.ceil(est_bytes / (cfg["M"] * 1e9)))
+
+    if parts > 1 and rel is None:
+        from fastk_tpu.pipeline.outofcore import count_files_ooc
+
+        if cfg["v"]:
+            print(f"  out-of-core: {parts} keyspace parts under "
+                  f"{cfg['M']}GB budget", file=sys.stderr)
+        out = count_files_ooc(
+            cfg["inputs"], cfg["k"], parts,
+            sort_path=cfg["P"],
+            table_min=cfg["t"],
+            profiles=cfg["p"],
+            hc=cfg["c"],
+            bc=cfg["bc"],
+            batch_bases=batch_bases,
+            verbose=cfg["v"],
+        )
+    else:
+        out = count_files(
+            cfg["inputs"], cfg["k"],
+            table_min=cfg["t"],
+            profiles=cfg["p"],
+            hc=cfg["c"],
+            bc=cfg["bc"],
+            batch_bases=batch_bases,
+            relative_table=rel,
+            verbose=cfg["v"],
+        )
 
     if cfg["v"]:
         print(f"  {print_number(out.nreads)} reads, "

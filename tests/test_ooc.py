@@ -1,0 +1,67 @@
+"""Out-of-core (bounded-memory) counting equals the in-core pipeline."""
+
+import numpy as np
+import pytest
+
+from fastk_tpu.pipeline.count import count_files
+from fastk_tpu.pipeline.outofcore import count_files_ooc
+
+
+@pytest.fixture(scope="module")
+def data(tmp_path_factory):
+    rng = np.random.default_rng(7)
+    genome = rng.integers(0, 4, size=3000)
+    reads = []
+    for _ in range(60):
+        s = int(rng.integers(0, len(genome) - 120))
+        r = genome[s: s + 120].copy()
+        if rng.random() < 0.5:
+            r = (3 - r)[::-1]
+        seq = "".join("acgt"[c] for c in r)
+        if rng.random() < 0.2:  # sprinkle invalid bases
+            i = int(rng.integers(0, len(seq)))
+            seq = seq[:i] + "N" + seq[i + 1:]
+        reads.append(seq)
+    p = tmp_path_factory.mktemp("ooc") / "in.fasta"
+    with open(p, "w") as f:
+        for i, r in enumerate(reads):
+            f.write(f">r{i}\n{r}\n")
+    return str(p)
+
+
+@pytest.mark.parametrize("parts", [1, 3])
+def test_ooc_matches_incore(data, tmp_path, parts):
+    a = count_files([data], 21, table_min=1, profiles=True,
+                    batch_bases=2000)
+    b = count_files_ooc([data], 21, parts, sort_path=str(tmp_path),
+                        table_min=1, profiles=True, batch_bases=2000)
+    assert a.hist == b.hist
+    assert np.array_equal(a.table.packed, b.table.packed)
+    assert np.array_equal(a.table.counts, b.table.counts)
+    assert len(a.profiles) == len(b.profiles)
+    for x, y in zip(a.profiles, b.profiles):
+        assert np.array_equal(x, y)
+
+
+def test_ooc_cli_trigger(data, tmp_path, monkeypatch):
+    """fastk -M tiny forces the out-of-core path; outputs must match."""
+    from fastk_tpu.tools.fastk import main
+    import fastk_tpu as fk
+
+    o1 = str(tmp_path / "incore")
+    o2 = str(tmp_path / "ooc")
+    assert main([f"-k21", "-t1", f"-P{tmp_path}", data, f"-N{o1}"]) == 0
+    # -M is in GB; fractional values are not in the reference CLI, so force
+    # the split by monkeypatching the estimate to be huge
+    import fastk_tpu.tools.fastk as fastk_mod
+    real_getsize = fastk_mod.os.path.getsize
+    monkeypatch.setattr(fastk_mod.os.path, "getsize",
+                        lambda p: real_getsize(p) * 10_000_000)
+    assert main([f"-k21", "-t1", f"-P{tmp_path}", data, f"-N{o2}"]) == 0
+    h1 = fk.read_histogram(o1)
+    h2 = fk.read_histogram(o2)
+    assert h1 == h2
+    t1 = fk.read_ktab(o1)
+    t2 = fk.read_ktab(o2)
+    assert np.array_equal(t1.packed, t2.packed)
+    assert np.array_equal(t1.counts, t2.counts)

@@ -41,22 +41,38 @@ def _slice(c: jnp.ndarray, off: int, size: int) -> jnp.ndarray:
     return jax.lax.dynamic_slice(c, (off,), (size,))
 
 
-def _pack_fwd(c: jnp.ndarray, off: int, length: int, size: int) -> jnp.ndarray:
-    """sum_{j<length} codes[p+off+j] << 2*(length-1-j)  for p in [0,size)."""
-    acc = jnp.zeros(size, jnp.uint32)
-    for j in range(length):
-        acc = acc | (_slice(c, off + j, size) << (2 * (length - 1 - j)))
-    return acc
+def _pack4_fwd(c: jnp.ndarray, n: int) -> jnp.ndarray:
+    """A[p] = 2-bit pack of codes p..p+3, base p in the high bits (uint8)."""
+    return ((( _slice(c, 0, n) & 3) << 6)
+            | ((_slice(c, 1, n) & 3) << 4)
+            | ((_slice(c, 2, n) & 3) << 2)
+            | (_slice(c, 3, n) & 3))
 
 
-def _pack_rc(c: jnp.ndarray, off: int, length: int, size: int) -> jnp.ndarray:
-    """sum_{j<length} (3-codes[p+off+j]) << 2*j  for p in [0,size).
+def _pack4_rc(c: jnp.ndarray, n: int) -> jnp.ndarray:
+    """B[p] = 2-bit pack of complemented codes p+3..p, base p+3 in the high
+    bits (the reverse-complement of a 4-base group, uint8)."""
+    return ((((3 - _slice(c, 3, n)) & 3) << 6)
+            | (((3 - _slice(c, 2, n)) & 3) << 4)
+            | (((3 - _slice(c, 1, n)) & 3) << 2)
+            | ((3 - _slice(c, 0, n)) & 3))
 
-    Complement of a 2-bit code is 3-x; invalid codes don't matter (masked)."""
-    acc = jnp.zeros(size, jnp.uint32)
-    for j in range(length):
-        acc = acc | (((3 - _slice(c, off + j, size)) & 3) << (2 * j))
-    return acc
+
+def _word16(groups: jnp.ndarray, off: int, size: int) -> jnp.ndarray:
+    """16-base uint32 word at each position from 4-base uint8 groups."""
+    return ((_slice(groups, off, size).astype(jnp.uint32) << 24)
+            | (_slice(groups, off + 4, size).astype(jnp.uint32) << 16)
+            | (_slice(groups, off + 8, size).astype(jnp.uint32) << 8)
+            | _slice(groups, off + 12, size).astype(jnp.uint32))
+
+
+def _word16_rc(groups: jnp.ndarray, off: int, size: int) -> jnp.ndarray:
+    """16-base rc uint32 word: group order reverses (base off+15 must land
+    in the top bit-pair and each B group already reverses within itself)."""
+    return ((_slice(groups, off + 12, size).astype(jnp.uint32) << 24)
+            | (_slice(groups, off + 8, size).astype(jnp.uint32) << 16)
+            | (_slice(groups, off + 4, size).astype(jnp.uint32) << 8)
+            | _slice(groups, off, size).astype(jnp.uint32))
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2))
@@ -68,16 +84,35 @@ def canonical_kmers(codes: jnp.ndarray, k: int, size: int):
     Returns (words, invalid):
       words:   tuple of W uint32 [size] — canonical key, zeroed when invalid
       invalid: uint32 [size] — 1 where the window is not a valid k-mer
+
+    Built in two levels to cut HBM traffic ~4x vs 32 single-base ORs per
+    word: 4-base uint8 groups (A = forward, B = reverse-complement) then 4
+    byte-shifted ORs per 16-base word. The last word, holding L = k mod 16
+    bases left-aligned, is carved from a full 16-base word by masking (fwd:
+    top 2L bits are exactly its L bases; rc: the LOW 2L bits of the
+    full-window rc word at offset 0 are bases p..p+L-1 reversed, shifted up).
     """
-    c = codes.astype(jnp.uint32)
+    c = codes.astype(jnp.uint8)
     W = nwords(k)
     L = k - 16 * (W - 1)  # bases in the last word, 1..16
+    ng = size + k  # group positions needed (offsets up to k-4+...)
 
-    fwd = [_pack_fwd(c, 16 * w, 16, size) for w in range(W - 1)]
-    fwd.append(_pack_fwd(c, 16 * (W - 1), L, size) << (32 - 2 * L))
+    A = _pack4_fwd(c, ng)
+    B = _pack4_rc(c, ng)
 
-    rc = [_pack_rc(c, k - 16 * (w + 1), 16, size) for w in range(W - 1)]
-    rc.append(_pack_rc(c, 0, L, size) << (32 - 2 * L))
+    fwd = [_word16(A, 16 * w, size) for w in range(W - 1)]
+    f_full = _word16(A, 16 * (W - 1), size)
+    if L == 16:
+        fwd.append(f_full)
+    else:
+        fwd.append(f_full & jnp.uint32(((1 << (2 * L)) - 1) << (32 - 2 * L)))
+
+    rc = [_word16_rc(B, k - 16 * (w + 1), size) for w in range(W - 1)]
+    r_full = _word16_rc(B, 0, size)
+    if L == 16:
+        rc.append(r_full)
+    else:
+        rc.append((r_full & jnp.uint32((1 << (2 * L)) - 1)) << (32 - 2 * L))
 
     # lexicographic fwd vs rc
     take_rc = jnp.zeros(size, jnp.int32)

@@ -144,20 +144,31 @@ def count_files(
     blocks_counts: List[jnp.ndarray] = []
     nvalid_total = 0
 
+    def _finalize(res, size):
+        nonlocal nvalid_total
+        nu = int(res["nuniq"])
+        nvalid_total += int(res["nvalid"])
+        keep = min(_trim(nu), size)
+        blocks_words.append(tuple(w[:keep] for w in res["seg_words"]))
+        blocks_counts.append(res["seg_counts"][:keep])
+
+    # one-batch lookahead: batch i+1's host parse/pack/H2D overlaps batch
+    # i's device compute (the scalar fetches in _finalize are the only syncs)
+    pending = None
     for batch, _ordinal in batched_reads(list(paths), batch_bases, hc=hc, bc=bc):
         batches.append(batch)
         if relative_table is None:
             size = _round_size(len(batch.codes), k)
             codes = _pad_codes(batch, k, size)
             res = unique_batch(_device_codes(codes), k, size)
-            nu = int(res["nuniq"])
-            nvalid_total += int(res["nvalid"])
-            keep = min(_trim(nu), size)
-            blocks_words.append(tuple(w[:keep] for w in res["seg_words"]))
-            blocks_counts.append(res["seg_counts"][:keep])
+            if pending is not None:
+                _finalize(*pending)
+            pending = (res, size)
         if verbose:
             print(f"  batch {len(batches)}: {batch.nreads} reads, "
                   f"{batch.totlen} bases", flush=True)
+    if pending is not None:
+        _finalize(*pending)
 
     nreads = sum(b.nreads for b in batches)
     totlen = sum(b.totlen for b in batches)

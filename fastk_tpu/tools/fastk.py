@@ -68,13 +68,28 @@ def parse_argv(argv):
 
 def main(argv=None):
     cfg = parse_argv(sys.argv[1:] if argv is None else argv)
+    out_base = (cfg["N"] or source_root(cfg["inputs"][0]))
+    return _run(cfg, out_base)
 
+
+def _clean_outputs(out_base: str) -> None:
+    """Remove partial output file-sets on failure (the Clean_Exit analog,
+    reference FastK.c:181-221)."""
+    from fastk_tpu.tools.fastrm import remove_set
+
+    for ext in (".hist", ".ktab", ".prof"):
+        try:
+            remove_set(out_base + ext, force=True)
+        except Exception:
+            pass
+
+
+def _run(cfg, out_base):
     from fastk_tpu.formats.hist import write_histogram
     from fastk_tpu.formats.ktab import read_ktab, write_ktab
     from fastk_tpu.formats.prof import write_prof
     from fastk_tpu.pipeline.count import count_files
 
-    out_base = cfg["N"] or source_root(cfg["inputs"][0])
     t0 = time.time()
 
     rel = None
@@ -128,16 +143,22 @@ def main(argv=None):
               f"{print_number(out.totlen)} bases", file=sys.stderr)
 
     nparts = max(1, cfg["T"])
-    if rel is None:
-        write_histogram(out_base, out.hist)
-        if out.table is not None:
-            write_ktab(out_base, out.table, nparts=nparts)
-            if cfg["v"]:
-                print(f"  There are {print_number(len(out.table))} {cfg['k']}-mers"
-                      f" that occur {cfg['t']}-or-more times", file=sys.stderr)
-    if out.profiles is not None:
-        write_prof(out_base, cfg["k"], out.profiles,
-                   nparts=min(nparts, max(1, len(out.profiles))))
+    try:
+        if rel is None:
+            write_histogram(out_base, out.hist)
+            if out.table is not None:
+                write_ktab(out_base, out.table, nparts=nparts)
+                if cfg["v"]:
+                    print(f"  There are {print_number(len(out.table))} "
+                          f"{cfg['k']}-mers that occur {cfg['t']}-or-more "
+                          "times", file=sys.stderr)
+        if out.profiles is not None:
+            write_prof(out_base, cfg["k"], out.profiles,
+                       nparts=min(nparts, max(1, len(out.profiles))))
+    except BaseException:
+        # drop partial output file-sets (Clean_Exit, FastK.c:181-221)
+        _clean_outputs(out_base)
+        raise
 
     if cfg["v"]:
         ru = resource.getrusage(resource.RUSAGE_SELF)

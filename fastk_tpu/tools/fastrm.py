@@ -27,6 +27,23 @@ def expand_targets(arg: str):
     return cands
 
 
+def remove_set(stub: str, force: bool = False) -> None:
+    """Remove one stub file and its hidden parts (library entry; the
+    Clean_Exit path uses this to drop partial outputs, FastK.c:181-221)."""
+    files = [stub] + hidden_files_of(stub)
+    if stub.endswith(".prof"):
+        base = stub[:-5]
+        d = os.path.dirname(base) or "."
+        b = os.path.basename(base)
+        files += sorted(glob.glob(os.path.join(d, f".{b}.pidx.*")))
+    for f in dict.fromkeys(files):
+        try:
+            os.unlink(f)
+        except FileNotFoundError:
+            if not force:
+                raise
+
+
 def main(argv=None):
     argv = sys.argv[1:] if argv is None else argv
     inter = force = False

@@ -255,16 +255,20 @@ def evaluate(node: Node, counts: Sequence[np.ndarray], gc: np.ndarray) -> np.nda
 
 def merge_universe(tables: Sequence[KmerTable]):
     """Union of the tables' k-mers (sorted packed rows) + aligned count
-    vectors per table (0 where absent)."""
+    vectors per table (0 where absent).
+
+    The union itself runs on device for large inputs (ops.tables
+    .merge_counted — the counting pipeline's merge machinery); per-table
+    alignment is one vectorized searchsorted each."""
+    from fastk_tpu.ops.kmers import packed_to_words, words_to_packed
+    from fastk_tpu.ops.tables import merge_counted
+
     kmer = tables[0].kmer
     kb = tables[0].packed.shape[1]
-    allp = np.concatenate([t.packed for t in tables])
-    view = allp.view(f"S{kb}").ravel()
-    order = np.argsort(view, kind="stable")
-    sv = view[order]
-    keep = np.ones(len(sv), bool)
-    keep[1:] = sv[1:] != sv[:-1]
-    universe = allp[order[keep]]
+    uwords, _ = merge_counted(
+        [packed_to_words(t.packed, kmer) for t in tables],
+        [np.ones(len(t), np.int64) for t in tables])
+    universe = words_to_packed(uwords, kmer)
     uview = universe.view(f"S{kb}").ravel()
     cvecs = []
     for t in tables:

@@ -55,18 +55,16 @@ def merge_tables(tables, slice_spec=None):
             m &= view >= lo_key
         if hi_key is not None:
             m &= view < hi_key
-        allp, allc, view = allp[m], allc[m], view[m]
-    order = np.argsort(view, kind="stable")
-    sp, sc = allp[order], allc[order]
-    sv = view[order]
-    starts = np.ones(len(sv), bool)
-    if len(sv):
-        starts[1:] = sv[1:] != sv[:-1]
-    idx = np.flatnonzero(starts)
-    summed = np.add.reduceat(sc, idx) if len(idx) else sc[:0]
+        allp, allc = allp[m], allc[m]
+
+    # union-merge with count sums, on device for large inputs
+    from fastk_tpu.ops.kmers import packed_to_words, words_to_packed
+    from fastk_tpu.ops.tables import merge_counted
+
+    uwords, summed = merge_counted([packed_to_words(allp, kmer)], [allc])
     minval = min(t.minval for t in tables)
-    return KmerTable(kmer, minval,
-                     sp[idx], np.minimum(summed, 32767).astype(np.uint16))
+    return KmerTable(kmer, minval, words_to_packed(uwords, kmer),
+                     np.minimum(summed, 32767).astype(np.uint16))
 
 
 def main(argv=None):

@@ -15,14 +15,15 @@ USAGE = "Usage: symmex  [-v] [-T<int(4)>] [-P<dir(/tmp)] <source_root>[.ktab] <d
 
 
 def symmetric_table(t: KmerTable) -> KmerTable:
+    from fastk_tpu.ops.kmers import packed_to_words, words_to_packed
+    from fastk_tpu.ops.tables import sort_counted
+
     rc = revcomp_packed(t.packed, t.kmer)
-    kb = t.packed.shape[1]
     pal = (rc == t.packed).all(axis=1)
     packed = np.concatenate([t.packed, rc[~pal]])
     counts = np.concatenate([t.counts, t.counts[~pal]])
-    view = packed.view(f"S{kb}").ravel()
-    order = np.argsort(view, kind="stable")
-    return KmerTable(t.kmer, t.minval, packed[order], counts[order])
+    sw, sc = sort_counted(packed_to_words(packed, t.kmer), counts)
+    return KmerTable(t.kmer, t.minval, words_to_packed(sw, t.kmer), sc)
 
 
 def main(argv=None):

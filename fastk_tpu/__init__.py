@@ -13,6 +13,16 @@ Public API mirrors the reference library surface (reference: libfastk.h:30-119):
 - :func:`fastk_tpu.pipeline.count.count_fasta` — the end-to-end counting pipeline.
 """
 
+import os as _os
+
+# Large-shape sorts take minutes to compile on TPU; persist compiled
+# executables across runs so only the first invocation of each batch shape
+# pays (users can override or disable via the standard JAX env vars).
+_os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    _os.path.join(_os.path.expanduser("~"), ".cache", "fastk_tpu", "xla"))
+_os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
+
 from fastk_tpu._version import __version__
 
 from fastk_tpu.formats.hist import Histogram, read_histogram, write_histogram

@@ -150,9 +150,15 @@ def test_sam_counts_match_fasta(tmp_path):
 
 
 def test_cram_gated(tmp_path):
+    from fastk_tpu.io import htslib
+
     p = str(tmp_path / "in.cram")
     with open(p, "wb") as f:
         f.write(b"CRAM\x03\x00")
+    if htslib.load() is not None:
+        with pytest.raises(OSError):  # junk file, real decoder
+            list(iter_reads(p))
+        return
     try:
         import pysam  # noqa: F401
         pytest.skip("pysam present; gate not exercised")
@@ -160,3 +166,28 @@ def test_cram_gated(tmp_path):
         pass
     with pytest.raises(NotImplementedError):
         list(iter_reads(p))
+
+
+def test_htslib_cram(tmp_path):
+    """CRAM via the optional ctypes htslib binding (set LIBHTS to run)."""
+    from fastk_tpu.io import htslib
+
+    if htslib.load() is None:
+        pytest.skip("no usable libhts (set LIBHTS)")
+    cram = "/tmp/fastk_oracle/HTSLIB/test/ce#5b_java.cram"
+    ref = "/tmp/fastk_oracle/HTSLIB/test/ce.fa"
+    if not os.path.exists(cram):
+        pytest.skip("htslib test data not present")
+    reads = list(htslib.iter_hts_reads(cram, ref=ref))
+    assert len(reads) == 6 and all(len(r) == 100 for r in reads)
+
+
+def test_htslib_bam_matches_native(tmp_path):
+    """htslib BAM decode agrees with our own BGZF/BAM reader."""
+    from fastk_tpu.io import htslib
+
+    if htslib.load() is None:
+        pytest.skip("no usable libhts (set LIBHTS)")
+    p = str(tmp_path / "x.bam")
+    _write_bam(p, READS)
+    assert list(htslib.iter_hts_reads(p)) == READS

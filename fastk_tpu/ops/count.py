@@ -12,8 +12,9 @@ Primitive costs measured on v5e (64M records) dictate every choice here:
   cumsum / rolls           ~free
   searchsorted (32k keys)  ~free
   scatter-add -> 32k bins  ~570ms   -> histogram is sort+searchsorted instead
-  gather  by permutation   ~940ms   -> avoided except profile join
+  gather  by permutation   ~940ms   -> segment broadcasts use fill_forward
   scatter by permutation   >100s    -> NEVER; inversion is a sort by position
+  fill_forward (log rolls) ~50ms    -> the gather-free segment broadcast
 
 Consequences:
 - invalid positions are encoded IN the key as all-ones words (a canonical
@@ -163,19 +164,6 @@ def bincount_by_sort(values: jnp.ndarray, nbins: int) -> jnp.ndarray:
     sv = jax.lax.sort((values,), num_keys=1)[0]
     edges = jnp.searchsorted(sv, jnp.arange(nbins + 1, dtype=sv.dtype))
     return (edges[1:] - edges[:-1]).astype(jnp.int32)
-
-
-def _segment_hist(seg_counts, nseg, ninvalid, size: int):
-    """32768-bin histogram of per-segment counts, excluding empty slots and
-    the trailing invalid segment; plus the count of valid k-mer instances
-    (for exact overflow accounting on host: overflow = nvalid - sum b*hist[b])."""
-    slot = jnp.arange(size, dtype=jnp.int32)
-    has_inv = (ninvalid > 0).astype(jnp.int32)
-    valid_seg = slot < (nseg - has_inv)
-    vals = jnp.where(valid_seg, jnp.minimum(seg_counts, HIST_HIGH),
-                     HIST_HIGH + 1)
-    hist = bincount_by_sort(vals, HIST_HIGH + 1)
-    return hist
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2))

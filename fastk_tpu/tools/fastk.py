@@ -138,9 +138,11 @@ def _run(cfg, out_base):
             verbose=cfg["v"],
         )
 
+    t_count = time.time()
     if cfg["v"]:
         print(f"  {print_number(out.nreads)} reads, "
               f"{print_number(out.totlen)} bases", file=sys.stderr)
+        _report_phase("Counting", t0, t_count)
 
     nparts = max(1, cfg["T"])
     try:
@@ -161,11 +163,18 @@ def _run(cfg, out_base):
         raise
 
     if cfg["v"]:
-        ru = resource.getrusage(resource.RUSAGE_SELF)
-        print(f"\n  Total time: {time.time()-t0:.1f} wall, "
-              f"{ru.ru_utime:.1f} user, {ru.ru_stime:.1f} sys, "
-              f"{ru.ru_maxrss/1e6:.2f} GB peak", file=sys.stderr)
+        _report_phase("Output writing", t_count, time.time())
+        _report_phase("Total", t0, time.time())
     return 0
+
+
+def _report_phase(name: str, t_beg: float, t_end: float) -> None:
+    """Per-phase resource report (the timeTo analog, FastK.c:104-175)."""
+    ru = resource.getrusage(resource.RUSAGE_SELF)
+    wall = t_end - t_beg
+    print(f"\n  {name}: {wall:.1f} wall, {ru.ru_utime:.1f} user, "
+          f"{ru.ru_stime:.1f} sys, {ru.ru_maxrss / 1e6:.2f} GB host peak",
+          file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -26,10 +26,9 @@ full sorted table.
 
 from __future__ import annotations
 
-import os
 import struct
 from dataclasses import dataclass
-from typing import Iterator, List, Optional, Sequence
+from typing import Iterator, List, Optional
 
 import numpy as np
 

@@ -34,7 +34,7 @@ from typing import Iterator, List, Sequence
 
 import numpy as np
 
-from fastk_tpu.formats.paths import part_path, split_root, stub_path
+from fastk_tpu.formats.paths import part_path, stub_path
 
 
 # ----------------------------------------------------------------------------

@@ -12,7 +12,6 @@ case-sensitively, exactly like the reference's ADD macro (io.c:557-570).
 from __future__ import annotations
 
 import gzip
-import os
 from dataclasses import dataclass
 from typing import Iterator, List, Tuple
 

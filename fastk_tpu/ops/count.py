@@ -31,12 +31,10 @@ Consequences:
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
-
 import jax
 import jax.numpy as jnp
 
-from fastk_tpu.ops.kmers import canonical_kmers, nwords
+from fastk_tpu.ops.kmers import canonical_kmers
 
 HIST_HIGH = 0x7FFF
 ONES = jnp.uint32(0xFFFFFFFF)

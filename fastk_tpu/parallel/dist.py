@@ -25,14 +25,13 @@ splitters / raise slack.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
-from fastk_tpu.ops.count import HIST_HIGH
 from fastk_tpu.ops.kmers import canonical_kmers, nwords
 
 

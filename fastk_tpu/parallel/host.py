@@ -3,7 +3,7 @@ splitter training, result extraction and host-side assembly."""
 
 from __future__ import annotations
 
-from typing import List, Optional, Tuple
+from typing import Optional
 
 import numpy as np
 
@@ -11,10 +11,8 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from fastk_tpu.formats.hist import HIST_HIGH, Histogram
 from fastk_tpu.ops.kmers import nwords, pad_needed
 from fastk_tpu.parallel.dist import (
-    default_splitters,
     prefix_histogram,
     sharded_count_fn,
     splitters_from_prefix_hist,

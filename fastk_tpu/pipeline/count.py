@@ -34,8 +34,8 @@ import jax
 import jax.numpy as jnp
 
 from fastk_tpu.formats.hist import HIST_HIGH, Histogram
-from fastk_tpu.formats.ktab import KmerTable, kbytes
-from fastk_tpu.io.reader import ReadBatch, batched_reads, pack_reads
+from fastk_tpu.formats.ktab import KmerTable
+from fastk_tpu.io.reader import ReadBatch, batched_reads
 from fastk_tpu.ops.count import (
     merge_unique_blocks,
     profile_join,

@@ -44,7 +44,6 @@ from fastk_tpu.pipeline.count import (
     _profiles_from_positions,
     _round_size,
     _trim,
-    _MIN_SIZE,
 )
 
 

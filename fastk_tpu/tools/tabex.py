@@ -10,7 +10,7 @@ import sys
 
 import numpy as np
 
-from fastk_tpu.formats.ktab import KmerStream, kmer_to_string, pack_kmer
+from fastk_tpu.formats.ktab import KmerStream, kmer_to_string
 from fastk_tpu.tools._cli import die, print_number
 
 USAGE = "Usage: tabex [-1AC] [-t<int>] <source>[.ktab] [ <address>[-<address>] ]"

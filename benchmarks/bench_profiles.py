@@ -1,0 +1,60 @@
+"""Secondary benchmark: the fused `-t -p` job (table + per-read profiles).
+
+Measures the full device path per batch: count + merge-quality uniques plus
+the profile sort-merge join, on the 50X-HiFi-like synthetic set. Prints one
+JSON line like bench.py (not the driver headline; kept for the record)."""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+BASELINE = 8.3e7 / 2  # FastK -t -p runs ~half its histogram-only speed
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    import bench as B
+    from fastk_tpu.ops.count import profile_join, unique_batch, HIST_HIGH
+    from fastk_tpu.ops.kmers import pad_needed
+
+    K, SIZE = 40, 1 << 25
+    total = SIZE + pad_needed(K)
+    block, nreads, stride = B.synth_hifi_device(SIZE, 1_000_000, B.READ_LEN)
+    n = int(block.shape[0])
+    codes = jnp.concatenate([block, jnp.full(total - n, 4, jnp.uint8)])
+
+    @jax.jit
+    def step(codes):
+        res = unique_batch(codes, K, SIZE)
+        t_counts = jnp.minimum(res["seg_counts"], HIST_HIGH)
+        pc = profile_join(res["seg_words"], t_counts, codes, K, SIZE)
+        return res["nvalid"], pc
+
+    nvalid, pc = step(codes)
+    _ = int(nvalid); _ = np.asarray(pc[:8])
+
+    ts = []
+    for _i in range(3):
+        t0 = time.perf_counter()
+        nvalid, pc = step(codes)
+        _ = int(nvalid); _ = np.asarray(pc[:8])
+        ts.append(time.perf_counter() - t0)
+    t = float(np.median(ts))
+    bases = nreads * B.READ_LEN
+    value = bases / t
+    print(json.dumps({
+        "metric": "bases/sec/chip: fused 40-mer count+table+profile join",
+        "value": round(value),
+        "unit": "bases/sec",
+        "vs_baseline": round(value / BASELINE, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -37,7 +37,10 @@ import jax.numpy as jnp
 from fastk_tpu.ops.kmers import canonical_kmers
 
 HIST_HIGH = 0x7FFF
-ONES = jnp.uint32(0xFFFFFFFF)
+import numpy as np
+
+ONES = np.uint32(0xFFFFFFFF)  # numpy scalar: a fresh constant per trace
+# (a jnp scalar would cache a mesh-bound aval and break nested shard_map use)
 
 
 def fold_invalid(words, invalid):

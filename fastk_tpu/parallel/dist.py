@@ -85,7 +85,7 @@ def _route_chip(words, invalid, pos, splitters, ndev: int, cap: int, size: int):
     (orig, flat): the original position and send slot of each routed record,
     for the inverse (profile-count) exchange.
     """
-    from fastk_tpu.ops.count import sort_records
+    from fastk_tpu.ops.count import fill_forward, sort_records
 
     dest = jnp.searchsorted(splitters, words[0], side="right").astype(jnp.uint32)
     dest = jnp.where(invalid == 0, dest, ndev)  # invalid -> dropped
@@ -95,9 +95,13 @@ def _route_chip(words, invalid, pos, splitters, ndev: int, cap: int, size: int):
     ws = carried[: len(words)]
     orig = carried[len(words)]
 
+    # rank within destination: distance from the first record of the same
+    # dest, via the gather-free fill-forward (scatter-min is very slow on
+    # real chips)
     idx = jnp.arange(size, dtype=jnp.int32)
-    first = jnp.full(ndev + 2, size, jnp.int32).at[d_sorted.astype(jnp.int32)].min(idx)
-    rank = idx - first[d_sorted.astype(jnp.int32)]
+    d_starts = (d_sorted != jnp.roll(d_sorted, 1)).at[0].set(True)
+    first_of = jnp.maximum(fill_forward(d_starts, idx, size), 0)
+    rank = idx - first_of
 
     routed = d_sorted < ndev
     slot_ok = (rank < cap) & routed

@@ -20,7 +20,7 @@ def main():
     import jax.numpy as jnp
 
     import bench as B
-    from fastk_tpu.ops.count import profile_join, unique_batch, HIST_HIGH
+    from fastk_tpu.ops.count import HIST_HIGH  # noqa: F401
     from fastk_tpu.ops.kmers import pad_needed
 
     K, SIZE = 40, 1 << 25
@@ -29,12 +29,13 @@ def main():
     n = int(block.shape[0])
     codes = jnp.concatenate([block, jnp.full(total - n, 4, jnp.uint8)])
 
+    from fastk_tpu.ops.count import count_batch
+
     @jax.jit
     def step(codes):
-        res = unique_batch(codes, K, SIZE)
-        t_counts = jnp.minimum(res["seg_counts"], HIST_HIGH)
-        pc = profile_join(res["seg_words"], t_counts, codes, K, SIZE)
-        return res["nvalid"], pc
+        # the fused single-batch -t -p path (pipeline._count_single_fused)
+        res = count_batch(codes, K, SIZE, True, True)
+        return res["nvalid"], res["pos_counts"]
 
     nvalid, pc = step(codes)
     _ = int(nvalid); _ = np.asarray(pc[:8])

@@ -362,6 +362,7 @@ def count_batch(codes: jnp.ndarray, k: int, size: int, want_positions: bool,
     s_words, s_inv, s_vals = sort_records(words, invalid, values)
     out = segmented_count(s_words, jnp.zeros(size, jnp.uint32), size,
                           want_elem_counts=want_positions, want_hist=want_hist)
+    out["nvalid"] = jnp.int32(size) - jnp.sum(invalid.astype(jnp.int32))
     if want_positions:
         elem = out.pop("elem_counts")
         out["pos_counts"] = positions_inverse(s_vals[0], elem)

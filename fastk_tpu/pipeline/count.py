@@ -155,7 +155,24 @@ def count_files(
     # one-batch lookahead: batch i+1's host parse/pack/H2D overlaps batch
     # i's device compute (the scalar fetches in _finalize are the only syncs)
     pending = None
-    for batch, _ordinal in batched_reads(list(paths), batch_bases, hc=hc, bc=bc):
+    first_two: List[ReadBatch] = []
+    gen = batched_reads(list(paths), batch_bases, hc=hc, bc=bc)
+    for batch, _ordinal in gen:
+        first_two.append(batch)
+        if len(first_two) == 2:
+            break
+
+    if (profiles and relative_table is None and len(first_two) == 1):
+        # single batch with profiles: the fused path — per-position counts
+        # come straight out of the counting sort, no second join pass
+        return _count_single_fused(first_two[0], k, table_min, verbose)
+
+    def _batches():
+        yield from first_two
+        for batch, _ordinal in gen:
+            yield batch
+
+    for batch in _batches():
         batches.append(batch)
         if relative_table is None:
             size = _round_size(len(batch.codes), k)
@@ -220,6 +237,44 @@ def count_files(
         t_counts = jnp.minimum(merged["seg_counts"][:capt], HIST_HIGH)
         profs = _join_profiles(batches, k, t_words, t_counts)
     return CountOutput(k, hist, table, profs, nreads, totlen)
+
+
+def _count_single_fused(batch: ReadBatch, k: int, table_min: Optional[int],
+                        verbose: bool) -> CountOutput:
+    """Single-batch `-t -p` jobs: one count_batch call yields the histogram,
+    the unique table AND the per-position counts (the reference's "profiles
+    by sort inversion" fused into phase 2, count.c:619-1004)."""
+    from fastk_tpu.ops.count import count_batch
+
+    size = _round_size(len(batch.codes), k)
+    codes = _pad_codes(batch, k, size)
+    res = count_batch(_device_codes(codes), k, size, True, True)
+    if verbose:
+        print(f"  batch 1 (fused): {batch.nreads} reads, "
+              f"{batch.totlen} bases", flush=True)
+
+    hist_arr = np.asarray(res["hist"]).astype(np.int64)
+    nvalid = int(res["nvalid"])
+    overflow = nvalid - int(
+        (hist_arr[1:] * np.arange(1, HIST_HIGH + 1, dtype=np.int64)).sum())
+    hist = Histogram.from_bins(k, hist_arr, overflow)
+
+    # valid segments are the slots before the (single, trailing) invalid one
+    nseg = int(res["nseg"])
+    nuniq = nseg - (1 if nvalid < size else 0)
+    u_words = np.stack(
+        [np.asarray(w[:nuniq]) for w in res["seg_words"]], axis=1)
+    u_counts = np.minimum(np.asarray(res["seg_counts"][:nuniq]),
+                          HIST_HIGH).astype(np.uint16)
+    table = None
+    if table_min is not None:
+        keep = u_counts >= table_min
+        table = KmerTable(k, table_min, words_to_packed(u_words[keep], k),
+                          u_counts[keep])
+
+    pos_counts = np.asarray(res["pos_counts"])
+    profs = _profiles_from_positions(batch, pos_counts, k)
+    return CountOutput(k, hist, table, profs, batch.nreads, batch.totlen)
 
 
 def _join_profiles(batches, k, t_words, t_counts):

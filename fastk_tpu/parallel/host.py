@@ -50,6 +50,57 @@ def train_splitters(codes: np.ndarray, k: int, mesh: Mesh,
     return splitters_from_prefix_hist(ph, D)
 
 
+def count_files_sharded(
+    paths,
+    k: int,
+    mesh: Mesh,
+    table_min: Optional[int] = None,
+    batch_bases: int = 64 << 20,
+    verbose: bool = False,
+):
+    """Multi-chip version of pipeline.count.count_files (hist + table).
+
+    Each batch's code stream shards data-parallel across the mesh, keys
+    route by range over ICI, per-chip counts merge across batches on host
+    concatenation of the keyspace-disjoint chip outputs (chip order == key
+    order, so the result is globally sorted). Returns a CountOutput."""
+    import numpy as np
+
+    from fastk_tpu.formats.hist import Histogram
+    from fastk_tpu.io.reader import batched_reads
+    from fastk_tpu.ops.count import HIST_HIGH
+    from fastk_tpu.ops.kmers import words_to_packed
+    from fastk_tpu.ops.tables import merge_counted
+    from fastk_tpu.formats.ktab import KmerTable
+    from fastk_tpu.pipeline.count import CountOutput
+
+    words_list, counts_list = [], []
+    nreads = totlen = 0
+    splitters = None
+    for batch, _ord in batched_reads(list(paths), batch_bases):
+        if splitters is None:
+            splitters = train_splitters(batch.codes, k, mesh)
+        words, counts, _hist, _ovf, _pos = sharded_count(
+            batch.codes, k, mesh, splitters=splitters)
+        words_list.append(words)
+        counts_list.append(counts)
+        nreads += batch.nreads
+        totlen += batch.totlen
+        if verbose:
+            print(f"  sharded batch: {batch.nreads} reads", flush=True)
+
+    u_words, u_counts = merge_counted(words_list, counts_list)
+    clipped = np.minimum(u_counts, HIST_HIGH)
+    overflow = int((u_counts - clipped).sum())
+    hist = Histogram.from_clipped_counts(k, clipped, overflow)
+    table = None
+    if table_min is not None:
+        keep = clipped >= table_min
+        table = KmerTable(k, table_min, words_to_packed(u_words[keep], k),
+                          clipped[keep].astype(np.uint16))
+    return CountOutput(k, hist, table, None, nreads, totlen)
+
+
 def sharded_count(
     codes: np.ndarray,
     k: int,

@@ -90,6 +90,15 @@ def _run(cfg, out_base):
     from fastk_tpu.formats.prof import write_prof
     from fastk_tpu.pipeline.count import count_files
 
+    # device tracing (the -v timers' deep counterpart): set
+    # FASTK_TPU_TRACE=<dir> to capture a JAX profiler trace of the run,
+    # viewable in Perfetto/TensorBoard
+    trace_dir = os.environ.get("FASTK_TPU_TRACE")
+    if trace_dir:
+        import jax
+
+        jax.profiler.start_trace(trace_dir)
+
     t0 = time.time()
 
     rel = None
@@ -165,6 +174,10 @@ def _run(cfg, out_base):
     if cfg["v"]:
         _report_phase("Output writing", t_count, time.time())
         _report_phase("Total", t0, time.time())
+    if trace_dir:
+        import jax
+
+        jax.profiler.stop_trace()
     return 0
 
 

@@ -75,3 +75,26 @@ def test_trained_splitters_balance(small_codes):
     spl = train_splitters(small_codes.codes, 40, mesh)
     assert len(spl) == 7
     assert (np.diff(spl.astype(np.int64)) > 0).all()
+
+
+def test_count_files_sharded_matches_pipeline(tmp_path):
+    """Pipeline-level multi-chip counting equals the single-chip pipeline."""
+    import numpy as np
+
+    from fastk_tpu.parallel.dist import make_mesh
+    from fastk_tpu.parallel.host import count_files_sharded
+    from fastk_tpu.pipeline.count import count_files
+
+    rng = np.random.default_rng(3)
+    p = str(tmp_path / "in.fasta")
+    with open(p, "w") as f:
+        for i in range(50):
+            s = "".join("acgt"[c] for c in rng.integers(0, 4, size=150))
+            f.write(f">r{i}\n{s}\n")
+
+    a = count_files([p], 17, table_min=1, batch_bases=3000)
+    b = count_files_sharded([p], 17, make_mesh(4), table_min=1,
+                            batch_bases=3000)
+    assert a.hist == b.hist
+    assert np.array_equal(a.table.packed, b.table.packed)
+    assert np.array_equal(a.table.counts, b.table.counts)

@@ -15,6 +15,8 @@ Primitive costs measured on v5e (64M records) dictate every choice here:
   gather  by permutation   ~940ms   -> segment broadcasts use fill_forward
   scatter by permutation   >100s    -> NEVER; inversion is a sort by position
   fill_forward (log rolls) ~50ms    -> the gather-free segment broadcast
+  one-hot int8 MXU hist    ~305ms   -> loses to the sort: one-hot
+                                       construction traffic dominates
 
 Consequences:
 - invalid positions are encoded IN the key as all-ones words (a canonical

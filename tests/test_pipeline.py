@@ -103,3 +103,28 @@ def test_pipeline_relative_profiles():
     assert (out.profiles[0] > 0).all()
     # second read: absent from table -> zeros
     assert (out.profiles[1] == 0).all()
+
+
+def test_multiple_input_files(tmp_path):
+    """Several input files count as their concatenation (FastK <src> ...)."""
+    rng = np.random.default_rng(11)
+    paths = []
+    all_reads = []
+    for fno in range(3):
+        p = tmp_path / f"in{fno}.fasta"
+        with open(p, "w") as f:
+            for i in range(20):
+                s = "".join("acgt"[c] for c in rng.integers(0, 4, size=90))
+                f.write(f">f{fno}r{i}\n{s}\n")
+                all_reads.append(s)
+        paths.append(str(p))
+    cat = tmp_path / "cat.fasta"
+    with open(cat, "w") as f:
+        for i, s in enumerate(all_reads):
+            f.write(f">r{i}\n{s}\n")
+
+    a = count_files(paths, 13, table_min=1, batch_bases=2500)
+    b = count_files([str(cat)], 13, table_min=1, batch_bases=2500)
+    assert a.hist == b.hist
+    assert np.array_equal(a.table.packed, b.table.packed)
+    assert np.array_equal(a.table.counts, b.table.counts)

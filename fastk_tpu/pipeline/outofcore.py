@@ -119,12 +119,8 @@ def count_files_ooc(
 
     try:
         # ---- phase 1: per-batch device dedup, spill by key range ----------
-        for batch, _ord in batched_reads(list(paths), batch_bases,
-                                         hc=hc, bc=bc):
-            batches.append(batch)
-            size = _round_size(len(batch.codes), k)
-            codes = _pad_codes(batch, k, size)
-            res = unique_batch(_device_codes(codes), k, size)
+        def _spill_one(res):
+            nonlocal nvalid_total, edges
             nu = int(res["nuniq"])
             nvalid_total += int(res["nvalid"])
             words = np.stack(
@@ -141,6 +137,21 @@ def count_files_ooc(
             if verbose:
                 print(f"  batch {len(batches)}: {batch.nreads} reads, "
                       f"{nu} uniques spilled", flush=True)
+
+        # one-batch lookahead so the next batch's parse/pack/H2D overlaps
+        # the previous batch's device compute (mirrors pipeline.count)
+        pending = None
+        for batch, _ord in batched_reads(list(paths), batch_bases,
+                                         hc=hc, bc=bc):
+            batches.append(batch)
+            size = _round_size(len(batch.codes), k)
+            codes = _pad_codes(batch, k, size)
+            res = unique_batch(_device_codes(codes), k, size)
+            if pending is not None:
+                _spill_one(pending)
+            pending = res
+        if pending is not None:
+            _spill_one(pending)
 
         nreads = sum(b.nreads for b in batches)
         totlen = sum(b.totlen for b in batches)

@@ -262,10 +262,11 @@ def profile_join(table_words, table_counts, codes: jnp.ndarray, k: int,
     slots; table_counts: int32[A], 0 at empty slots.
 
     A sort-merge join: table entries and query positions are sorted together
-    keyed by (words..., is_query) so each table entry leads its key's
-    segment; the segment weight-sum (only table entries carry weight) is the
-    key's count, broadcast to every query of the segment, then one sort by
-    position restores stream order. Invalid query positions share the
+    keyed by (words..., pos') where pos' is 0 for table entries and i+1 for
+    the query at position i — so each table entry leads its key's segment
+    and the same operand later restores stream order with one 1-key sort.
+    The count at each segment start (a table count, or 0 for an absent key)
+    broadcasts to the whole segment by fill-forward. Invalid query positions share the
     all-ones segment with empty table slots, whose weight sum is 0 — so they
     get count 0 for free. Replaces the reference's per-bucket reference-table
     stream intersection (cmer_merge_thread, count.c:675-792).
@@ -276,15 +277,14 @@ def profile_join(table_words, table_counts, codes: jnp.ndarray, k: int,
     q = fold_invalid(words, invalid)
     N = A + size
     merged = tuple(jnp.concatenate([tw, qw]) for tw, qw in zip(table_words, q))
-    is_query = jnp.concatenate(
-        [jnp.zeros(A, jnp.uint8), jnp.ones(size, jnp.uint8)])
     cnt = jnp.concatenate([table_counts.astype(jnp.int32),
                            jnp.zeros(size, jnp.int32)])
-    pos = jnp.concatenate([jnp.full(A, ONES, jnp.uint32),
-                           jnp.arange(size, dtype=jnp.uint32)])
-    out = jax.lax.sort((*merged, is_query, cnt, pos), num_keys=W + 1,
-                       is_stable=False)
-    s_words, s_cnt, s_pos = out[:W], out[W + 1], out[W + 2]
+    # one operand doubles as the table-first tiebreak key AND the position:
+    # table entries get 0, query at position i gets i+1
+    pos = jnp.concatenate([jnp.zeros(A, jnp.uint32),
+                           jnp.arange(1, size + 1, dtype=jnp.uint32)])
+    out = jax.lax.sort((*merged, pos, cnt), num_keys=W + 1, is_stable=False)
+    s_words, s_pos, s_cnt = out[:W], out[W], out[W + 1]
 
     # the table entry (if any) leads its segment, so every element's count
     # is a fill-forward of the counts seen at segment starts — no segment
@@ -294,8 +294,10 @@ def profile_join(table_words, table_counts, codes: jnp.ndarray, k: int,
         starts = starts | (w != jnp.roll(w, 1))
     starts = starts.at[0].set(True)
     elem_cnt = jnp.maximum(fill_forward(starts, s_cnt, N), 0)
+    # inverse sort by the same combined key: the A table entries (pos 0)
+    # land first, queries follow in position order
     by_pos = jax.lax.sort((s_pos, elem_cnt), num_keys=1, is_stable=False)[1]
-    return jnp.minimum(by_pos[:size], HIST_HIGH)
+    return jnp.minimum(by_pos[A: A + size], HIST_HIGH)
 
 
 def positions_inverse(pos: jnp.ndarray, values: jnp.ndarray):

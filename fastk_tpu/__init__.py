@@ -40,8 +40,23 @@ from fastk_tpu.formats.prof import (
     write_prof,
 )
 
+def __getattr__(name):
+    # lazy: the pipeline pulls in jax; the format codecs above do not
+    if name == "count_files":
+        from fastk_tpu.pipeline.count import count_files
+
+        return count_files
+    if name == "count_files_sharded":
+        from fastk_tpu.parallel.host import count_files_sharded
+
+        return count_files_sharded
+    raise AttributeError(name)
+
+
 __all__ = [
     "__version__",
+    "count_files",
+    "count_files_sharded",
     "Histogram",
     "read_histogram",
     "write_histogram",

@@ -50,6 +50,12 @@ from fastk_tpu.ops.kmers import (
 
 DEFAULT_BATCH_BASES = 64 << 20  # bases per device batch
 _MIN_SIZE = 1 << 15
+# hard cap on window positions per device call: reads longer than a batch
+# (assembly contigs fed to KmerMap, ultra-long ONT) are processed in
+# overlapping slices of this many positions — the reference's block split
+# with a (k-1)-base halo (io.c:296-333, FastK.h:95-97) at the device
+# boundary. Each k-mer start position belongs to exactly one slice.
+MAX_DEVICE_POSITIONS = 1 << 26
 
 
 def _round_size(n: int, k: int) -> int:
@@ -59,7 +65,7 @@ def _round_size(n: int, k: int) -> int:
     size = _MIN_SIZE
     while size < want:
         size <<= 1
-    return size
+    return min(size, MAX_DEVICE_POSITIONS)
 
 
 def _pad_codes(batch: ReadBatch, k: int, size: int) -> np.ndarray:
@@ -67,6 +73,25 @@ def _pad_codes(batch: ReadBatch, k: int, size: int) -> np.ndarray:
     codes = np.full(need, 4, dtype=np.uint8)
     codes[: len(batch.codes)] = batch.codes
     return codes
+
+
+def _code_slices(codes: np.ndarray, k: int):
+    """Partition a code stream into (offset, size, padded_slice) windows of
+    at most MAX_DEVICE_POSITIONS k-mer start positions each; slice i covers
+    starts [offset, offset+size) and carries the k-1 halo after them."""
+    n = len(codes)
+    size = _round_size(n, k)
+    pad = pad_needed(k)
+    off = 0
+    while off < n or off == 0:
+        take = min(size, max(n - off, 0))
+        buf = np.full(size + pad, 4, dtype=np.uint8)
+        chunk = codes[off: off + take + pad]
+        buf[: len(chunk)] = chunk
+        yield off, size, buf
+        off += size
+        if take < size:
+            break
 
 
 def _device_codes(codes_np: np.ndarray):
@@ -162,7 +187,8 @@ def count_files(
         if len(first_two) == 2:
             break
 
-    if (profiles and relative_table is None and len(first_two) == 1):
+    if (profiles and relative_table is None and len(first_two) == 1
+            and len(first_two[0].codes) + pad_needed(k) <= MAX_DEVICE_POSITIONS):
         # single batch with profiles: the fused path — per-position counts
         # come straight out of the counting sort, no second join pass
         return _count_single_fused(first_two[0], k, table_min, verbose)
@@ -175,12 +201,11 @@ def count_files(
     for batch in _batches():
         batches.append(batch)
         if relative_table is None:
-            size = _round_size(len(batch.codes), k)
-            codes = _pad_codes(batch, k, size)
-            res = unique_batch(_device_codes(codes), k, size)
-            if pending is not None:
-                _finalize(*pending)
-            pending = (res, size)
+            for _off, size, buf in _code_slices(batch.codes, k):
+                res = unique_batch(_device_codes(buf), k, size)
+                if pending is not None:
+                    _finalize(*pending)
+                pending = (res, size)
         if verbose:
             print(f"  batch {len(batches)}: {batch.nreads} reads, "
                   f"{batch.totlen} bases", flush=True)
@@ -278,13 +303,18 @@ def _count_single_fused(batch: ReadBatch, k: int, table_min: Optional[int],
 
 
 def _join_profiles(batches, k, t_words, t_counts):
-    """Second pass: per-position counts via the device sort-merge join."""
+    """Second pass: per-position counts via the device sort-merge join
+    (oversized batches run in overlapping device slices)."""
     profs: List[np.ndarray] = []
     for batch in batches:
-        size = _round_size(len(batch.codes), k)
-        codes = _pad_codes(batch, k, size)
-        pc = profile_join(t_words, t_counts, _device_codes(codes), k, size)
-        pos_counts = np.asarray(pc)
+        n = len(batch.codes)
+        pos_counts = np.zeros(n, dtype=np.int32)
+        for off, size, buf in _code_slices(batch.codes, k):
+            pc = np.asarray(
+                profile_join(t_words, t_counts, _device_codes(buf), k, size))
+            take = min(size, n - off)
+            if take > 0:
+                pos_counts[off: off + take] = pc[:take]
         profs.extend(_profiles_from_positions(batch, pos_counts, k))
     return profs
 

@@ -40,9 +40,8 @@ from fastk_tpu.ops.kmers import nwords, words_to_packed
 from fastk_tpu.pipeline.count import (
     CountOutput,
     _device_codes,
-    _pad_codes,
+    _code_slices,
     _profiles_from_positions,
-    _round_size,
     _trim,
 )
 
@@ -119,7 +118,7 @@ def count_files_ooc(
 
     try:
         # ---- phase 1: per-batch device dedup, spill by key range ----------
-        def _spill_one(res):
+        def _spill_one(res, label):
             nonlocal nvalid_total, edges
             nu = int(res["nuniq"])
             nvalid_total += int(res["nvalid"])
@@ -135,7 +134,7 @@ def count_files_ooc(
                 spill.append(p, words[cuts[p]: cuts[p + 1]],
                              counts[cuts[p]: cuts[p + 1]])
             if verbose:
-                print(f"  batch {len(batches)}: {batch.nreads} reads, "
+                print(f"  batch {label[0]}: {label[1]} reads, "
                       f"{nu} uniques spilled", flush=True)
 
         # one-batch lookahead so the next batch's parse/pack/H2D overlaps
@@ -144,14 +143,13 @@ def count_files_ooc(
         for batch, _ord in batched_reads(list(paths), batch_bases,
                                          hc=hc, bc=bc):
             batches.append(batch)
-            size = _round_size(len(batch.codes), k)
-            codes = _pad_codes(batch, k, size)
-            res = unique_batch(_device_codes(codes), k, size)
-            if pending is not None:
-                _spill_one(pending)
-            pending = res
+            for _off, size, buf in _code_slices(batch.codes, k):
+                res = unique_batch(_device_codes(buf), k, size)
+                if pending is not None:
+                    _spill_one(*pending)
+                pending = (res, (len(batches), batch.nreads))
         if pending is not None:
-            _spill_one(pending)
+            _spill_one(*pending)
 
         nreads = sum(b.nreads for b in batches)
         totlen = sum(b.totlen for b in batches)
@@ -208,13 +206,17 @@ def count_files_ooc(
         if profiles:
             profs = []
             for batch in batches:
-                size = _round_size(len(batch.codes), k)
-                codes = _pad_codes(batch, k, size)
-                dc = _device_codes(codes)
-                pos_counts = np.zeros(size, dtype=np.int32)
-                for t_words, t_counts in part_tables:
-                    pc = profile_join(t_words, t_counts, dc, k, size)
-                    pos_counts += np.asarray(pc)
+                n = len(batch.codes)
+                pos_counts = np.zeros(n, dtype=np.int32)
+                for off, size, buf in _code_slices(batch.codes, k):
+                    dc = _device_codes(buf)
+                    acc = np.zeros(size, dtype=np.int32)
+                    for t_words, t_counts in part_tables:
+                        acc += np.asarray(
+                            profile_join(t_words, t_counts, dc, k, size))
+                    take = min(size, n - off)
+                    if take > 0:
+                        pos_counts[off: off + take] = acc[:take]
                 profs.extend(
                     _profiles_from_positions(batch, pos_counts, k))
         return CountOutput(k, hist, table, profs, nreads, totlen)

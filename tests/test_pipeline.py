@@ -128,3 +128,28 @@ def test_multiple_input_files(tmp_path):
     assert a.hist == b.hist
     assert np.array_equal(a.table.packed, b.table.packed)
     assert np.array_equal(a.table.counts, b.table.counts)
+
+
+def test_long_read_slicing(monkeypatch):
+    """Reads longer than the device cap process in overlapping slices with
+    a k-1 halo (the reference's rem/next block split, io.c:296-333)."""
+    import fastk_tpu.pipeline.count as C
+
+    monkeypatch.setattr(C, "MAX_DEVICE_POSITIONS", 1 << 15)
+    rng = np.random.default_rng(5)
+    # one read far beyond the cap plus a few normal reads
+    long_read = "".join("acgt"[c] for c in rng.integers(0, 4, size=100_000))
+    reads = [long_read.encode()] + [
+        "".join("acgt"[c] for c in rng.integers(0, 4, size=80)).encode()
+        for _ in range(5)]
+    out = count_reads(reads, 21, table_min=1, profiles=True)
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from util_bruteforce import count_kmers
+
+    want = count_kmers([r.decode() for r in reads], 21)
+    assert len(out.table) == len(want)
+    assert int(out.hist.as_unique().counts.sum()) == len(want)
+    # profile of the long read must have per-position counts everywhere
+    assert len(out.profiles[0]) == 100_000 - 20
+    assert (np.asarray(out.profiles[0]) >= 1).all()

@@ -136,6 +136,8 @@ def canonical_kmers(codes: jnp.ndarray, k: int, size: int):
 def words_to_packed(words: np.ndarray, k: int) -> np.ndarray:
     """Host: (n, W) uint32 canonical words -> (n, ceil(k/4)) uint8 .ktab bytes."""
     kb = (k + 3) // 4
+    if words.shape[0] == 0:
+        return np.zeros((0, kb), dtype=np.uint8)
     be = np.ascontiguousarray(words.astype(">u4"))
     return be.view(np.uint8).reshape(words.shape[0], -1)[:, :kb]
 

@@ -121,13 +121,16 @@ def main():
     NBATCH = 4
     excd = jnp.asarray(exc_host)
     best = float("inf")
-    for _rep in range(5):
+    t_budget = time.perf_counter() + 120
+    reps = 0
+    while reps < 3 or (time.perf_counter() < t_budget and reps < 20):
         t0 = time.perf_counter()
         outs = [device_step(jnp.asarray(packed_host), excd)
                 for _ in range(NBATCH)]
         hists = [np.asarray(o["hist"]) for o in outs]
         best = min(best, (time.perf_counter() - t0) / NBATCH)
         assert all(int(h[1:].sum()) > 0 for h in hists)
+        reps += 1
     t = best
 
     bases = nreads * READ_LEN

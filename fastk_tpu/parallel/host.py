@@ -55,15 +55,19 @@ def count_files_sharded(
     k: int,
     mesh: Mesh,
     table_min: Optional[int] = None,
+    profiles: bool = False,
     batch_bases: int = 64 << 20,
     verbose: bool = False,
 ):
-    """Multi-chip version of pipeline.count.count_files (hist + table).
+    """Multi-chip version of pipeline.count.count_files.
 
     Each batch's code stream shards data-parallel across the mesh, keys
     route by range over ICI, per-chip counts merge across batches on host
     concatenation of the keyspace-disjoint chip outputs (chip order == key
-    order, so the result is globally sorted). Returns a CountOutput."""
+    order, so the result is globally sorted). Profiles for a single-batch
+    input come straight from the sharded run's per-position counts (the
+    inverse all_to_all); multi-batch profiles join each batch against the
+    merged table. Returns a CountOutput."""
     import numpy as np
 
     from fastk_tpu.formats.hist import Histogram
@@ -72,18 +76,22 @@ def count_files_sharded(
     from fastk_tpu.ops.kmers import words_to_packed
     from fastk_tpu.ops.tables import merge_counted
     from fastk_tpu.formats.ktab import KmerTable
-    from fastk_tpu.pipeline.count import CountOutput
+    from fastk_tpu.pipeline.count import CountOutput, _profiles_from_positions
 
     words_list, counts_list = [], []
+    batches, pos_list = [], []
     nreads = totlen = 0
     splitters = None
     for batch, _ord in batched_reads(list(paths), batch_bases):
         if splitters is None:
             splitters = train_splitters(batch.codes, k, mesh)
-        words, counts, _hist, _ovf, _pos = sharded_count(
-            batch.codes, k, mesh, splitters=splitters)
+        words, counts, _hist, _ovf, pos = sharded_count(
+            batch.codes, k, mesh, splitters=splitters,
+            want_positions=profiles)
         words_list.append(words)
         counts_list.append(counts)
+        batches.append(batch)
+        pos_list.append(pos)
         nreads += batch.nreads
         totlen += batch.totlen
         if verbose:
@@ -98,7 +106,21 @@ def count_files_sharded(
         keep = clipped >= table_min
         table = KmerTable(k, table_min, words_to_packed(u_words[keep], k),
                           clipped[keep].astype(np.uint16))
-    return CountOutput(k, hist, table, None, nreads, totlen)
+
+    profs = None
+    if profiles:
+        if len(batches) == 1:
+            pc = np.minimum(pos_list[0], HIST_HIGH).astype(np.int32)
+            profs = _profiles_from_positions(batches[0], pc, k)
+        else:
+            # counts span batches: join each batch against the merged table
+            from fastk_tpu.pipeline.count import _device_table, _join_profiles
+
+            full = KmerTable(k, 1, words_to_packed(u_words, k),
+                             clipped.astype(np.uint16))
+            t_words, t_counts = _device_table(full, k)
+            profs = _join_profiles(batches, k, t_words, t_counts)
+    return CountOutput(k, hist, table, profs, nreads, totlen)
 
 
 def sharded_count(

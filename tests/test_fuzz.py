@@ -48,3 +48,18 @@ def test_fuzz_pipeline(seed):
     for i, ref in enumerate(refs):
         got = np.asarray(out.profiles[i])
         assert np.array_equal(got, ref), f"seed {seed} read {i} (k={k})"
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_fuzz_homopolymer(seed):
+    rng = np.random.default_rng(2000 + seed)
+    k, reads = _random_case(rng)
+    k = min(k, 21)
+    out = count_reads([r.encode() for r in reads], k, table_min=1,
+                      profiles=True, hc=True)
+    want = count_kmers(reads, k, hc=True)
+    assert len(out.table) == len(want)
+    refs = profiles_of(reads, k, want, hc=True)
+    for i, ref in enumerate(refs):
+        assert np.array_equal(np.asarray(out.profiles[i]), ref), \
+            f"seed {seed} read {i} (k={k})"

@@ -98,3 +98,29 @@ def test_count_files_sharded_matches_pipeline(tmp_path):
     assert a.hist == b.hist
     assert np.array_equal(a.table.packed, b.table.packed)
     assert np.array_equal(a.table.counts, b.table.counts)
+
+
+def test_count_files_sharded_profiles(tmp_path):
+    """Multi-chip profiles equal the single-chip pipeline's, in both the
+    single-batch (inverse all_to_all) and multi-batch (join) regimes."""
+    import numpy as np
+
+    from fastk_tpu.parallel.dist import make_mesh
+    from fastk_tpu.parallel.host import count_files_sharded
+    from fastk_tpu.pipeline.count import count_files
+
+    rng = np.random.default_rng(9)
+    p = str(tmp_path / "in.fasta")
+    with open(p, "w") as f:
+        for i in range(30):
+            s = "".join("acgt"[c] for c in rng.integers(0, 4, size=120))
+            f.write(f">r{i}\n{s}\n")
+
+    for bb in (10_000_000, 1500):  # one batch / several batches
+        a = count_files([p], 15, profiles=True, batch_bases=bb)
+        b = count_files_sharded([p], 15, make_mesh(4), profiles=True,
+                                batch_bases=bb)
+        assert a.hist == b.hist
+        assert len(a.profiles) == len(b.profiles)
+        for x, y in zip(a.profiles, b.profiles):
+            assert np.array_equal(x, y)

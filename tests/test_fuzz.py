@@ -63,3 +63,30 @@ def test_fuzz_homopolymer(seed):
     for i, ref in enumerate(refs):
         assert np.array_equal(np.asarray(out.profiles[i]), ref), \
             f"seed {seed} read {i} (k={k})"
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_fuzz_three_pipelines_agree(seed, tmp_path):
+    """in-core == out-of-core == multi-chip on the same random input."""
+    from fastk_tpu.parallel.dist import make_mesh
+    from fastk_tpu.parallel.host import count_files_sharded
+    from fastk_tpu.pipeline.count import count_files
+    from fastk_tpu.pipeline.outofcore import count_files_ooc
+
+    rng = np.random.default_rng(3000 + seed)
+    k, reads = _random_case(rng)
+    p = str(tmp_path / "in.fasta")
+    with open(p, "w") as f:
+        for i, r in enumerate(reads):
+            f.write(f">r{i}\n{r}\n")
+    bb = int(rng.integers(200, 3000))
+
+    a = count_files([p], k, table_min=1, batch_bases=bb)
+    b = count_files_ooc([p], k, parts=int(rng.integers(2, 5)),
+                        sort_path=str(tmp_path), table_min=1, batch_bases=bb)
+    c = count_files_sharded([p], k, make_mesh(int(rng.integers(2, 5))),
+                            table_min=1, batch_bases=bb)
+    assert a.hist == b.hist == c.hist
+    for other in (b, c):
+        assert np.array_equal(a.table.packed, other.table.packed)
+        assert np.array_equal(a.table.counts, other.table.counts)

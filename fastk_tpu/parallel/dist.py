@@ -77,13 +77,50 @@ def prefix_histogram(codes: jnp.ndarray, k: int, size: int, bits: int = 8):
     ].add(jnp.where(invalid == 0, 1, 0))
 
 
-def _route_chip(words, invalid, pos, splitters, ndev: int, cap: int, size: int):
+def _place_by_slot_merge(flat, operands, n_slots: int, size: int):
+    """Dense [n_slots] buffers from records at strictly-increasing slots
+    `flat` (dropped records hold flat == n_slots) WITHOUT a scatter.
+
+    One merge sort of records + slot dummies keyed by (slot, record-first):
+    each slot's segment is [its record (if any), its dummy], so a dummy's
+    value is one roll away; a 1-bit compaction then extracts the dummies,
+    which are already in slot order. All primitives are TPU-fast (see
+    ops.count's cost table — .at[].set by permutation is catastrophically
+    slow on real chips)."""
+    # key doubles as the record-first tiebreak: record at slot s -> 2s,
+    # dummy -> 2s+1; dropped records (flat == n_slots) sort past every dummy
+    keys = jnp.concatenate([
+        2 * jnp.minimum(flat, n_slots).astype(jnp.int32),
+        2 * jnp.arange(n_slots, dtype=jnp.int32) + 1])
+    is_dummy = jnp.concatenate([
+        jnp.zeros(size, jnp.uint8), jnp.ones(n_slots, jnp.uint8)])
+    padded = [jnp.concatenate([op.astype(jnp.uint32),
+                               jnp.zeros(n_slots, jnp.uint32)])
+              for op in operands]
+    out = jax.lax.sort((keys, is_dummy, *padded), num_keys=1, is_stable=False)
+    s_keys, s_dummy, s_ops = out[0], out[1], out[2:]
+
+    # a dummy preceded by its slot's record takes that record's value; a
+    # dummy that starts its segment has no record and keeps its 0 padding
+    starts = (s_keys >> 1 != jnp.roll(s_keys >> 1, 1)).at[0].set(True)
+    filled = [jnp.where(starts, op, jnp.roll(op, 1)) for op in s_ops]
+    # extract dummies (slot order is preserved by the stable compaction)
+    comp = jax.lax.sort(((1 - s_dummy), *filled), num_keys=1, is_stable=True)
+    return [c[:n_slots] for c in comp[1:]]
+
+
+def _route_chip(words, invalid, pos, splitters, ndev: int, cap: int, size: int,
+                impl: str = "auto"):
     """Build the [ndev, cap] send buffers for one chip's positions.
 
     Records are grouped by destination with one value-carrying sort; each
     gets slot dest*cap + rank-within-dest. Returns the send buffers plus
     (orig, flat): the original position and send slot of each routed record,
     for the inverse (profile-count) exchange.
+
+    impl: 'scatter' places records with .at[].set (fast on CPU test meshes,
+    catastrophic on real TPU chips); 'merge' uses the sort-based placement;
+    'auto' picks by backend.
     """
     from fastk_tpu.ops.count import fill_forward, sort_records
 
@@ -109,12 +146,23 @@ def _route_chip(words, invalid, pos, splitters, ndev: int, cap: int, size: int):
 
     flat = jnp.where(slot_ok, d_sorted.astype(jnp.int32) * cap + rank, ndev * cap)
 
-    def scatter(vals, fill):
-        buf = jnp.full(ndev * cap + 1, fill, vals.dtype)
-        return buf.at[flat].set(vals)[:-1].reshape(ndev, cap)
+    if impl == "auto":
+        impl = "scatter" if jax.default_backend() == "cpu" else "merge"
 
-    send_words = tuple(scatter(w, jnp.uint32(0)) for w in ws)
-    send_valid = scatter(jnp.ones(size, jnp.uint32), jnp.uint32(0))
+    ones = jnp.ones(size, jnp.uint32)
+    if impl == "merge":
+        placed = _place_by_slot_merge(
+            flat, [*ws, ones], ndev * cap, size)
+        send_words = tuple(p.astype(jnp.uint32).reshape(ndev, cap)
+                           for p in placed[:-1])
+        send_valid = placed[-1].astype(jnp.uint32).reshape(ndev, cap)
+    else:
+        def scatter(vals, fill):
+            buf = jnp.full(ndev * cap + 1, fill, vals.dtype)
+            return buf.at[flat].set(vals)[:-1].reshape(ndev, cap)
+
+        send_words = tuple(scatter(w, jnp.uint32(0)) for w in ws)
+        send_valid = scatter(ones, jnp.uint32(0))
     return send_words, send_valid, overflow, orig, flat
 
 
@@ -140,7 +188,7 @@ def _count_received(words, valid, D_cap: int, want_rec_counts: bool):
 
 
 def sharded_count_fn(mesh: Mesh, k: int, shard_size: int, slack: float = 1.6,
-                     want_positions: bool = False):
+                     want_positions: bool = False, route_impl: str = "auto"):
     """Build the jitted multi-chip counting step.
 
     Input:  codes [D * shard_size] sharded along the mesh axis; splitters
@@ -172,7 +220,8 @@ def sharded_count_fn(mesh: Mesh, k: int, shard_size: int, slack: float = 1.6,
             res = _count_received(rw, rv, D_cap, want_positions)
         else:
             (send_words, send_valid, route_ovf, orig, flat
-             ) = _route_chip(words, invalid, pos, splitters, D, cap, shard_size)
+             ) = _route_chip(words, invalid, pos, splitters, D, cap,
+                            shard_size, impl=route_impl)
             recv_words = tuple(
                 jax.lax.all_to_all(w, axis, 0, 0, tiled=False) for w in send_words
             )

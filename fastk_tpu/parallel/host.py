@@ -130,6 +130,7 @@ def sharded_count(
     splitters: Optional[np.ndarray] = None,
     want_positions: bool = False,
     slack: float = 1.8,
+    route_impl: str = "auto",
 ):
     """Count canonical k-mers of one host code stream across the mesh.
 
@@ -150,7 +151,8 @@ def sharded_count(
     )
 
     fn = sharded_count_fn(mesh, k, shard_size, slack=slack,
-                          want_positions=want_positions)
+                          want_positions=want_positions,
+                          route_impl=route_impl)
     codes_dev = _shard_codes(codes, k, mesh, shard_size)
     out = fn(codes_dev, spl)
     route_ovf = int(out["route_overflow"])

@@ -124,3 +124,24 @@ def test_count_files_sharded_profiles(tmp_path):
         assert len(a.profiles) == len(b.profiles)
         for x, y in zip(a.profiles, b.profiles):
             assert np.array_equal(x, y)
+
+
+def test_route_merge_impl_matches_scatter():
+    """The TPU-safe merge placement equals the scatter placement."""
+    import numpy as np
+
+    from fastk_tpu.parallel.dist import make_mesh
+    from fastk_tpu.parallel.host import sharded_count
+
+    rng = np.random.default_rng(17)
+    codes = rng.integers(0, 4, size=6000, dtype=np.int64).astype(np.uint8)
+    codes[::211] = 4
+    mesh = make_mesh(4)
+    a = sharded_count(codes, 13, mesh, want_positions=True,
+                      route_impl="scatter")
+    b = sharded_count(codes, 13, mesh, want_positions=True,
+                      route_impl="merge")
+    assert np.array_equal(a[0], b[0])  # words
+    assert np.array_equal(a[1], b[1])  # counts
+    assert np.array_equal(a[2], b[2])  # hist
+    assert np.array_equal(a[4], b[4])  # pos_counts

@@ -153,3 +153,17 @@ def test_long_read_slicing(monkeypatch):
     # profile of the long read must have per-position counts everywhere
     assert len(out.profiles[0]) == 100_000 - 20
     assert (np.asarray(out.profiles[0]) >= 1).all()
+
+
+def test_relative_profiles_match_oracle_golden():
+    """-p:<table> decode-equals the oracle's relative profiles."""
+    base = os.path.join(GOLDEN, "rel_smallq_vs_small", "smallq")
+    if not os.path.exists(base + ".prof"):
+        pytest.skip("relative golden not generated")
+    table = K.read_ktab(os.path.join(GOLDEN, "small_k40", "small"))
+    out = count_files([_inp("smallq.fastq")], 40, relative_table=table,
+                      profiles=True)
+    pi = P.ProfileIndex(base)
+    assert pi.nreads == len(out.profiles)
+    for i in range(pi.nreads):
+        assert np.array_equal(pi.fetch(i), out.profiles[i]), f"read {i}"

@@ -17,7 +17,7 @@ Count 0 == absent, throughout. GC% of a k-mer is (100 * #gc) // k.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 

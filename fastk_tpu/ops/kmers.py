@@ -20,7 +20,7 @@ boundary sentinel) get all-zero words and an invalid flag that sorts last.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+
 
 import jax
 import jax.numpy as jnp

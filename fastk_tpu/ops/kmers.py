@@ -7,11 +7,11 @@ on-disk .ktab packing (reference packing: README.md table spec; the
 reference's byte-at-a-time canonical compare is count.c:439-510, here done
 word-parallel over all positions at once).
 
-All positions of a code stream are processed in one fixed shape [S]: the
-word arrays are built with 16 shifted ORs per word (a bit-parallel sliding
-window), instead of the reference's per-base rolling scalar loop
-(split.c:1136-1320) — that loop is inherently sequential; this form is pure
-VPU work that XLA fuses and vectorizes.
+All positions of a code stream are processed in one fixed shape [S]: word
+arrays are built bit-parallel from 4-base uint8 groups (see canonical_kmers)
+instead of the reference's per-base rolling scalar loop (split.c:1136-1320)
+— that loop is inherently sequential; this form is pure VPU work that XLA
+fuses and vectorizes.
 
 Invalid positions (windows containing a non-acgt code or crossing a read
 boundary sentinel) get all-zero words and an invalid flag that sorts last.

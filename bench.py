@@ -81,9 +81,11 @@ def main():
     n = int(block.shape[0])  # bases incl. sentinels actually generated
     full = jnp.concatenate(
         [block, jnp.full(total + pad4 - n, 4, jnp.uint8)])
-    # one-time D2H; transfers run as uint32 words (uint8 moves ~1000x
-    # slower on some PJRT transports)
-    packed_host = np.asarray(pack_codes_device(full)).view(np.uint32)
+    # one-time D2H; transfers run as uint32 words IN BOTH DIRECTIONS
+    # (uint8 moves ~1000x slower on some PJRT transports)
+    packed_dev = pack_codes_device(full)
+    packed_host = np.asarray(jax.lax.bitcast_convert_type(
+        packed_dev.reshape(-1, 4), jnp.uint32))
 
     # exception (sentinel) positions, known analytically on host
     sent = np.arange(stride - 1, n, stride, dtype=np.uint32)

@@ -1,9 +1,10 @@
-"""Minimal ONE-code (1-code) ASCII writer for the `-1` tool exports.
+"""ONE-code (1-code) writers for the `-1` tool exports: binary and ASCII.
 
 The reference links ONElib (Durbin/Myers, ONElib.c:1-4194) and writes the
-BINARY 1-code form. We emit the equivalent ASCII form of the same schemas
-(.khist/.kmr/.prf): any ONE-code consumer reads both, and `ONEview` converts
-between them. ASCII layout (ONElib.c oneWriteLine ASCII branch + writeHeader):
+BINARY 1-code form; `OneBinaryWriter` reproduces that container so any
+ONElib-based consumer (ONEview etc.) reads our exports directly. The ASCII
+form (`OneAsciiWriter`) remains available — every ONE-code consumer reads
+both. ASCII layout (ONElib.c oneWriteLine ASCII branch + writeHeader):
 
     1 <len> <filetype> 2 1
     ! 4 <len> <prog> <len> <version> <len> <command> <len> <date>
@@ -12,10 +13,28 @@ between them. ASCII layout (ONElib.c oneWriteLine ASCII branch + writeHeader):
     .
     <data lines>: TYPE then fields; INTs bare, STRING/DNA/INT_LIST prefixed
     by their length.
+
+Binary layout (ONElib.c writeHeader/oneWriteLine binary branch/
+oneWriteFooter, ONElib.c:2203-2663):
+
+    ASCII prolog: the "1" line, provenance, '.' spacer, '~' schema rows,
+      then "$ <isBig>" and a newline — data starts right after it.
+    data lines: 1 code byte ((idx<<1)|0x80, bit0 = list-compressed; we
+      always write uncompressed so bit0 is clear), then the fields — CHAR
+      raw byte, REAL 8 raw bytes, INT and list lengths as ltf varints
+      (ONElib.c intPut) — then the list payload: STRING/DNA raw bytes;
+      INT_LIST as ltf(first), one byte-width byte, then fixed-width
+      little-endian deltas (ONElib.c compactIntList).
+    end-of-data: one '\n'.
+    footer: per line type in schema order, ASCII "# t n"/"@ t max"/
+      "+ t total" counts, "% o x t v" per-object stats, and for object
+      types a binary '&' line carrying the byte index (count+1 offsets);
+      then "^\n" and the footer byte offset as 8 little-endian bytes.
 """
 
 from __future__ import annotations
 
+import struct
 import sys
 import time
 from typing import Iterable, Sequence, TextIO
@@ -69,20 +88,222 @@ class OneAsciiWriter:
         self.out.write(" ".join(parts) + "\n")
 
 
+def _ltf(val: int) -> bytes:
+    """ONElib's length-tagged varint (intPut, ONElib.c:3790-3825).
+
+    1 byte 0x40|v for |v| < 64; 2 bytes 0x20|(v>>8), v&0xff for
+    0 <= v < 0x2000; else a tag byte k (0x80|k if negative) followed by the
+    k+1 low little-endian bytes of the two's-complement value."""
+    if val >= 0:
+        if val < 0x40:
+            return bytes([0x40 | val])
+        if val < 0x2000:
+            return bytes([0x20 | (val >> 8), val & 0xFF])
+        nb = 2
+        while nb < 9 and val >= 1 << (8 * nb):
+            nb += 1
+        return bytes([nb - 1]) + val.to_bytes(8, "little")[:nb]
+    if val >= -0x40:
+        return bytes([(val | 0x40) & 0xFF])
+    nb = 2
+    while nb < 9 and -val - 1 >= 1 << (8 * nb):
+        nb += 1
+    return bytes([0x80 | (nb - 1)]) + (val & ((1 << 64) - 1)).to_bytes(
+        8, "little")[:nb]
+
+
+def _pack_code(t: str) -> int:
+    """Binary line-code byte for type char t (ONElib.c:193-198)."""
+    if "A" <= t <= "Z":
+        c = ord(t) - ord("A")
+    elif "a" <= t <= "z":
+        c = 26 + ord(t) - ord("a")
+    else:
+        c = {";": 52, "&": 53, "/": 54, ".": 55}[t]
+    return 0x80 | (c << 1)
+
+
+def _int_list_payload(vals) -> bytes:
+    """INT_LIST binary payload: ltf(first); if len > 1, a byte-width byte
+    then that many low LE bytes of each successive delta (compactIntList,
+    ONElib.c:902-958)."""
+    vals = [int(v) for v in vals]
+    out = bytearray(_ltf(vals[0]))
+    if len(vals) == 1:
+        return bytes(out)
+    diffs = [b - a for a, b in zip(vals, vals[1:])]
+    mask = 0
+    for d in diffs:
+        mask |= d if d >= 0 else -(d + 1)
+    mask >>= 7
+    nb = 1
+    while mask and nb < 8:
+        nb += 1
+        mask >>= 8
+    out.append(nb)
+    lim = (1 << (8 * nb)) - 1
+    for d in diffs:
+        out += (d & lim).to_bytes(nb, "little")
+    return bytes(out)
+
+
+class _TypeInfo:
+    __slots__ = ("ftypes", "is_object", "list_field", "contains",
+                 "count", "total", "max", "index", "snap", "stat")
+
+    def __init__(self, ftypes, is_object):
+        self.ftypes = ftypes
+        self.is_object = is_object
+        self.list_field = next(
+            (i for i, ft in enumerate(ftypes)
+             if ft in ("STRING", "DNA", "INT_LIST")), None)
+        self.contains: list[str] = []   # D types following this O row
+        self.count = self.total = self.max = 0
+        self.index: list[int] = []      # byte offsets (object types)
+        self.snap: dict | None = None   # open instance: counts at start
+        self.stat: dict = {}            # contained t -> [maxCount, maxTotal]
+
+
+class OneBinaryWriter:
+    """Binary ONE-code writer with the same `.line()` API as the ASCII
+    writer. Always writes lists uncompressed (the per-line flag bit makes
+    that a valid encoding for every ONElib reader, ONElib.c:1194-1215);
+    `close()` MUST be called to emit the footer."""
+
+    def __init__(self, filetype: str, schema: Sequence[str], prog: str,
+                 command: str, out=None):
+        self.f = out if out is not None else sys.stdout.buffer
+        self.schema_order: list[str] = []
+        self.infos: dict[str, _TypeInfo] = {}
+        cur_obj = None
+        for row in schema:
+            tok = row.split()
+            kind, t, n = tok[0], tok[1], int(tok[2])
+            ftypes = [tok[3 + 2 * i + 1] for i in range(n)]
+            info = _TypeInfo(ftypes, kind == "O")
+            self.infos[t] = info
+            self.schema_order.append(t)
+            if kind == "O":
+                cur_obj = info
+            elif cur_obj is not None:
+                cur_obj.contains.append(t)
+        self._open: list[str] = []  # stack of open object types
+
+        date = time.strftime("%Y-%m-%d_%H:%M:%S")
+        prolog = (f"1 {len(filetype)} {filetype} {ONE_MAJOR} {ONE_MINOR}"
+                  + "\n! 4" + "".join(
+                      f" {len(s)} {s}" for s in (prog, "1.0", command, date))
+                  + "\n."
+                  + "".join(f"\n~ {row}" for row in schema)
+                  + "\n$ 0\n").encode()
+        self.f.write(prolog)
+        self._byte = len(prolog)
+        for info in self.infos.values():
+            if info.is_object:
+                info.index.append(self._byte)  # index[0] = start of data
+
+    def _close_instance(self, t: str) -> None:
+        info = self.infos[t]
+        for c in info.contains:
+            ci = self.infos[c]
+            st = info.stat.setdefault(c, [0, 0])
+            st[0] = max(st[0], ci.count - info.snap[c][0])
+            st[1] = max(st[1], ci.total - info.snap[c][1])
+        info.snap = None
+
+    def line(self, t: str, *fields) -> None:
+        info = self.infos[t]
+        while self._open and t not in self.infos[self._open[-1]].contains:
+            self._close_instance(self._open.pop())
+        info.count += 1
+        if info.is_object:
+            info.index.append(self._byte)
+            info.snap = {c: (self.infos[c].count, self.infos[c].total)
+                         for c in info.contains}
+            self._open.append(t)
+
+        buf = bytearray([_pack_code(t)])
+        list_val = None
+        for ft, v in zip(info.ftypes, fields):
+            if ft == "CHAR":
+                buf.append(ord(v))
+            elif ft == "REAL":
+                buf += struct.pack("<d", v)
+            elif ft == "INT":
+                buf += _ltf(int(v))
+            else:  # STRING / DNA / INT_LIST: the field holds the length
+                list_val = v
+                buf += _ltf(len(v))
+        if list_val is not None and len(list_val) > 0:
+            n = len(list_val)
+            info.total += n
+            info.max = max(info.max, n)
+            if info.ftypes[info.list_field] == "INT_LIST":
+                buf += _int_list_payload(list_val)
+            else:  # STRING / DNA raw bytes, uncompressed
+                buf += list_val.encode() if isinstance(list_val, str) \
+                    else bytes(list_val)
+        self.f.write(buf)
+        self._byte += len(buf)
+
+    def close(self) -> None:
+        while self._open:
+            self._close_instance(self._open.pop())
+        self.f.write(b"\n")       # end-of-data marker (last line is binary)
+        self._byte += 1
+        foot_off = self._byte
+        for t in self.schema_order:
+            info = self.infos[t]
+            if info.count == 0:
+                continue
+            counts = f"# {t} {info.count}\n"
+            if info.max > 0:
+                counts += f"@ {t} {info.max}\n"
+            if info.total > 0:
+                counts += f"+ {t} {info.total}\n"
+            if info.is_object:
+                for c, (mc, mt) in sorted(info.stat.items()):
+                    if mc:
+                        counts += f"% {t} # {c} {mc}\n"
+                    if mt:
+                        counts += f"% {t} + {c} {mt}\n"
+            b = counts.encode()
+            self.f.write(b)
+            self._byte += len(b)
+            if info.is_object:   # '&' byte-index line: CHAR t, INT_LIST
+                amp = bytearray([_pack_code("&"), ord(t)])
+                amp += _ltf(len(info.index))
+                amp += _int_list_payload(info.index)
+                self.f.write(amp)
+                self._byte += len(amp)
+        self.f.write(b"^\n" + struct.pack("<q", foot_off))
+        self.f.flush()
+
+
+def _writer(binary: bool, filetype: str, schema, prog: str, command: str,
+            out):
+    if binary:
+        return OneBinaryWriter(filetype, schema, prog, command, out)
+    return OneAsciiWriter(filetype, schema, prog, command, out)
+
+
 def write_khist(hist, source_name: str, low: int, high: int,
-                command: str, out=None) -> None:
+                command: str, out=None, binary: bool = True) -> None:
     """`Histex -1` export (reference: Histex.c:183-198)."""
-    f1 = OneAsciiWriter("khist", KHIST_SCHEMA, "histex", command, out)
+    f1 = _writer(binary, "khist", KHIST_SCHEMA, "histex", command, out)
     f1.line("N", source_name)
     f1.line("R", low, high)
     f1.line("H", hist)
+    if binary:
+        f1.close()
 
 
-def write_kmr(stream, cut: int, command: str, out=None) -> None:
+def write_kmr(stream, cut: int, command: str, out=None,
+              binary: bool = True) -> None:
     """`Tabex -1` export: per-prefix suffix/count groups (Tabex.c:86-143)."""
     from fastk_tpu.formats.ktab import kmer_to_string
 
-    f1 = OneAsciiWriter("kmr", KMR_SCHEMA, "tabex", command, out)
+    f1 = _writer(binary, "kmr", KMR_SCHEMA, "tabex", command, out)
     gmer = 4 * stream.ibyte
     f1.line("K", stream.kmer, gmer, stream.minval, stream._prefix_of(0))
     CHUNK = 1 << 15
@@ -108,10 +329,15 @@ def write_kmr(stream, cut: int, command: str, out=None) -> None:
                 cnts.append(c)
     f1.line("S", "".join(sufs))
     f1.line("C", cnts)
+    if binary:
+        f1.close()
 
 
-def write_prf(profiles: Iterable, command: str, out=None) -> None:
+def write_prf(profiles: Iterable, command: str, out=None,
+              binary: bool = True) -> None:
     """`Profex -1` export (reference: Profex.c:112-180)."""
-    f1 = OneAsciiWriter("prf", PRF_SCHEMA, "profex", command, out)
+    f1 = _writer(binary, "prf", PRF_SCHEMA, "profex", command, out)
     for prof in profiles:
         f1.line("P", prof)
+    if binary:
+        f1.close()

@@ -11,12 +11,12 @@ import sys
 from fastk_tpu.formats.hist import read_histogram
 from fastk_tpu.tools._cli import die, print_number, root_name
 
-USAGE = "Usage: histex [-1] [-kAG] [-h[<int(1)>:]<int(-G?1000:100)>] <source_root>[.hist]"
+USAGE = "Usage: histex [-1[a]] [-kAG] [-h[<int(1)>:]<int(-G?1000:100)>] <source_root>[.hist]"
 
 
 def main(argv=None):
     argv = sys.argv[1:] if argv is None else argv
-    flags = {c: False for c in "kAG1"}
+    flags = {c: False for c in "kAG1a"}
     hist_set = False
     low, high = 1, 100
     pos = []
@@ -78,7 +78,8 @@ def main(argv=None):
         m = h.modified(low, high, True)
         cmd = "histex " + " ".join(argv) + " >?.khist"
         write_khist(m.counts, pos[0] if pos[0].endswith(".hist")
-                    else pos[0] + ".hist", low, high, cmd)
+                    else pos[0] + ".hist", low, high, cmd,
+                    binary=not flags["a"])
         return 0
 
     m = h.modified(low, high, unique)

@@ -7,12 +7,12 @@ import sys
 from fastk_tpu.formats.prof import ProfileIndex
 from fastk_tpu.tools._cli import die
 
-USAGE = "Usage: profex [-1Az] <source_root>[.prof] [ <read:int>[-(<read:int>|#)] ... ]"
+USAGE = "Usage: profex [-1[a]Az] <source_root>[.prof] [ <read:int>[-(<read:int>|#)] ... ]"
 
 
 def main(argv=None):
     argv = sys.argv[1:] if argv is None else argv
-    flags = {c: False for c in "1Az"}
+    flags = {c: False for c in "1Aza"}
     pos = []
     for a in argv:
         if a.startswith("-") and len(a) > 1 and all(c in flags for c in a[1:]):
@@ -52,7 +52,8 @@ def main(argv=None):
 
         cmd = "profex " + " ".join(argv) + " >?.prf"
         write_prf((pi.fetch(p - 1) for id1, id2 in ranges
-                   for p in range(id1, id2 + 1)), cmd)
+                   for p in range(id1, id2 + 1)), cmd,
+                  binary=not flags["a"])
         return 0
 
     zflag, aflag = flags["z"], flags["A"]

@@ -13,7 +13,7 @@ import numpy as np
 from fastk_tpu.formats.ktab import KmerStream, kmer_to_string
 from fastk_tpu.tools._cli import die, print_number
 
-USAGE = "Usage: tabex [-1AC] [-t<int>] <source>[.ktab] [ <address>[-<address>] ]"
+USAGE = "Usage: tabex [-1[a]AC] [-t<int>] <source>[.ktab] [ <address>[-<address>] ]"
 
 _SHIFTUP = {"a": "c", "c": "g", "g": "t"}
 
@@ -46,7 +46,7 @@ def _interpret(s: KmerStream, x: str, beg: bool) -> int:
 
 def main(argv=None):
     argv = sys.argv[1:] if argv is None else argv
-    flags = {c: False for c in "1AC"}
+    flags = {c: False for c in "1ACa"}
     cut = 0
     pos = []
     for a in argv:
@@ -98,7 +98,7 @@ def main(argv=None):
         from fastk_tpu.formats.onecode import write_kmr
 
         cmd = "tabex " + " ".join(argv) + " >?.kmr"
-        write_kmr(s, cut, cmd)
+        write_kmr(s, cut, cmd, binary=not flags["a"])
         return 0
 
     if not flags["A"]:

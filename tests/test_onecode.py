@@ -1,4 +1,4 @@
-"""1-code (-1) ASCII exports of histex/tabex/profex.
+"""1-code (-1a) ASCII exports of histex/tabex/profex.
 
 The reference writes binary 1-code (ONElib); we emit the equivalent ASCII
 form, so tests verify structure + full content round-trip, not bytes.
@@ -43,7 +43,7 @@ def test_khist_export(capsys, monkeypatch):
     from fastk_tpu.formats.hist import read_histogram
     from fastk_tpu.tools.histex import main
 
-    out = _capture(main, ["-1", "-h1:40", GOLD + ".hist"], monkeypatch, capsys)
+    out = _capture(main, ["-1a", "-h1:40", GOLD + ".hist"], monkeypatch, capsys)
     ftype, data = _parse_one(out)
     assert ftype == "khist"
     rec = {d[0]: d[1:] for d in data}
@@ -59,7 +59,7 @@ def test_kmr_export(capsys, monkeypatch):
     from fastk_tpu.formats.ktab import read_ktab, kmer_to_string
     from fastk_tpu.tools.tabex import main
 
-    out = _capture(main, ["-1", GOLD + ".ktab"], monkeypatch, capsys)
+    out = _capture(main, ["-1a", GOLD + ".ktab"], monkeypatch, capsys)
     ftype, data = _parse_one(out)
     assert ftype == "kmr"
     k_line = [d for d in data if d[0] == "K"][0]
@@ -99,7 +99,7 @@ def test_prf_export(capsys, monkeypatch):
     from fastk_tpu.formats.prof import ProfileIndex
     from fastk_tpu.tools.profex import main
 
-    out = _capture(main, ["-1", GOLD + ".prof", "1-3"], monkeypatch, capsys)
+    out = _capture(main, ["-1a", GOLD + ".prof", "1-3"], monkeypatch, capsys)
     ftype, data = _parse_one(out)
     assert ftype == "prf"
     pi = ProfileIndex(GOLD)

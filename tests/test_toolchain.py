@@ -79,7 +79,7 @@ def test_toolchain(world, capsys):
         rows = [ln.split("\t") for ln in f.read().splitlines()]
     assert rows and all(int(r[1]) < int(r[2]) for r in rows)
 
-    # 7. 1-code exports parse
-    assert histex.main(["-1", a + ".hist"]) == 0
+    # 7. 1-code exports parse (-1 = binary container, -1a = ASCII)
+    assert histex.main(["-1a", a + ".hist"]) == 0
     out = capsys.readouterr().out
     assert out.startswith("1 5 khist 2 1\n")

@@ -228,6 +228,34 @@ def unique_batch(codes: jnp.ndarray, k: int, size: int):
                 nuniq=nuniq, nvalid=jnp.int32(size) - ninv)
 
 
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def unique_batch_inst(codes: jnp.ndarray, k: int, size: int):
+    """unique_batch plus the sorted instance stream, for out-of-core
+    profile spills: the SAME key sort additionally carries each record's
+    position, so phase 1 can spill (key, position) instances routed to
+    their keyspace part (replacing per-(part,batch) joins downstream).
+
+    Extra keys: s_words (folded, ascending, invalid all-ones last) and
+    s_pos (uint32 position of each sorted record); the first `nvalid`
+    records are the valid instances."""
+    words, invalid = canonical_kmers(codes, k, size)
+    ninv = jnp.sum(invalid.astype(jnp.int32))
+    f = fold_invalid(words, invalid)
+    out = jax.lax.sort((*f, jnp.arange(size, dtype=jnp.uint32)),
+                       num_keys=len(f), is_stable=False)
+    s_words, s_pos = out[:-1], out[-1]
+    seg = segment_reduce(s_words, size, carry_words=True)
+    has_inv = (ninv > 0).astype(jnp.int32)
+    nuniq = seg["nseg"] - has_inv
+    slot = jnp.arange(size, dtype=jnp.int32)
+    seg_counts = jnp.where(slot < nuniq, seg["seg_counts"], 0)
+    seg_words = tuple(
+        jnp.where(slot < nuniq, w, ONES) for w in seg["seg_words"])
+    return dict(seg_words=seg_words, seg_counts=seg_counts, nseg=seg["nseg"],
+                nuniq=nuniq, nvalid=jnp.int32(size) - ninv,
+                s_words=s_words, s_pos=s_pos)
+
+
 @functools.partial(jax.jit, static_argnums=(2,))
 def merge_unique_blocks(words, counts, size: int):
     """Merge concatenated per-batch unique blocks into global sorted uniques.
@@ -253,30 +281,26 @@ def merge_unique_blocks(words, counts, size: int):
                 hist=hist)
 
 
-@functools.partial(jax.jit, static_argnums=(3, 4))
-def profile_join(table_words, table_counts, codes: jnp.ndarray, k: int,
-                 size: int):
-    """Per-position clipped counts of a code stream against a sorted table.
-
-    table_words: tuple of W uint32[A], sorted unique keys, all-ones at empty
-    slots; table_counts: int32[A], 0 at empty slots.
+def _join_counts(table_words, table_counts, q_folded):
+    """Core sort-merge join: clipped table count of each query key, in
+    query order (0 where the key is absent or all-ones).
 
     A sort-merge join: table entries and query positions are sorted together
     keyed by (words..., pos') where pos' is 0 for table entries and i+1 for
     the query at position i — so each table entry leads its key's segment
     and the same operand later restores stream order with one 1-key sort.
     The count at each segment start (a table count, or 0 for an absent key)
-    broadcasts to the whole segment by fill-forward. Invalid query positions share the
-    all-ones segment with empty table slots, whose weight sum is 0 — so they
-    get count 0 for free. Replaces the reference's per-bucket reference-table
-    stream intersection (cmer_merge_thread, count.c:675-792).
+    broadcasts to the whole segment by fill-forward. All-ones query keys
+    share the segment of the table's all-ones empty slots, whose count is
+    0 — so they get count 0 for free. Replaces the reference's per-bucket
+    reference-table stream intersection (cmer_merge_thread, count.c:675-792).
     """
     W = len(table_words)
     A = table_counts.shape[0]
-    words, invalid = canonical_kmers(codes, k, size)
-    q = fold_invalid(words, invalid)
+    size = q_folded[0].shape[0]
     N = A + size
-    merged = tuple(jnp.concatenate([tw, qw]) for tw, qw in zip(table_words, q))
+    merged = tuple(
+        jnp.concatenate([tw, qw]) for tw, qw in zip(table_words, q_folded))
     cnt = jnp.concatenate([table_counts.astype(jnp.int32),
                            jnp.zeros(size, jnp.int32)])
     # one operand doubles as the table-first tiebreak key AND the position:
@@ -298,6 +322,28 @@ def profile_join(table_words, table_counts, codes: jnp.ndarray, k: int,
     # land first, queries follow in position order
     by_pos = jax.lax.sort((s_pos, elem_cnt), num_keys=1, is_stable=False)[1]
     return jnp.minimum(by_pos[A: A + size], HIST_HIGH)
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4))
+def profile_join(table_words, table_counts, codes: jnp.ndarray, k: int,
+                 size: int):
+    """Per-position clipped counts of a code stream against a sorted table
+    (see _join_counts). Invalid positions fold to all-ones keys -> count 0.
+
+    table_words: tuple of W uint32[A], sorted unique keys, all-ones at empty
+    slots; table_counts: int32[A], 0 at empty slots."""
+    words, invalid = canonical_kmers(codes, k, size)
+    return _join_counts(table_words, table_counts,
+                        fold_invalid(words, invalid))
+
+
+@jax.jit
+def profile_join_keys(table_words, table_counts, q_words):
+    """Join pre-computed (invalid-folded) query key words against a sorted
+    table: clipped counts in query order. The out-of-core profile path uses
+    this on spilled instance records — each instance visits exactly ONE
+    part's join instead of every (part, batch) pair."""
+    return _join_counts(table_words, table_counts, q_words)
 
 
 def positions_inverse(pos: jnp.ndarray, values: jnp.ndarray):

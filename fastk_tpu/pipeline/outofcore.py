@@ -16,9 +16,14 @@ split.c:1407-1713), then counts bucket-by-bucket. The TPU version:
    histogram, emit the part's table slice. Parts are keyspace-ordered, so
    concatenating their tables yields the final sorted table (the phase-3
    merge of table.c:346-533 is free by construction).
-5. Profiles (optional): per batch x part, the device sort-merge join adds
-   the part's counts into the batch's position vector; parts partition the
-   keyspace, so the sum over parts is exact.
+5. Profiles (optional): phase 1's key sort also carries positions
+   (unique_batch_inst), so (key, position) INSTANCE records spill to their
+   keyspace part alongside the uniques (the TPU analog of the reference
+   carrying super-mer ordinals into the bucket files, split.c:1167-1277).
+   Phase 2 then joins each part's instances against that part's merged
+   table ONCE (profile_join_keys) and scatters the counts back into
+   per-batch position vectors on host — every instance is processed by
+   exactly one join, instead of every (part, batch) pair.
 """
 
 from __future__ import annotations
@@ -34,7 +39,12 @@ import jax.numpy as jnp
 from fastk_tpu.formats.hist import HIST_HIGH, Histogram
 from fastk_tpu.formats.ktab import KmerTable
 from fastk_tpu.io.reader import batched_reads
-from fastk_tpu.ops.count import merge_unique_blocks, profile_join, unique_batch
+from fastk_tpu.ops.count import (
+    merge_unique_blocks,
+    profile_join_keys,
+    unique_batch,
+    unique_batch_inst,
+)
 from fastk_tpu.ops.kmers import nwords, words_to_packed
 
 from fastk_tpu.pipeline.count import (
@@ -42,7 +52,6 @@ from fastk_tpu.pipeline.count import (
     _device_codes,
     _code_slices,
     _profiles_from_positions,
-    _trim,
 )
 
 
@@ -110,8 +119,12 @@ def count_files_ooc(
 ) -> CountOutput:
     """Bounded-memory counting via `parts` disk buckets (the -M path)."""
     W = nwords(k)
-    spill = _Spill(os.path.join(sort_path, f"fastk_tpu_ooc.{os.getpid()}"),
-                   parts, W)
+    base = os.path.join(sort_path, f"fastk_tpu_ooc.{os.getpid()}")
+    spill = _Spill(base, parts, W)
+    # instance spill: value column = batch-local position; per-part append
+    # metadata (batch idx, n) rebuilds the batch column on load
+    ispill = _Spill(base + ".inst", parts, W) if profiles else None
+    imeta: List[List[Tuple[int, int]]] = [[] for _ in range(parts)]
     edges: Optional[np.ndarray] = None
     batches = []
     nvalid_total = 0
@@ -120,8 +133,10 @@ def count_files_ooc(
         # ---- phase 1: per-batch device dedup, spill by key range ----------
         def _spill_one(res, label):
             nonlocal nvalid_total, edges
+            bidx, nreads, off = label
             nu = int(res["nuniq"])
-            nvalid_total += int(res["nvalid"])
+            nval = int(res["nvalid"])
+            nvalid_total += nval
             words = np.stack(
                 [np.asarray(w[:nu]) for w in res["seg_words"]], axis=1)
             counts = np.asarray(res["seg_counts"][:nu]).astype(np.uint32)
@@ -133,8 +148,21 @@ def count_files_ooc(
             for p in range(parts):
                 spill.append(p, words[cuts[p]: cuts[p + 1]],
                              counts[cuts[p]: cuts[p + 1]])
+            if profiles:
+                # valid instances lead the sorted stream (invalid fold to
+                # all-ones keys and sort last)
+                iw = np.stack(
+                    [np.asarray(w[:nval]) for w in res["s_words"]], axis=1)
+                ipos = np.asarray(res["s_pos"][:nval]) + np.uint32(off)
+                icuts = ([0] + [int(np.searchsorted(iw[:, 0], e))
+                                for e in edges] + [nval])
+                for p in range(parts):
+                    lo, hi = icuts[p], icuts[p + 1]
+                    if hi > lo:
+                        ispill.append(p, iw[lo:hi], ipos[lo:hi])
+                        imeta[p].append((bidx, hi - lo))
             if verbose:
-                print(f"  batch {label[0]}: {label[1]} reads, "
+                print(f"  batch {bidx + 1}: {nreads} reads, "
                       f"{nu} uniques spilled", flush=True)
 
         # one-batch lookahead so the next batch's parse/pack/H2D overlaps
@@ -143,11 +171,13 @@ def count_files_ooc(
         for batch, _ord in batched_reads(list(paths), batch_bases,
                                          hc=hc, bc=bc):
             batches.append(batch)
-            for _off, size, buf in _code_slices(batch.codes, k):
-                res = unique_batch(_device_codes(buf), k, size)
+            for off, size, buf in _code_slices(batch.codes, k):
+                dc = _device_codes(buf)
+                res = (unique_batch_inst(dc, k, size) if profiles
+                       else unique_batch(dc, k, size))
                 if pending is not None:
                     _spill_one(*pending)
-                pending = (res, (len(batches), batch.nreads))
+                pending = (res, (len(batches) - 1, batch.nreads, off))
         if pending is not None:
             _spill_one(*pending)
 
@@ -158,7 +188,8 @@ def count_files_ooc(
         hist_arr = np.zeros(HIST_HIGH + 1, dtype=np.int64)
         packed_parts: List[np.ndarray] = []
         count_parts: List[np.ndarray] = []
-        part_tables: List[Tuple[tuple, jnp.ndarray]] = []
+        pos_arrays = ([np.zeros(len(b.codes), np.int32) for b in batches]
+                      if profiles else None)
 
         for p in range(parts):
             words, counts = spill.load(p)
@@ -188,10 +219,30 @@ def count_files_ooc(
                 packed_parts.append(words_to_packed(u_words[keep], k))
                 count_parts.append(u_counts[keep])
             if profiles:
-                capt = _trim(nuniq)
-                part_tables.append((
-                    tuple(w[:capt] for w in merged["seg_words"]),
-                    jnp.minimum(merged["seg_counts"][:capt], HIST_HIGH)))
+                # join this part's spilled instances against its merged
+                # table NOW (the part table then leaves HBM with the loop)
+                iw, ipos = ispill.load(p)
+                nq = len(ipos)
+                if nq:
+                    # pow2 pads bound the distinct jit shapes on long runs
+                    capt = 1 << max(15, math.ceil(math.log2(max(nuniq, 2))))
+                    t_words = tuple(w[:capt] for w in merged["seg_words"])
+                    t_counts = jnp.minimum(
+                        merged["seg_counts"][:capt], HIST_HIGH)
+                    capq = 1 << max(15, math.ceil(math.log2(nq)))
+                    q_words = tuple(
+                        jnp.concatenate([
+                            jnp.asarray(np.ascontiguousarray(iw[:, j])),
+                            jnp.full(capq - nq, 0xFFFFFFFF, jnp.uint32)])
+                        for j in range(W))
+                    cnts = np.asarray(
+                        profile_join_keys(t_words, t_counts, q_words))[:nq]
+                    bcol = np.repeat(
+                        np.array([b for b, _ in imeta[p]], np.int64),
+                        [n for _, n in imeta[p]])
+                    for b in np.unique(bcol):
+                        m = bcol == b
+                        pos_arrays[b][ipos[m]] = cnts[m]
 
         overflow = nvalid_total - int(
             (hist_arr[1:] * np.arange(1, HIST_HIGH + 1, dtype=np.int64)).sum())
@@ -205,20 +256,11 @@ def count_files_ooc(
         profs = None
         if profiles:
             profs = []
-            for batch in batches:
-                n = len(batch.codes)
-                pos_counts = np.zeros(n, dtype=np.int32)
-                for off, size, buf in _code_slices(batch.codes, k):
-                    dc = _device_codes(buf)
-                    acc = np.zeros(size, dtype=np.int32)
-                    for t_words, t_counts in part_tables:
-                        acc += np.asarray(
-                            profile_join(t_words, t_counts, dc, k, size))
-                    take = min(size, n - off)
-                    if take > 0:
-                        pos_counts[off: off + take] = acc[:take]
+            for batch, pos_counts in zip(batches, pos_arrays):
                 profs.extend(
                     _profiles_from_positions(batch, pos_counts, k))
         return CountOutput(k, hist, table, profs, nreads, totlen)
     finally:
         spill.close()
+        if ispill is not None:
+            ispill.close()

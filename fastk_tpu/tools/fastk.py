@@ -99,7 +99,7 @@ def _run(cfg, out_base):
 
         jax.profiler.start_trace(trace_dir)
 
-    t0 = time.time()
+    timer = _Timer()
 
     rel = None
     if cfg["ptable"]:
@@ -147,11 +147,10 @@ def _run(cfg, out_base):
             verbose=cfg["v"],
         )
 
-    t_count = time.time()
     if cfg["v"]:
         print(f"  {print_number(out.nreads)} reads, "
               f"{print_number(out.totlen)} bases", file=sys.stderr)
-        _report_phase("Counting", t0, t_count)
+        timer.phase()
 
     nparts = max(1, cfg["T"])
     try:
@@ -172,8 +171,8 @@ def _run(cfg, out_base):
         raise
 
     if cfg["v"]:
-        _report_phase("Output writing", t_count, time.time())
-        _report_phase("Total", t0, time.time())
+        timer.phase()
+        timer.total()
     if trace_dir:
         import jax
 
@@ -181,13 +180,43 @@ def _run(cfg, out_base):
     return 0
 
 
-def _report_phase(name: str, t_beg: float, t_end: float) -> None:
-    """Per-phase resource report (the timeTo analog, FastK.c:104-175)."""
-    ru = resource.getrusage(resource.RUSAGE_SELF)
-    wall = t_end - t_beg
-    print(f"\n  {name}: {wall:.1f} wall, {ru.ru_utime:.1f} user, "
-          f"{ru.ru_stime:.1f} sys, {ru.ru_maxrss / 1e6:.2f} GB host peak",
-          file=sys.stderr)
+class _Timer:
+    """The timeTo analog (FastK.c:104-175): per-phase user/sys/wall deltas
+    and %utilization in the reference's format ("M:SS.mmm" past a minute,
+    else "S.mmm", tagged u/s/w), plus a Total line with peak RSS in MB."""
+
+    def __init__(self):
+        self._mark = self._now()
+        self._init = self._mark
+
+    @staticmethod
+    def _now():
+        ru = resource.getrusage(resource.RUSAGE_SELF)
+        return (ru.ru_utime, ru.ru_stime, time.time(), ru.ru_maxrss)
+
+    @staticmethod
+    def _fmt(secs: float, tag: str) -> str:
+        ms = int(round(secs * 1000))
+        if secs >= 60:
+            return f"{ms // 60000}:{(ms // 1000) % 60:02d}.{ms % 1000:03d}{tag}"
+        return f"{ms // 1000}.{ms % 1000:03d}{tag}"
+
+    def _line(self, label: str, base) -> tuple:
+        now = self._now()
+        u, s, w = (now[i] - base[i] for i in range(3))
+        txt = (f"{label}  {self._fmt(u, 'u')}  {self._fmt(s, 's')}"
+               f"  {self._fmt(w, 'w')}  {100 * (u + s) / max(w, 1e-9):.1f}%")
+        return txt, now
+
+    def phase(self) -> None:
+        txt, now = self._line("\n  Resources for phase:", self._mark)
+        print(txt, file=sys.stderr)
+        self._mark = now
+
+    def total(self) -> None:
+        txt, now = self._line("\nTotal Resources:", self._init)
+        # linux ru_maxrss is KB (the reference's /1000000 assumes bytes)
+        print(f"{txt}  {print_number(now[3] // 1000)}MB", file=sys.stderr)
 
 
 if __name__ == "__main__":

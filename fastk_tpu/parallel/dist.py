@@ -281,6 +281,73 @@ def sharded_count_fn(mesh: Mesh, k: int, shard_size: int, slack: float = 1.6,
     return jax.jit(fn)
 
 
+def sharded_relative_fn(mesh: Mesh, k: int, shard_size: int, table_cap: int,
+                        slack: float = 1.6, route_impl: str = "auto"):
+    """Build the jitted multi-chip RELATIVE-profile step (the -p:<table>
+    job, reference split.c:1943-2131 + cmer_merge_thread count.c:675-792,
+    multi-chip).
+
+    The reference table is RANGE-partitioned across chips by the same
+    splitters that route queries, so each chip owns the counts for its key
+    interval: queries route to their owner over ICI (one all_to_all), the
+    owner joins them against its chip-resident table shard (count = table
+    count or 0), and the counts ride the inverse all_to_all back to query
+    position order.
+
+    Input:  codes [D * shard_size] sharded; splitters [D-1] replicated;
+            table words tuple of W x [D, table_cap] sharded (all-ones empty
+            slots); table counts [D, table_cap] sharded int32.
+    Output: pos_counts [D * shard_size] sharded; route_overflow []
+            (replicated; must be 0 for exact results).
+    """
+    axis = mesh.axis_names[0]
+    D = mesh.devices.size
+    W = nwords(k)
+    cap = int(shard_size // D * slack) if D > 1 else shard_size
+    D_cap = D * cap
+
+    def step(codes, splitters, t_words, t_counts):
+        from fastk_tpu.ops.count import (
+            _join_counts, fold_invalid, positions_inverse)
+
+        words, invalid = canonical_kmers(codes, k, shard_size)
+        tw = tuple(w.reshape(-1) for w in t_words)
+        tc = t_counts.reshape(-1)
+
+        if D == 1:
+            pos_counts = _join_counts(tw, tc, fold_invalid(words, invalid))
+            return dict(pos_counts=pos_counts[None],
+                        route_overflow=jnp.int32(0))
+
+        pos = jnp.arange(shard_size, dtype=jnp.uint32)
+        (send_words, send_valid, route_ovf, orig, flat) = _route_chip(
+            words, invalid, pos, splitters, D, cap, shard_size,
+            impl=route_impl)
+        recv_words = tuple(
+            jax.lax.all_to_all(w, axis, 0, 0, tiled=False)
+            for w in send_words)
+        recv_valid = jax.lax.all_to_all(send_valid, axis, 0, 0, tiled=False)
+        rv = recv_valid.reshape(D_cap)
+        q = fold_invalid(tuple(w.reshape(D_cap) for w in recv_words),
+                         (rv == 0).astype(jnp.uint32))
+        rec = _join_counts(tw, tc, q)                      # received order
+        back = jax.lax.all_to_all(
+            rec.reshape(D, cap), axis, 0, 0, tiled=False)
+        flat_counts = back.reshape(D_cap)
+        got = jnp.concatenate([flat_counts, jnp.zeros(1, jnp.int32)])[flat]
+        pos_counts = positions_inverse(orig, got)
+        return dict(pos_counts=pos_counts[None],
+                    route_overflow=jax.lax.psum(route_ovf, axis))
+
+    from jax import shard_map
+
+    in_specs = (P(axis), P(), tuple(P(axis) for _ in range(W)), P(axis))
+    out_specs = dict(pos_counts=P(axis), route_overflow=P())
+    fn = shard_map(step, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                   check_vma=False)
+    return jax.jit(fn)
+
+
 def pad_shards(codes: np.ndarray, k: int, mesh: Mesh, shard_size: int) -> np.ndarray:
     """Split a host code stream into D shards of shard_size (+k halo each).
 

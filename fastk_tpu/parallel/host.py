@@ -58,6 +58,7 @@ def count_files_sharded(
     profiles: bool = False,
     batch_bases: int = 64 << 20,
     verbose: bool = False,
+    relative_table=None,
 ):
     """Multi-chip version of pipeline.count.count_files.
 
@@ -77,6 +78,12 @@ def count_files_sharded(
     from fastk_tpu.ops.tables import merge_counted
     from fastk_tpu.formats.ktab import KmerTable
     from fastk_tpu.pipeline.count import CountOutput, _profiles_from_positions
+
+    if relative_table is not None:
+        # -p:<table> mode: profiles against the given table, no counting
+        return relative_profiles_sharded(
+            paths, relative_table, mesh, batch_bases=batch_bases,
+            verbose=verbose)
 
     words_list, counts_list = [], []
     batches, pos_list = [], []
@@ -121,6 +128,93 @@ def count_files_sharded(
             t_words, t_counts = _device_table(full, k)
             profs = _join_profiles(batches, k, t_words, t_counts)
     return CountOutput(k, hist, table, profs, nreads, totlen)
+
+
+def relative_profiles_sharded(
+    paths,
+    table,
+    mesh: Mesh,
+    batch_bases: int = 64 << 20,
+    slack: float = 1.8,
+    route_impl: str = "auto",
+    verbose: bool = False,
+):
+    """Multi-chip `-p:<table>`: profiles of the input reads RELATIVE to a
+    reference table (count = table count, or 0 if absent).
+
+    The table is range-partitioned across chips at its own word0 quantiles
+    (it is sorted, so the quantiles are exact) and stays chip-resident for
+    every batch; each batch's queries route to their owner chip over ICI.
+    Returns a CountOutput with profiles only (like the single-chip
+    -p:<table> path, which writes no .hist/.ktab)."""
+    from fastk_tpu.formats.ktab import KmerTable  # noqa: F401 (doc types)
+    from fastk_tpu.io.reader import batched_reads
+    from fastk_tpu.ops.count import HIST_HIGH
+    from fastk_tpu.ops.kmers import packed_to_words
+    from fastk_tpu.parallel.dist import sharded_relative_fn
+    from fastk_tpu.pipeline.count import CountOutput, _profiles_from_positions
+
+    k = table.kmer
+    D = mesh.devices.size
+    W = nwords(k)
+    words = packed_to_words(table.packed, k)
+    n = words.shape[0]
+
+    # range-partition the (sorted) table at its word0 quantiles; the router
+    # computes dest = #{splitters <= word0} (searchsorted side="right",
+    # _route_chip), i.e. splitters are EXCLUSIVE upper bounds of each chip —
+    # so the table cut for chip d is the first row with word0 >= splitter
+    # (side="left"), keeping ownership consistent
+    if D > 1 and n:
+        splitters = words[:, 0][
+            [min(n - 1, n * t // D) for t in range(1, D)]].astype(np.uint32)
+    else:
+        splitters = np.zeros(max(D - 1, 0), dtype=np.uint32)
+    cuts = [0] + [int(np.searchsorted(words[:, 0], s, side="left"))
+                  for s in splitters] + [n]
+    table_cap = 1 << max(15, int(np.ceil(np.log2(max(
+        max(cuts[d + 1] - cuts[d] for d in range(D)), 2)))))
+    tw = np.full((D, table_cap, W), 0xFFFFFFFF, dtype=np.uint32)
+    tc = np.zeros((D, table_cap), dtype=np.int32)
+    for d in range(D):
+        lo, hi = cuts[d], cuts[d + 1]
+        tw[d, : hi - lo] = words[lo:hi]
+        tc[d, : hi - lo] = np.minimum(table.counts[lo:hi], HIST_HIGH)
+    axis_sharding = NamedSharding(mesh, P(mesh.axis_names[0]))
+    t_words = tuple(jax.device_put(np.ascontiguousarray(tw[:, :, j]),
+                                   axis_sharding) for j in range(W))
+    t_counts = jax.device_put(tc, axis_sharding)
+    spl = jax.device_put(jnp.asarray(splitters), NamedSharding(mesh, P()))
+
+    fn = None
+    shard_size = None
+    profs = []
+    nreads = totlen = 0
+    for batch, _ord in batched_reads(list(paths), batch_bases):
+        codes = batch.codes
+        if fn is None:
+            shard_size = (max(len(codes), D) + D - 1) // D
+            step = 1 << 14
+            shard_size = ((shard_size + step - 1) // step) * step
+            fn = sharded_relative_fn(mesh, k, shard_size, table_cap,
+                                     slack=slack, route_impl=route_impl)
+        if len(codes) > D * shard_size:
+            raise ValueError("batch exceeds the first batch's shard size; "
+                             "lower batch_bases")
+        out = fn(_shard_codes(codes, k, mesh, shard_size), spl,
+                 t_words, t_counts)
+        if int(out["route_overflow"]) > 0:
+            raise RuntimeError("bucket capacity exceeded; raise slack")
+        pc = np.asarray(out["pos_counts"]).reshape(-1)[
+            : len(codes)].astype(np.int32)
+        profs.extend(_profiles_from_positions(
+            batch, np.minimum(pc, HIST_HIGH), k))
+        nreads += batch.nreads
+        totlen += batch.totlen
+        if verbose:
+            print(f"  sharded relative batch: {batch.nreads} reads",
+                  flush=True)
+    return CountOutput(k, None, None, profs, nreads, totlen)
 
 
 def sharded_count(

@@ -145,3 +145,41 @@ def test_route_merge_impl_matches_scatter():
     assert np.array_equal(a[1], b[1])  # counts
     assert np.array_equal(a[2], b[2])  # hist
     assert np.array_equal(a[4], b[4])  # pos_counts
+
+
+def test_relative_profiles_sharded(tmp_path):
+    """Multi-chip -p:<table> equals the single-chip relative path: profiles
+    of reads B against the table of reads A, on a 4-chip mesh, in both the
+    one-batch and several-batch regimes."""
+    import numpy as np
+
+    from fastk_tpu.parallel.dist import make_mesh
+    from fastk_tpu.parallel.host import relative_profiles_sharded
+    from fastk_tpu.pipeline.count import count_files
+
+    rng = np.random.default_rng(11)
+    pa = str(tmp_path / "a.fasta")
+    pb = str(tmp_path / "b.fasta")
+    ref = "".join("acgt"[c] for c in rng.integers(0, 4, size=600))
+    with open(pa, "w") as f:
+        for i in range(20):
+            o = rng.integers(0, 400)
+            f.write(f">a{i}\n{ref[o:o + 200]}\n")
+    with open(pb, "w") as f:
+        for i in range(25):
+            o = rng.integers(0, 450)
+            s = list(ref[o:o + 150])
+            if i % 3 == 0:           # some novel k-mers (absent -> 0)
+                s[50] = "acgt"[(rng.integers(1, 4) + "acgt".index(s[50])) % 4]
+            if i == 7:               # an N run
+                s[80:85] = "n" * 5
+            f.write(f">b{i}\n{''.join(s)}\n")
+
+    tab = count_files([pa], 13, table_min=1).table
+    single = count_files([pb], 13, profiles=True, relative_table=tab)
+    for bb in (10_000_000, 1200):
+        multi = relative_profiles_sharded([pb], tab, make_mesh(4),
+                                          batch_bases=bb)
+        assert len(multi.profiles) == len(single.profiles) == 25
+        for x, y in zip(single.profiles, multi.profiles):
+            assert np.array_equal(x, y)

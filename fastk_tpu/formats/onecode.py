@@ -147,6 +147,23 @@ def _int_list_payload(vals) -> bytes:
     return bytes(out)
 
 
+def _pack_dna(data: bytes) -> bytes:
+    """ONElib DNAcodec: 2 bits per base, base i at bits 2i of byte i//4
+    (Compress_DNA, ONElib.c:3436-3461); a/A=0 c/C=1 g/G=2 t/T=3, anything
+    else 0. Decompression delivers lowercase."""
+    import numpy as np
+
+    num = np.zeros(256, dtype=np.uint8)
+    for i, ch in enumerate(b"acgt"):
+        num[ch] = i
+        num[ch - 32] = i
+    c = num[np.frombuffer(data, dtype=np.uint8)]
+    pad = (-len(c)) % 4
+    c = np.concatenate([c, np.zeros(pad, np.uint8)]).reshape(-1, 4)
+    return (c[:, 0] | (c[:, 1] << 2) | (c[:, 2] << 4) | (c[:, 3] << 6)
+            ).astype(np.uint8).tobytes()
+
+
 class _TypeInfo:
     __slots__ = ("ftypes", "is_object", "list_field", "contains",
                  "count", "total", "max", "index", "snap", "stat")
@@ -222,7 +239,11 @@ class OneBinaryWriter:
                          for c in info.contains}
             self._open.append(t)
 
-        buf = bytearray([_pack_code(t)])
+        is_dna = (info.list_field is not None
+                  and info.ftypes[info.list_field] == "DNA")
+        # DNA lists always ride the DNAcodec, like the reference (bit 0 of
+        # the code byte = list-compressed; DNA codecs carry no ';' line)
+        buf = bytearray([_pack_code(t) | (1 if is_dna else 0)])
         list_val = None
         for ft, v in zip(info.ftypes, fields):
             if ft == "CHAR":
@@ -238,11 +259,14 @@ class OneBinaryWriter:
             n = len(list_val)
             info.total += n
             info.max = max(info.max, n)
+            raw = (list_val.encode() if isinstance(list_val, str)
+                   else list_val)
             if info.ftypes[info.list_field] == "INT_LIST":
                 buf += _int_list_payload(list_val)
-            else:  # STRING / DNA raw bytes, uncompressed
-                buf += list_val.encode() if isinstance(list_val, str) \
-                    else bytes(list_val)
+            elif is_dna:  # nBits varint then the 2-bit packed payload
+                buf += _ltf(2 * n) + _pack_dna(bytes(raw))
+            else:  # STRING raw bytes, uncompressed
+                buf += bytes(raw)
         self.f.write(buf)
         self._byte += len(buf)
 

@@ -123,14 +123,15 @@ def _pack_code(t: str) -> int:
     return 0x80 | (c << 1)
 
 
-def _int_list_payload(vals) -> bytes:
-    """INT_LIST binary payload: ltf(first); if len > 1, a byte-width byte
-    then that many low LE bytes of each successive delta (compactIntList,
-    ONElib.c:902-958)."""
+def _int_list_parts(vals):
+    """INT_LIST binary form, split at the compression boundary: the head is
+    ltf(first) plus (if len > 1) the byte-width byte; the body is the
+    fixed-width little-endian deltas — the part the list codec compresses
+    (compactIntList + oneWriteLine, ONElib.c:902-958, 2424-2448)."""
     vals = [int(v) for v in vals]
-    out = bytearray(_ltf(vals[0]))
+    head = bytearray(_ltf(vals[0]))
     if len(vals) == 1:
-        return bytes(out)
+        return bytes(head), b""
     diffs = [b - a for a, b in zip(vals, vals[1:])]
     mask = 0
     for d in diffs:
@@ -140,11 +141,152 @@ def _int_list_payload(vals) -> bytes:
     while mask and nb < 8:
         nb += 1
         mask >>= 8
-    out.append(nb)
+    head.append(nb)
     lim = (1 << (8 * nb)) - 1
+    body = bytearray()
     for d in diffs:
-        out += (d & lim).to_bytes(nb, "little")
-    return bytes(out)
+        body += (d & lim).to_bytes(nb, "little")
+    return bytes(head), bytes(body)
+
+
+def _int_list_payload(vals) -> bytes:
+    """Uncompressed INT_LIST binary payload (head + delta body)."""
+    head, body = _int_list_parts(vals)
+    return head + body
+
+
+class _VcCodec:
+    """ONElib "vc" list compressor (ONElib.c:2860-3410): per-line-type
+    adaptive byte-Huffman. Bytes of uncompressed payloads accumulate in a
+    histogram; past ~100KB a length-limited (<=12 bit) prefix code is
+    built — with an ESCAPE code for bytes unseen in training — and later
+    payloads are bit-packed with vcEncode's exact stream layout:
+
+      2 header bits [0, isbig], then per input byte its code (or escape
+      code + 8 raw bits); complete 64-bit words are stored little-endian,
+      the final partial word as the big-endian top bytes, and if the
+      stream reaches 64 bits bytes 0 and 7 are swapped (vcEncode,
+      ONElib.c:3466-3560). If compression would exceed the raw size the
+      stored-block fallback (0xff + raw bytes, nBits = 8*len+8) applies.
+
+    The serialized form trusted by vcDeserialize is [isbig u8, esc_code
+    i32, esc_len i32, then per byte: len u8 (+ code u16 if len>0 or
+    escape)] — any valid prefix code works, so this uses plain canonical
+    Huffman with an iterative Kraft repair to cap lengths at 12."""
+
+    TRAIN = 100000
+
+    def __init__(self):
+        self.hist = [0] * 256
+        self.tack = 0
+        self.lens = None      # per-byte code lengths (0 = escape needed)
+        self.bits = None
+        self.esc_code = -1
+        self.esc_len = 0
+
+    def train(self, payload: bytes) -> None:
+        for b in payload:
+            self.hist[b] += 1
+        self.tack += len(payload)
+        if self.tack > self.TRAIN:
+            self._build()
+
+    @property
+    def ready(self) -> bool:
+        return self.lens is not None
+
+    def _build(self) -> None:
+        import heapq
+
+        syms = [i for i in range(256) if self.hist[i]]
+        esc = next((i for i in range(256) if not self.hist[i]), -1)
+        if esc >= 0:
+            syms.append(esc)
+        if len(syms) == 1:  # degenerate: give the lone symbol a 1-bit code
+            self.lens = [0] * 256
+            self.bits = [0] * 256
+            self.lens[syms[0]] = 1
+            self.esc_code = -1
+            return
+        # Huffman lengths (weight 1 for the escape), capped at 12 with a
+        # Kraft repair: overlong codes clamp, then the deepest still-valid
+        # codes deepen until sum(2^-len) <= 1
+        heap = [(max(self.hist[s], 1), i, (s,)) for i, s in enumerate(syms)]
+        heapq.heapify(heap)
+        nxt = len(syms)
+        depth = {s: 0 for s in syms}
+        while len(heap) > 1:
+            w1, _, g1 = heapq.heappop(heap)
+            w2, _, g2 = heapq.heappop(heap)
+            for s in g1 + g2:
+                depth[s] += 1
+            heapq.heappush(heap, (w1 + w2, nxt, g1 + g2))
+            nxt += 1
+        L = {s: min(d, 12) for s, d in depth.items()}
+        while sum(2.0 ** -l for l in L.values()) > 1.0:
+            # deepen the longest code still shy of the cap
+            s = max((s for s in L if L[s] < 12),
+                    key=lambda s: (L[s], -max(self.hist[s], 1)))
+            L[s] += 1
+        # canonical assignment: (length, symbol) order
+        lens = [0] * 256
+        bits = [0] * 256
+        code = 0
+        prev = 0
+        for s in sorted(L, key=lambda s: (L[s], s)):
+            code <<= L[s] - prev
+            prev = L[s]
+            lens[s] = L[s]
+            bits[s] = code
+            code += 1
+        self.lens, self.bits = lens, bits
+        if esc >= 0:
+            self.esc_code = esc
+            self.esc_len = lens[esc]
+            lens[esc] = 0  # serialized as len 0 + code (vcSerialize)
+
+    def encode(self, payload: bytes):
+        """-> (nBits, bytes) in vcEncode's layout."""
+        lens, bits = self.lens, self.bits
+        esc_bits = bits[self.esc_code] if self.esc_code >= 0 else 0
+        out = bytearray()
+        acc = 0        # pending bits (MSB-first), flushed per 64-bit word
+        accn = 2       # header bits 00 (little-endian encoder)
+        nbits = 2
+        raw_bits = 8 * len(payload)
+        for b in payload:
+            n = lens[b]
+            if n == 0:  # unseen in training: escape code + 8 raw bits
+                if self.esc_code < 0:
+                    raise ValueError(f"byte {b} without code or escape")
+                acc = (acc << (self.esc_len + 8)) | (esc_bits << 8) | b
+                accn += self.esc_len + 8
+                nbits += self.esc_len + 8
+            else:
+                acc = (acc << n) | bits[b]
+                accn += n
+                nbits += n
+            if nbits > raw_bits:  # stored-block fallback, like vcEncode
+                return raw_bits + 8, b"\xff" + payload
+            while accn >= 64:
+                out += struct.pack(
+                    "<Q", (acc >> (accn - 64)) & ((1 << 64) - 1))
+                accn -= 64
+                acc &= (1 << accn) - 1
+        if accn:
+            out += (acc << (64 - accn)).to_bytes(8, "big")[: (accn + 7) // 8]
+        if nbits >= 64:
+            out[0], out[7] = out[7], out[0]
+        return nbits, bytes(out)
+
+    def serialize(self) -> bytes:
+        out = bytearray([0])  # isbig = 0 (little-endian)
+        out += struct.pack("<ii", self.esc_code, self.esc_len)
+        for i in range(256):
+            out.append(self.lens[i])
+            if self.lens[i] > 0 or i == self.esc_code:
+                out += struct.pack("<H", self.bits[i])
+        return bytes(out)
 
 
 def _pack_dna(data: bytes) -> bytes:
@@ -166,7 +308,7 @@ def _pack_dna(data: bytes) -> bytes:
 
 class _TypeInfo:
     __slots__ = ("ftypes", "is_object", "list_field", "contains",
-                 "count", "total", "max", "index", "snap", "stat")
+                 "count", "total", "max", "index", "snap", "stat", "codec")
 
     def __init__(self, ftypes, is_object):
         self.ftypes = ftypes
@@ -179,6 +321,8 @@ class _TypeInfo:
         self.index: list[int] = []      # byte offsets (object types)
         self.snap: dict | None = None   # open instance: counts at start
         self.stat: dict = {}            # contained t -> [maxCount, maxTotal]
+        lt = ftypes[self.list_field] if self.list_field is not None else None
+        self.codec = _VcCodec() if lt in ("INT_LIST", "STRING") else None
 
 
 class OneBinaryWriter:
@@ -241,9 +385,11 @@ class OneBinaryWriter:
 
         is_dna = (info.list_field is not None
                   and info.ftypes[info.list_field] == "DNA")
-        # DNA lists always ride the DNAcodec, like the reference (bit 0 of
-        # the code byte = list-compressed; DNA codecs carry no ';' line)
-        buf = bytearray([_pack_code(t) | (1 if is_dna else 0)])
+        # DNA lists always ride the DNAcodec, like the reference; other
+        # lists switch to their trained Huffman codec past the training
+        # volume (bit 0 of the code byte = list-compressed)
+        compress = is_dna or (info.codec is not None and info.codec.ready)
+        buf = bytearray([_pack_code(t) | (1 if compress else 0)])
         list_val = None
         for ft, v in zip(info.ftypes, fields):
             if ft == "CHAR":
@@ -259,14 +405,30 @@ class OneBinaryWriter:
             n = len(list_val)
             info.total += n
             info.max = max(info.max, n)
-            raw = (list_val.encode() if isinstance(list_val, str)
-                   else list_val)
             if info.ftypes[info.list_field] == "INT_LIST":
-                buf += _int_list_payload(list_val)
+                head, body = _int_list_parts(list_val)
+                buf += head
+                if compress and body:
+                    nbits, enc = info.codec.encode(body)
+                    buf += _ltf(nbits) + enc
+                else:
+                    buf += body
+                    if info.codec is not None:
+                        info.codec.train(body)
             elif is_dna:  # nBits varint then the 2-bit packed payload
-                buf += _ltf(2 * n) + _pack_dna(bytes(raw))
-            else:  # STRING raw bytes, uncompressed
-                buf += bytes(raw)
+                raw = (list_val.encode() if isinstance(list_val, str)
+                       else bytes(list_val))
+                buf += _ltf(2 * n) + _pack_dna(raw)
+            else:  # STRING
+                raw = (list_val.encode() if isinstance(list_val, str)
+                       else bytes(list_val))
+                if compress:
+                    nbits, enc = info.codec.encode(raw)
+                    buf += _ltf(nbits) + enc
+                else:
+                    buf += raw
+                    if info.codec is not None:
+                        info.codec.train(raw)
         self.f.write(buf)
         self._byte += len(buf)
 
@@ -300,6 +462,13 @@ class OneBinaryWriter:
                 amp += _int_list_payload(info.index)
                 self.f.write(amp)
                 self._byte += len(amp)
+            if info.codec is not None and info.codec.ready:
+                # ';' codec line: CHAR t, STRING = serialized compressor
+                ser = info.codec.serialize()
+                semi = bytearray([_pack_code(";"), ord(t)])
+                semi += _ltf(len(ser)) + ser
+                self.f.write(semi)
+                self._byte += len(semi)
         self.f.write(b"^\n" + struct.pack("<q", foot_off))
         self.f.flush()
 

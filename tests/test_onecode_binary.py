@@ -160,3 +160,54 @@ def test_prf_binary_read_by_reference(tmp_path, monkeypatch):
         vals = [int(x) for x in tok[2:]]
         assert int(tok[1]) == len(vals)
         assert vals == [int(v) for v in pi.fetch(r)]
+
+
+@needs_gold
+def test_prf_full_export_compresses_and_decodes(tmp_path, monkeypatch):
+    """A full-range prf export crosses the 100KB codec-training volume, so
+    later P lines are Huffman-compressed; the reference reader must decode
+    every profile back (vcDeserialize + vcDecode on our codec + stream)."""
+    from fastk_tpu.formats.prof import ProfileIndex
+    from fastk_tpu.tools.profex import main
+
+    out = tmp_path / "full.prf"
+    with open(out, "wb") as f:
+        monkeypatch.setattr("sys.stdout",
+                            type("S", (), {"buffer": f, "flush": f.flush})())
+        assert main(["-1", GOLD + ".prof"]) == 0
+    pi = ProfileIndex(GOLD)
+    raw = sum(len(pi.fetch(r)) for r in range(pi.nreads))
+    assert raw > 150_000          # enough delta bytes to trigger the codec
+    lines = _dump(str(out))
+    p_lines = [ln.split() for ln in lines[1:] if ln[0] == "P"]
+    assert len(p_lines) == pi.nreads
+    for r, tok in enumerate(p_lines):
+        assert [int(x) for x in tok[2:]] == [int(v) for v in pi.fetch(r)]
+    # and the compressed form actually saves space vs the delta bytes
+    assert out.stat().st_size < raw
+
+
+def test_vc_codec_escape_path(tmp_path):
+    """Bytes unseen during training must ride the escape code: train on
+    payloads of small deltas, then emit a line with out-of-alphabet delta
+    bytes, and have the reference reader decode it."""
+    from fastk_tpu.formats.onecode import OneBinaryWriter, PRF_SCHEMA
+
+    p = tmp_path / "esc.prf"
+    rows = []
+    with open(p, "wb") as f:
+        w = OneBinaryWriter("prf", PRF_SCHEMA, "profex", "cmd", f)
+        v = 1
+        for i in range(60):           # ~120KB of {0,1,-1} delta bytes
+            row = [(v + (j % 2)) for j in range(2000)]
+            rows.append(row)
+            w.line("P", row)
+        assert w.infos["P"].codec.ready
+        rows.append([5, 300, 5, 70000, 5])   # deltas needing 1-4 bytes
+        w.line("P", rows[-1])
+        w.close()
+    lines = _dump(str(p))
+    p_lines = [ln.split() for ln in lines[1:] if ln[0] == "P"]
+    assert len(p_lines) == len(rows)
+    for row, tok in zip(rows, p_lines):
+        assert [int(x) for x in tok[2:]] == row

@@ -26,6 +26,7 @@ full sorted table.
 
 from __future__ import annotations
 
+import os
 import struct
 from dataclasses import dataclass
 from typing import Iterator, List, Optional
@@ -173,6 +174,121 @@ def part_splits(prefix_vals: np.ndarray, pidxlen: int, nparts: int) -> List[int]
         hi = starts[j]
         cuts.append(int(hi if hi - target <= target - lo else lo))
     return cuts
+
+
+def part_splits_from_pindex(pindex: np.ndarray, nparts: int) -> List[int]:
+    """part_splits computed from the cumulative prefix index alone (no
+    per-entry prefix array): candidate boundaries are exactly the pindex
+    values; equivalent to part_splits on the full prefix-value array."""
+    n = int(pindex[-1]) if len(pindex) else 0
+    if nparts <= 1:
+        return []
+    if n == 0:
+        return [0] * (nparts - 1)
+    cuts = []
+    for t in range(1, nparts):
+        target = n * t // nparts
+        i0 = int(np.searchsorted(pindex, target, side="left"))
+        if i0 >= len(pindex):
+            cuts.append(n)
+            continue
+        hi = int(pindex[i0])
+        lo = int(pindex[i0 - 1]) if i0 > 0 else 0
+        cuts.append(hi if hi - target <= target - lo else lo)
+    return cuts
+
+
+class KtabWriter:
+    """Stream sorted (packed, count) chunks to a .ktab file-set in bounded
+    memory. Chunks append to a raw temp file (kb+2 bytes/record); close()
+    fixes ibyte from the exact total, accumulates the stub prefix index in
+    one streaming pass, then converts the temp into part files — so arbitrary
+    scale tables write with O(chunk) RAM, byte-identical to ``write_ktab``
+    (the reference's phase-3 table writer streams the same way,
+    table.c:162-533)."""
+
+    _CHUNK = 1 << 22  # records per conversion chunk
+
+    def __init__(self, path: str, kmer: int, minval: int, nparts: int = 1,
+                 ibyte: Optional[int] = None):
+        self.path = path
+        self.kmer = kmer
+        self.minval = minval
+        self.nparts = nparts
+        self.ibyte = ibyte
+        self.kb = kbytes(kmer)
+        self.n = 0
+        self._tmp_path = stub_path(path, ".ktab") + ".tmp"
+        self._tmp = open(self._tmp_path, "wb")
+
+    def add(self, packed: np.ndarray, counts: np.ndarray) -> None:
+        """Append a chunk of entries (must continue the global sort order)."""
+        m = len(counts)
+        if m == 0:
+            return
+        rec = np.empty((m, self.kb + 2), dtype=np.uint8)
+        rec[:, : self.kb] = packed
+        rec[:, self.kb:] = np.ascontiguousarray(
+            counts, dtype="<u2").view(np.uint8).reshape(m, 2)
+        rec.tofile(self._tmp)
+        self.n += m
+
+    def close(self) -> None:
+        self._tmp.close()
+        try:
+            self._write_final()
+        finally:
+            try:
+                os.unlink(self._tmp_path)
+            except OSError:
+                pass
+
+    def _write_final(self) -> None:
+        n, kb = self.n, self.kb
+        ibyte = self.ibyte or idx_bytes_for(n, self.kmer)
+        pidxlen = 1 << (8 * ibyte)
+        rb = kb + 2
+
+        # pass 1: prefix histogram -> cumulative index + part cuts
+        pindex = np.zeros(pidxlen, dtype=np.int64)
+        mm = (np.memmap(self._tmp_path, dtype=np.uint8, mode="r"
+                        ).reshape(n, rb) if n else
+              np.zeros((0, rb), np.uint8))
+        for lo in range(0, n, self._CHUNK):
+            hi = min(n, lo + self._CHUNK)
+            pv = _prefix_values(mm[lo:hi], ibyte)
+            pindex += np.bincount(pv, minlength=pidxlen).astype(np.int64)
+        np.cumsum(pindex, out=pindex)
+        cuts = [0] + part_splits_from_pindex(pindex, self.nparts) + [n]
+
+        with open(stub_path(self.path, ".ktab"), "wb") as f:
+            f.write(struct.pack("<iiii", self.kmer, self.nparts,
+                                self.minval, ibyte))
+            pindex.astype("<i8").tofile(f)
+
+        # pass 2: strip the ibyte prefix, emit part files
+        for p in range(self.nparts):
+            lo, hi = cuts[p], cuts[p + 1]
+            with open(part_path(self.path, ".ktab", p + 1), "wb") as f:
+                f.write(struct.pack("<i", self.kmer))
+                f.write(struct.pack("<q", hi - lo))
+                for c0 in range(lo, hi, self._CHUNK):
+                    c1 = min(hi, c0 + self._CHUNK)
+                    np.ascontiguousarray(mm[c0:c1, ibyte:]).tofile(f)
+        del mm
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, et, ev, tb):
+        if et is None:
+            self.close()
+        else:
+            self._tmp.close()
+            try:
+                os.unlink(self._tmp_path)
+            except OSError:
+                pass
 
 
 def write_ktab(

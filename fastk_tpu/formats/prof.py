@@ -176,9 +176,112 @@ def decode_profile(buf: bytes | np.ndarray) -> np.ndarray:
     return out
 
 
+def encode_profiles_bulk(cnts: np.ndarray, boff: np.ndarray,
+                         plen: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Encode many profiles from a flat counts array in one pass ->
+    (concatenated blob uint8, per-read end offsets int64). Read r's profile
+    is cnts[boff[r] : boff[r] + plen[r]] (plen <= 0 -> empty blob).
+
+    Native C when available (one call for the whole batch — the per-read
+    Python loop is a real wall at 1e7+ reads), numpy fallback otherwise."""
+    from fastk_tpu import native
+
+    res = native.prof_encode_bulk(cnts, boff, plen)
+    if res is not None:
+        return res
+    blobs = []
+    for o, n in zip(boff, plen):
+        blobs.append(encode_profile(cnts[int(o): int(o) + int(n)])
+                     if n > 0 else b"")
+    offs = np.cumsum(np.array([len(b) for b in blobs], dtype=np.int64))
+    return np.frombuffer(b"".join(blobs), dtype=np.uint8), offs
+
+
 # ----------------------------------------------------------------------------
 # File set
 # ----------------------------------------------------------------------------
+
+class ProfWriter:
+    """Streaming .prof/.pidx writer: profiles arrive in read order and are
+    appended to part files as they come — nothing is buffered, so memory
+    stays bounded no matter how many reads (the reference writes .prof.<t>
+    incrementally the same way, merge.c:761-1006).
+
+    total_reads and nparts fix the equal part cuts up front, so the output
+    is byte-identical to the buffered ``write_prof``."""
+
+    def __init__(self, path: str, kmer: int, total_reads: int,
+                 nparts: int = 1):
+        if path.endswith(".prof"):
+            path = path[: -len(".prof")]
+        self.path = path
+        self.kmer = kmer
+        self.total = total_reads
+        self.nparts = max(1, min(nparts, max(total_reads, 1)))
+        self.cuts = [total_reads * i // self.nparts
+                     for i in range(self.nparts + 1)]
+        self.r = 0  # next read ordinal
+        self._p = -1  # current part index
+        self._df = self._xf = None
+        self._off = 0  # bytes written into the current part
+        with open(stub_path(path, ".prof"), "wb") as f:
+            f.write(struct.pack("<ii", kmer, self.nparts))
+
+    def _roll(self) -> None:
+        if self._df is not None:
+            self._df.close()
+            self._xf.close()
+        self._p += 1
+        lo, hi = self.cuts[self._p], self.cuts[self._p + 1]
+        self._df = open(part_path(self.path, ".prof", self._p + 1), "wb")
+        self._xf = open(part_path(self.path, ".pidx", self._p + 1), "wb")
+        self._xf.write(struct.pack("<iqq", self.kmer, lo, hi - lo))
+        self._off = 0
+
+    def add(self, prof: np.ndarray | bytes) -> None:
+        """Append one read's profile (count array or pre-encoded bytes)."""
+        blob = (bytes(prof) if isinstance(prof, (bytes, bytearray))
+                else encode_profile(prof))
+        self.add_block(np.frombuffer(blob, dtype=np.uint8),
+                       np.array([len(blob)], dtype=np.int64))
+
+    def add_block(self, blob: np.ndarray, end_offs: np.ndarray) -> None:
+        """Append many reads' pre-encoded profiles: ``blob`` is their
+        concatenation, ``end_offs[i]`` the byte offset one past read i's
+        blob (as produced by encode_profiles_bulk)."""
+        n = len(end_offs)
+        i = 0
+        prev_end = 0
+        mv = memoryview(np.ascontiguousarray(blob, dtype=np.uint8))
+        while i < n:
+            if self._p < 0 or self.r >= self.cuts[self._p + 1]:
+                self._roll()
+            take = min(n - i, self.cuts[self._p + 1] - self.r)
+            hi = int(end_offs[i + take - 1])
+            self._df.write(mv[prev_end:hi])
+            rel = end_offs[i: i + take] - prev_end + self._off
+            rel.astype("<i8").tofile(self._xf)
+            self._off += hi - prev_end
+            prev_end = hi
+            self.r += take
+            i += take
+
+    def close(self) -> None:
+        if self.r != self.total:
+            raise ValueError(
+                f"ProfWriter: {self.r} profiles added, expected {self.total}")
+        while self._p + 1 < self.nparts or self._p < 0:
+            self._roll()  # trailing (possibly empty) parts
+        self._df.close()
+        self._xf.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, et, ev, tb):
+        if et is None:
+            self.close()
+
 
 def write_prof(
     path: str,
@@ -189,26 +292,10 @@ def write_prof(
     """Write a profile file-set. ``profiles`` holds per-read count arrays (or
     pre-encoded byte strings), in read order; reads are split into ``nparts``
     equal contiguous groups (the reference groups by its input threads)."""
-    nreads = len(profiles)
-    blobs: List[bytes] = [
-        p if isinstance(p, (bytes, bytearray)) else encode_profile(p)
-        for p in profiles
-    ]
-    if path.endswith(".prof"):
-        path = path[: -len(".prof")]
-    with open(stub_path(path, ".prof"), "wb") as f:
-        f.write(struct.pack("<ii", kmer, nparts))
-    cuts = [nreads * i // nparts for i in range(nparts + 1)]
-    for p in range(nparts):
-        lo, hi = cuts[p], cuts[p + 1]
-        data = b"".join(blobs[lo:hi])
-        lens = np.array([len(x) for x in blobs[lo:hi]], dtype=np.int64)
-        offs = np.cumsum(lens)
-        with open(part_path(path, ".pidx", p + 1), "wb") as f:
-            f.write(struct.pack("<iqq", kmer, lo, hi - lo))
-            offs.astype("<i8").tofile(f)
-        with open(part_path(path, ".prof", p + 1), "wb") as f:
-            f.write(data)
+    w = ProfWriter(path, kmer, len(profiles), nparts=nparts)
+    for p in profiles:
+        w.add(p)
+    w.close()
 
 
 class ProfileIndex:

@@ -62,6 +62,10 @@ def load() -> Optional[ctypes.CDLL]:
     lib.fk_prof_decode.restype = ctypes.c_long
     lib.fk_prof_decode.argtypes = [
         ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p, ctypes.c_long]
+    lib.fk_prof_encode_bulk.restype = ctypes.c_long
+    lib.fk_prof_encode_bulk.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long,
+        ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p]
     _lib = lib
     return _lib
 
@@ -105,6 +109,31 @@ def pack2(codes: np.ndarray, ecap: int
     if ne < 0:
         return None
     return packed, exc, int(ne)
+
+
+def prof_encode_bulk(cnts: np.ndarray, boff: np.ndarray, plen: np.ndarray
+                     ) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    """Encode every read's profile in one call -> (blob bytes, end offsets),
+    or None if the native library is unavailable.
+
+    cnts: flat uint16 per-position counts; read r's profile is
+    cnts[boff[r] : boff[r] + plen[r]] (plen <= 0 -> empty blob)."""
+    lib = load()
+    if lib is None:
+        return None
+    cnts = np.ascontiguousarray(cnts, dtype=np.uint16)
+    boff = np.ascontiguousarray(boff, dtype=np.int64)
+    plen = np.ascontiguousarray(plen, dtype=np.int64)
+    nreads = len(plen)
+    ocap = int(2 * np.maximum(plen, 0).sum() + 2 * nreads + 16)
+    out = np.empty(ocap, dtype=np.uint8)
+    offs = np.empty(max(nreads, 1), dtype=np.int64)
+    total = lib.fk_prof_encode_bulk(
+        cnts.ctypes.data, boff.ctypes.data, plen.ctypes.data, nreads,
+        out.ctypes.data, ocap, offs.ctypes.data)
+    if total < 0:
+        return None
+    return out[:total], offs[:nreads]
 
 
 def prof_decode(buf: np.ndarray, ocap: int) -> Optional[np.ndarray]:

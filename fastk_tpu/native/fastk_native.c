@@ -135,6 +135,81 @@ long fk_pack2(const uint8_t *codes, long n, uint8_t *packed,
   return ne;
 }
 
+/* Bulk-encode per-read profiles from a flat per-position counts array
+ * (the .prof delta codec; writer analog of the reference's fragment
+ * encoder count.c:868-947 / merge.c:394-733, over a whole batch in one
+ * call instead of a Python loop per read).
+ *
+ * cnts:   per-position clipped counts (<= 0x7fff)
+ * boff:   read r's counts start at cnts + boff[r]
+ * plen:   profile length of read r (rlen - k + 1; <= 0 -> empty blob)
+ * out:    concatenated encoded blobs (capacity ocap)
+ * offs:   out, offs[r] = byte offset one past read r's blob
+ *
+ * Returns total bytes written, or -1 if out overflows. Byte-identical to
+ * formats/prof.py:encode_profile (zero runs chunk greedily at 63 with the
+ * remainder flushed at run end).
+ */
+long fk_prof_encode_bulk(const uint16_t *cnts, const int64_t *boff,
+                         const int64_t *plen, long nreads,
+                         uint8_t *out, long ocap, int64_t *offs)
+{ long r, o = 0;
+  for (r = 0; r < nreads; r++)
+    { long n = plen[r];
+      const uint16_t *c = cnts + boff[r];
+      long i;
+      unsigned prev;
+      long zrun = 0;
+      if (n > 0)
+        { unsigned first = c[0] & 0x7fff;
+          if (first < 128)
+            { if (o >= ocap) return -1;
+              out[o++] = (uint8_t)first;
+            }
+          else
+            { if (o + 2 > ocap) return -1;
+              out[o++] = (uint8_t)(0x80 | (first >> 8));
+              out[o++] = (uint8_t)(first & 0xff);
+            }
+          prev = first;
+          for (i = 1; i < n; i++)
+            { unsigned cur = c[i] & 0x7fff;
+              int d = (int)cur - (int)prev;
+              if (d == 0)
+                { if (++zrun == 63)
+                    { if (o >= ocap) return -1;
+                      out[o++] = 63;
+                      zrun = 0;
+                    }
+                  continue;
+                }
+              if (zrun > 0)
+                { if (o >= ocap) return -1;
+                  out[o++] = (uint8_t)zrun;
+                  zrun = 0;
+                }
+              if (d > -32 && d < 32)
+                { if (o >= ocap) return -1;
+                  out[o++] = (uint8_t)(0x40 | (d & 0x3f));
+                }
+              else
+                { unsigned v = (unsigned)d & 0x7fff;
+                  if (o + 2 > ocap) return -1;
+                  out[o++] = (uint8_t)(0x80 | (v >> 8));
+                  out[o++] = (uint8_t)(v & 0xff);
+                }
+              prev = cur;
+            }
+          if (zrun > 0)
+            { if (o >= ocap) return -1;
+              out[o++] = (uint8_t)zrun;
+            }
+        }
+      offs[r] = o;
+    }
+  return o;
+}
+
 /* Decode one compressed profile (the .prof delta codec,
  * reference decoder libfastk.c:1710-1805). Returns the count of values
  * written to out (capacity ocap), or -1 on overflow / malformed input. */

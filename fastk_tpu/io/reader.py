@@ -171,17 +171,159 @@ def read_file(path: str, hc: bool = False) -> ReadBatch:
     return pack_reads(list(iter_reads(path)), hc=hc)
 
 
-def _scan_file_native(path: str, fmt: str, hc: bool, bc: int):
-    """Whole-file native parse -> (codes, boff, rlen), or None."""
+INGEST_CHUNK = 32 << 20  # raw bytes per streamed read() chunk
+
+
+def _stream_raw(path: str, chunk: int = INGEST_CHUNK) -> Iterator[bytes]:
+    """Stream a (possibly gzip'd) file in bounded chunks — nothing is ever
+    whole-file resident (the reference byte-range-partitions inputs for the
+    same reason, io.c:2280-2600)."""
+    with _open(path) as f:
+        while True:
+            b = f.read(chunk)
+            if not b:
+                return
+            yield b
+
+
+def _record_chunks(path: str, fmt: str,
+                   chunk: int = INGEST_CHUNK) -> Iterator[bytes]:
+    """Yield buffers that each contain only WHOLE records: the record-
+    boundary snap of the reference's input partitioner (io.c:409-498),
+    applied at chunk seams instead of thread ranges.
+
+    FASTA: cut before the last header start ('\\n>' — a '>' can only start
+    a line in a header). FASTQ: cut after every 4th newline (carry always
+    begins at a record boundary, so newline count mod 4 is cut-invariant;
+    '@' may appear inside quality lines, so newlines are the only safe
+    anchor)."""
+    carry = b""
+    for raw in _stream_raw(path, chunk):
+        buf = carry + raw if carry else raw
+        if fmt == "fasta":
+            cut = buf.rfind(b"\n>")
+            if cut < 0:
+                carry = buf
+                continue
+            cut += 1  # keep the newline with the emitted records
+        else:  # fastq
+            arr = np.frombuffer(buf, dtype=np.uint8)
+            nls = np.flatnonzero(arr == 0x0A)
+            if len(nls) < 4:
+                carry = buf
+                continue
+            last4 = (len(nls) // 4) * 4 - 1  # index of last 4k-th newline
+            cut = int(nls[last4]) + 1
+        yield buf[:cut]
+        carry = buf[cut:]
+    if carry and carry.strip():
+        yield carry
+
+
+def _scan_stream_native(path: str, fmt: str, hc: bool, bc: int):
+    """Streamed native parse: yields (codes, boff, rlen) per record chunk,
+    or None when unavailable (caller falls back to the Python parser)."""
     if fmt not in ("fasta", "fastq"):
         return None
     from fastk_tpu import native
 
     if native.load() is None:
         return None
-    with _open(path) as f:
-        buf = f.read()
-    return native.scan_seq(buf, fastq=(fmt == "fastq"), hc=hc, bc=bc)
+
+    def gen():
+        for buf in _record_chunks(path, fmt):
+            piece = native.scan_seq(buf, fastq=(fmt == "fastq"),
+                                    hc=hc, bc=bc)
+            if piece is None:  # capacity edge: fall back for this buffer
+                piece_reads = list(_iter_buffer(buf, fmt))
+                b = pack_reads(piece_reads, hc=hc, bc=bc)
+                piece = (b.codes, b.boff, b.rlen)
+            yield piece
+
+    return gen()
+
+
+def _iter_buffer(buf: bytes, fmt: str) -> Iterator[bytes]:
+    import io as _io
+
+    f = _io.BytesIO(buf)
+    if fmt == "fasta":
+        cur: List[bytes] = []
+        for line in f:
+            line = line.rstrip()
+            if not line:
+                continue
+            if line.startswith(b">"):
+                if cur:
+                    yield b"".join(cur)
+                    cur = []
+            else:
+                cur.append(line)
+        if cur:
+            yield b"".join(cur)
+    else:
+        while True:
+            h = f.readline()
+            if not h:
+                return
+            seq = f.readline().rstrip()
+            f.readline()
+            f.readline()
+            yield seq
+
+
+class _PieceAccum:
+    """Accumulate (codes, boff, rlen) pieces into ~batch_bases ReadBatches,
+    splitting oversized pieces at read boundaries."""
+
+    def __init__(self, batch_bases: int):
+        self.batch_bases = batch_bases
+        self.codes: List[np.ndarray] = []
+        self.boffs: List[np.ndarray] = []
+        self.rlens: List[np.ndarray] = []
+        self.bases = 0
+
+    def add(self, codes: np.ndarray, boff: np.ndarray, rlen: np.ndarray
+            ) -> Iterator[ReadBatch]:
+        lo = 0
+        nreads = len(rlen)
+        while lo < nreads:
+            want = self.batch_bases - self.bases
+            # largest hi with boff[hi] - boff[lo] <= want, at least lo+1
+            hi = int(np.searchsorted(boff, boff[lo] + want, side="right")) - 1
+            hi = max(hi, lo + 1)
+            if hi >= nreads and self.bases + int(
+                    boff[nreads] - boff[lo]) < self.batch_bases:
+                hi = nreads  # piece exhausted below the batch target
+                self._push(codes, boff, rlen, lo, hi)
+                return
+            hi = min(hi, nreads)
+            self._push(codes, boff, rlen, lo, hi)
+            yield self.flush()
+            lo = hi
+
+    def _push(self, codes, boff, rlen, lo, hi):
+        self.codes.append(codes[boff[lo]: boff[hi]])
+        self.boffs.append(np.asarray(boff[lo: hi + 1] - boff[lo]))
+        self.rlens.append(np.asarray(rlen[lo:hi]))
+        self.bases += int(boff[hi] - boff[lo])
+
+    @property
+    def nreads(self) -> int:
+        return sum(len(r) for r in self.rlens)
+
+    def flush(self) -> ReadBatch:
+        if len(self.codes) == 1:
+            batch = ReadBatch(self.codes[0], self.boffs[0], self.rlens[0])
+        else:
+            offs = np.cumsum([0] + [len(c) for c in self.codes])
+            boff = np.concatenate(
+                [b[:-1] + o for b, o in zip(self.boffs, offs[:-1])]
+                + [np.array([offs[-1]], dtype=np.int64)])
+            batch = ReadBatch(np.concatenate(self.codes), boff,
+                              np.concatenate(self.rlens))
+        self.codes, self.boffs, self.rlens, self.bases = [], [], [], 0
+        return batch
 
 
 def batched_reads(
@@ -191,38 +333,31 @@ def batched_reads(
 
     Yields (batch, first_read_ordinal). Reads are never split across batches
     (long-read splitting with a k-1 halo is handled at the device chunking
-    layer, not here). FASTA/FASTQ files parse through the native scanner
-    (fastk_tpu.native) when it is available; batches are then zero-copy
-    slices of the whole-file code stream.
+    layer, not here). FASTA/FASTQ parse through the native scanner over
+    bounded streamed chunks — host memory stays O(batch) regardless of file
+    size, gzip'd or not.
     """
     ordinal = 0
+    accum = _PieceAccum(batch_bases)
     cur: List[bytes] = []
     cur_bases = 0
     for path in paths:
         fmt = detect_format(path)
-        scanned = _scan_file_native(path, fmt, hc, bc)
-        if scanned is not None:
-            if cur:  # flush python-path reads before zero-copy batches
+        stream = _scan_stream_native(path, fmt, hc, bc)
+        if stream is not None:
+            if cur:  # flush python-path reads before native batches
                 yield pack_reads(cur, hc=hc, bc=bc), ordinal
                 ordinal += len(cur)
                 cur, cur_bases = [], 0
-            codes, boff, rlen = scanned
-            nreads = len(rlen)
-            lo = 0
-            while lo < nreads:
-                hi = lo
-                bases = 0
-                while hi < nreads and bases < batch_bases:
-                    bases += int(rlen[hi]) + 1
-                    hi += 1
-                yield ReadBatch(
-                    codes=codes[boff[lo]: boff[hi]],
-                    boff=boff[lo: hi + 1] - boff[lo],
-                    rlen=rlen[lo:hi],
-                ), ordinal
-                ordinal += hi - lo
-                lo = hi
+            for codes, boff, rlen in stream:
+                for batch in accum.add(codes, boff, rlen):
+                    yield batch, ordinal
+                    ordinal += batch.nreads
             continue
+        if accum.nreads:  # flush native pieces before python-path reads
+            batch = accum.flush()
+            yield batch, ordinal
+            ordinal += batch.nreads
         for r in iter_reads(path):
             cur.append(r)
             cur_bases += len(r) + 1
@@ -230,5 +365,9 @@ def batched_reads(
                 yield pack_reads(cur, hc=hc, bc=bc), ordinal
                 ordinal += len(cur)
                 cur, cur_bases = [], 0
+    if accum.nreads:
+        batch = accum.flush()
+        yield batch, ordinal
+        ordinal += batch.nreads
     if cur:
         yield pack_reads(cur, hc=hc, bc=bc), ordinal

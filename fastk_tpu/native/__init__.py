@@ -80,7 +80,7 @@ def scan_seq(buf: bytes, fastq: bool, hc: bool = False, bc: int = 0
     n = len(buf)
     src = np.frombuffer(buf, dtype=np.uint8)
     codes = np.empty(n + 2, dtype=np.uint8)
-    rcap = max(16, n // 8 + 16)
+    rcap = max(16, n // 4 + 16)
     boff = np.empty(rcap + 1, dtype=np.int64)
     rlen = np.empty(rcap, dtype=np.int64)
     r = lib.fk_scan_seq(

@@ -43,6 +43,12 @@ import numpy as np
 
 ONES = np.uint32(0xFFFFFFFF)  # numpy scalar: a fresh constant per trace
 # (a jnp scalar would cache a mesh-bound aval and break nested shard_map use)
+ONES16 = np.uint16(0xFFFF)
+
+
+def _ones(w) -> np.generic:
+    """The all-ones constant matching a key word's dtype."""
+    return ONES16 if w.dtype == jnp.uint16 else ONES
 
 
 def fold_invalid(words, invalid):
@@ -51,14 +57,36 @@ def fold_invalid(words, invalid):
     Safe because a canonical key is never all-ones in every word: canonical =
     min(fwd, rc) and an all-T k-mer canonicalizes to all-A (see module doc).
     """
-    return tuple(jnp.where(invalid != 0, ONES, w) for w in words)
+    return tuple(jnp.where(invalid != 0, _ones(w), w) for w in words)
 
 
 def is_invalid_key(words) -> jnp.ndarray:
-    m = words[0] == ONES
+    m = words[0] == _ones(words[0])
     for w in words[1:]:
-        m = m & (w == ONES)
+        m = m & (w == _ones(w))
     return m
+
+
+def narrow_words(words, k: int):
+    """Halve the LAST sort operand when k leaves it <= 8 bases: the last key
+    word holds 2L high-aligned bits (L = k mod 16), so for L <= 8 it carries
+    only its top 16 bits — shift down into a uint16 operand. Sort cost is
+    per operand BYTE (~20ms/byte at 64M on v5e), so e.g. k=40 sorts
+    (u32,u32,u16) instead of (u32,u32,u32), ~9% cheaper. Order and all-ones
+    invalid folding are preserved (0xFFFFFFFF >> 16 with all-ones high half
+    == 0xFFFF)."""
+    W = len(words)
+    L = k - 16 * (W - 1)
+    if W >= 2 and L <= 8 and words[-1].dtype == jnp.uint32:
+        return words[:-1] + ((words[-1] >> 16).astype(jnp.uint16),)
+    return words
+
+
+def widen_words(words, k: int):
+    """Inverse of narrow_words: restore the left-aligned uint32 last word."""
+    if words and words[-1].dtype == jnp.uint16:
+        return words[:-1] + (words[-1].astype(jnp.uint32) << 16,)
+    return words
 
 
 def sort_records(words, invalid, values=()):
@@ -130,7 +158,7 @@ def segment_reduce(s_words, size: int, weights=None, carry_words: bool = False,
     if carry_words:
         W = len(s_words)
         res["seg_words"] = tuple(
-            jnp.where(in_seg, w, ONES) for w in out[o: o + W])
+            jnp.where(in_seg, w, _ones(w)) for w in out[o: o + W])
         o += W
     if extra_values:
         res["seg_extra"] = tuple(out[o:])
@@ -183,7 +211,7 @@ def hist_batch(codes: jnp.ndarray, k: int, size: int):
     the invalid tail mapped to the excluded sentinel bin."""
     words, invalid = canonical_kmers(codes, k, size)
     ninv = jnp.sum(invalid.astype(jnp.int32))
-    f = fold_invalid(words, invalid)
+    f = narrow_words(fold_invalid(words, invalid), k)
     s_words = jax.lax.sort(f, num_keys=len(f), is_stable=False)
 
     starts = jnp.zeros(size, dtype=bool)
@@ -216,14 +244,15 @@ def unique_batch(codes: jnp.ndarray, k: int, size: int):
     of real unique k-mers), nvalid int32)."""
     words, invalid = canonical_kmers(codes, k, size)
     ninv = jnp.sum(invalid.astype(jnp.int32))
-    f = fold_invalid(words, invalid)
+    f = narrow_words(fold_invalid(words, invalid), k)
     s_words = jax.lax.sort(f, num_keys=len(f), is_stable=False)
     seg = segment_reduce(s_words, size, carry_words=True)
     has_inv = (ninv > 0).astype(jnp.int32)
     nuniq = seg["nseg"] - has_inv
     slot = jnp.arange(size, dtype=jnp.int32)
     seg_counts = jnp.where(slot < nuniq, seg["seg_counts"], 0)
-    seg_words = tuple(jnp.where(slot < nuniq, w, ONES) for w in seg["seg_words"])
+    seg_words = widen_words(tuple(
+        jnp.where(slot < nuniq, w, _ones(w)) for w in seg["seg_words"]), k)
     return dict(seg_words=seg_words, seg_counts=seg_counts, nseg=seg["nseg"],
                 nuniq=nuniq, nvalid=jnp.int32(size) - ninv)
 
@@ -240,7 +269,7 @@ def unique_batch_inst(codes: jnp.ndarray, k: int, size: int):
     records are the valid instances."""
     words, invalid = canonical_kmers(codes, k, size)
     ninv = jnp.sum(invalid.astype(jnp.int32))
-    f = fold_invalid(words, invalid)
+    f = narrow_words(fold_invalid(words, invalid), k)
     out = jax.lax.sort((*f, jnp.arange(size, dtype=jnp.uint32)),
                        num_keys=len(f), is_stable=False)
     s_words, s_pos = out[:-1], out[-1]
@@ -249,22 +278,23 @@ def unique_batch_inst(codes: jnp.ndarray, k: int, size: int):
     nuniq = seg["nseg"] - has_inv
     slot = jnp.arange(size, dtype=jnp.int32)
     seg_counts = jnp.where(slot < nuniq, seg["seg_counts"], 0)
-    seg_words = tuple(
-        jnp.where(slot < nuniq, w, ONES) for w in seg["seg_words"])
+    seg_words = widen_words(tuple(
+        jnp.where(slot < nuniq, w, _ones(w)) for w in seg["seg_words"]), k)
     return dict(seg_words=seg_words, seg_counts=seg_counts, nseg=seg["nseg"],
                 nuniq=nuniq, nvalid=jnp.int32(size) - ninv,
-                s_words=s_words, s_pos=s_pos)
+                s_words=widen_words(s_words, k), s_pos=s_pos)
 
 
-@functools.partial(jax.jit, static_argnums=(2,))
-def merge_unique_blocks(words, counts, size: int):
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def merge_unique_blocks(words, counts, size: int, k: int = 0):
     """Merge concatenated per-batch unique blocks into global sorted uniques.
 
     words: tuple of W uint32[size] (all-ones = empty slot), counts int32[size]
     (0 at empty slots). Returns the same layout globally deduplicated, plus
-    the device histogram of merged counts.
-    """
-    s = jax.lax.sort((*words, counts), num_keys=len(words), is_stable=False)
+    the device histogram of merged counts. Pass k to enable the narrow
+    last-word sort operand (see narrow_words)."""
+    nw = narrow_words(words, k) if k else words
+    s = jax.lax.sort((*nw, counts), num_keys=len(nw), is_stable=False)
     s_words, s_counts = s[:-1], s[-1]
     seg = segment_reduce(s_words, size, weights=s_counts, carry_words=True)
     # empty slots (all-ones keys, weight 0) form the trailing segment with
@@ -274,7 +304,10 @@ def merge_unique_blocks(words, counts, size: int):
     real = (slot < seg["nseg"]) & (~inv_tail) & (seg["seg_counts"] > 0)
     nuniq = jnp.sum(real.astype(jnp.int32))
     seg_counts = jnp.where(real, seg["seg_counts"], 0)
-    seg_words = tuple(jnp.where(real, w, ONES) for w in seg["seg_words"])
+    seg_words = tuple(
+        jnp.where(real, w, _ones(w)) for w in seg["seg_words"])
+    if k:
+        seg_words = widen_words(seg_words, k)
     vals = jnp.where(real, jnp.minimum(seg_counts, HIST_HIGH), HIST_HIGH + 1)
     hist = bincount_by_sort(vals, HIST_HIGH + 1)
     return dict(seg_words=seg_words, seg_counts=seg_counts, nuniq=nuniq,

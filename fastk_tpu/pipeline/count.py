@@ -97,10 +97,27 @@ def _code_slices(codes: np.ndarray, k: int):
 def _device_codes(codes_np: np.ndarray):
     """Host codes -> device codes via the 2-bit uint32-word ingress (some
     transports move uint8 arrays ~1000x slower than uint32)."""
-    from fastk_tpu.ops.pack import pack_stream_words, unpack_words
+    from fastk_tpu.ops.pack import pack_stream_words
 
     pw, exc = pack_stream_words(codes_np)
-    return unpack_words(jnp.asarray(pw), jnp.asarray(exc), len(codes_np))
+    return _upload_packed(pw, exc, len(codes_np))
+
+
+def _upload_packed(pw: np.ndarray, exc: np.ndarray, n: int):
+    from fastk_tpu.ops.pack import unpack_words
+
+    return unpack_words(jnp.asarray(pw), jnp.asarray(exc), n)
+
+
+def _packed_slices(codes: np.ndarray, k: int):
+    """_code_slices, pre-packed for transfer: yields (off, size, pw, exc).
+    The packed form is what the profile second pass retains — 2 bits/base
+    instead of the 8-bit code stream."""
+    from fastk_tpu.ops.pack import pack_stream_words
+
+    for off, size, buf in _code_slices(codes, k):
+        pw, exc = pack_stream_words(buf)
+        yield off, size, pw, exc, len(buf)
 
 
 def _trim(n: int) -> int:
@@ -116,19 +133,27 @@ class CountOutput:
     profiles: Optional[List[np.ndarray]]
     nreads: int
     totlen: int
+    # set when outputs were STREAMED to disk (table/profiles above are then
+    # None): number of table entries written, for reporting
+    table_entries: Optional[int] = None
 
 
-def _profiles_from_positions(batch: ReadBatch, pos_counts: np.ndarray, k: int
-                             ) -> List[np.ndarray]:
+def _profiles_from_meta(boff: np.ndarray, rlen: np.ndarray,
+                        pos_counts: np.ndarray, k: int) -> List[np.ndarray]:
     profs = []
-    for r in range(batch.nreads):
-        o = int(batch.boff[r])
-        n = int(batch.rlen[r]) - k + 1
+    for r in range(len(rlen)):
+        o = int(boff[r])
+        n = int(rlen[r]) - k + 1
         if n <= 0:
             profs.append(np.zeros(0, dtype=np.uint16))
         else:
             profs.append(pos_counts[o: o + n].astype(np.uint16))
     return profs
+
+
+def _profiles_from_positions(batch: ReadBatch, pos_counts: np.ndarray, k: int
+                             ) -> List[np.ndarray]:
+    return _profiles_from_meta(batch.boff, batch.rlen, pos_counts, k)
 
 
 def _device_table(table: KmerTable, k: int) -> Tuple[tuple, jnp.ndarray]:
@@ -146,6 +171,42 @@ def _device_table(table: KmerTable, k: int) -> Tuple[tuple, jnp.ndarray]:
             jnp.asarray(cpad))
 
 
+class _ProfSink:
+    """Where finished per-batch position counts go: a streaming ProfWriter
+    (out_base set — bounded memory) or an in-memory list of count arrays."""
+
+    def __init__(self, k: int, out_base: Optional[str], out_nparts: int,
+                 nreads: int):
+        self.k = k
+        self.profs: Optional[List[np.ndarray]] = None
+        self._pw = None
+        if out_base is not None:
+            from fastk_tpu.formats.prof import ProfWriter
+
+            self._pw = ProfWriter(out_base, k, nreads,
+                                  nparts=min(out_nparts, max(1, nreads)))
+        else:
+            self.profs = []
+
+    def add_batch(self, boff: np.ndarray, rlen: np.ndarray,
+                  pos_counts: np.ndarray) -> None:
+        if self._pw is not None:
+            from fastk_tpu.formats.prof import encode_profiles_bulk
+
+            plen = np.maximum(np.asarray(rlen) - self.k + 1, 0)
+            blob, offs = encode_profiles_bulk(
+                pos_counts.astype(np.uint16, copy=False),
+                np.asarray(boff[:-1]), plen)
+            self._pw.add_block(blob, offs)
+        else:
+            self.profs.extend(
+                _profiles_from_meta(boff, rlen, pos_counts, self.k))
+
+    def close(self) -> None:
+        if self._pw is not None:
+            self._pw.close()
+
+
 def count_files(
     paths: Sequence[str],
     k: int,
@@ -156,18 +217,27 @@ def count_files(
     batch_bases: int = DEFAULT_BATCH_BASES,
     relative_table: Optional[KmerTable] = None,
     verbose: bool = False,
+    out_base: Optional[str] = None,
+    out_nparts: int = 4,
 ) -> CountOutput:
     """Count canonical k-mers in the given sequence files.
 
     relative_table: if given, profiles are taken against this table instead of
     the input's own counts (the -p:<table> mode, reference split.c:1943-2131)
     and no counting pass runs at all.
+
+    out_base: stream the .ktab/.prof file-sets to disk as produced instead of
+    returning them in memory (table/profiles come back None, table_entries
+    set). Profile jobs then retain only the 2-bit packed code stream between
+    passes (0.25 B/base); nothing else outlives its batch.
     """
     W = nwords(k)
-    batches: List[ReadBatch] = []
+    metas: List[Tuple[np.ndarray, np.ndarray, int]] = []  # boff, rlen, clen
+    packed_store: List[List[tuple]] = []  # per batch: packed device slices
     blocks_words: List[tuple] = []  # device-resident compacted unique blocks
     blocks_counts: List[jnp.ndarray] = []
     nvalid_total = 0
+    retain_packed = profiles  # the profile pass re-reads the code stream
 
     def _finalize(res, size):
         nonlocal nvalid_total
@@ -191,7 +261,8 @@ def count_files(
             and len(first_two[0].codes) + pad_needed(k) <= MAX_DEVICE_POSITIONS):
         # single batch with profiles: the fused path — per-position counts
         # come straight out of the counting sort, no second join pass
-        return _count_single_fused(first_two[0], k, table_min, verbose)
+        return _count_single_fused(first_two[0], k, table_min, verbose,
+                                   out_base, out_nparts)
 
     def _batches():
         yield from first_two
@@ -199,27 +270,36 @@ def count_files(
             yield batch
 
     for batch in _batches():
-        batches.append(batch)
-        if relative_table is None:
-            for _off, size, buf in _code_slices(batch.codes, k):
-                res = unique_batch(_device_codes(buf), k, size)
+        metas.append((np.asarray(batch.boff), np.asarray(batch.rlen),
+                      len(batch.codes)))
+        if retain_packed:
+            packed_store.append([])
+        for off, size, pw, exc, blen in _packed_slices(batch.codes, k):
+            if retain_packed:
+                packed_store[-1].append((off, size, pw, exc, blen))
+            if relative_table is None:
+                res = unique_batch(_upload_packed(pw, exc, blen), k, size)
                 if pending is not None:
                     _finalize(*pending)
                 pending = (res, size)
         if verbose:
-            print(f"  batch {len(batches)}: {batch.nreads} reads, "
-                  f"{batch.totlen} bases", flush=True)
+            print(f"  batch {len(metas)}: {metas[-1][1].shape[0]} reads, "
+                  f"{int(metas[-1][1].sum())} bases", flush=True)
+        del batch  # codes are not retained (the packed slices are 2bit/base)
     if pending is not None:
         _finalize(*pending)
 
-    nreads = sum(b.nreads for b in batches)
-    totlen = sum(b.totlen for b in batches)
+    nreads = sum(len(m[1]) for m in metas)
+    totlen = sum(int(m[1].sum()) for m in metas)
 
     if relative_table is not None:
         # relative profiles: no counting pass at all, only the join
         t_words, t_counts = _device_table(relative_table, k)
-        profs = _join_profiles(batches, k, t_words, t_counts)
-        return CountOutput(k, None, None, profs, nreads, totlen)
+        sink = _ProfSink(k, out_base, out_nparts, nreads)
+        _join_profiles_packed(metas, packed_store, k, t_words, t_counts,
+                              sink)
+        sink.close()
+        return CountOutput(k, None, None, sink.profs, nreads, totlen)
 
     # final device merge of all unique blocks
     total = sum(int(b.shape[0]) for b in blocks_counts)
@@ -231,7 +311,7 @@ def count_files(
         m_words.append(jnp.concatenate(parts))
     m_counts = jnp.concatenate(
         blocks_counts + [jnp.zeros(cap - total, jnp.int32)])
-    merged = merge_unique_blocks(tuple(m_words), m_counts, cap)
+    merged = merge_unique_blocks(tuple(m_words), m_counts, cap, k)
 
     hist_arr = np.asarray(merged["hist"]).astype(np.int64)
     overflow = nvalid_total - int(
@@ -239,19 +319,24 @@ def count_files(
     hist = Histogram.from_bins(k, hist_arr, overflow)
 
     table = None
-    need_table = table_min is not None or profiles
-    if need_table:
+    table_entries = None
+    if table_min is not None:
         nuniq = int(merged["nuniq"])
         u_words = np.stack(
             [np.asarray(w[:nuniq]) for w in merged["seg_words"]], axis=1)
         u_counts = np.minimum(np.asarray(merged["seg_counts"][:nuniq]),
                               HIST_HIGH).astype(np.uint16)
-        tmin = table_min if table_min is not None else 1
-        keepm = u_counts >= tmin
+        keepm = u_counts >= table_min
         packed = words_to_packed(u_words[keepm], k)
-        tab = KmerTable(k, tmin, packed, u_counts[keepm])
-        if table_min is not None:
+        tab = KmerTable(k, table_min, packed, u_counts[keepm])
+        table_entries = len(tab)
+        if out_base is not None:
+            from fastk_tpu.formats.ktab import write_ktab
+
+            write_ktab(out_base, tab, nparts=out_nparts)
+        else:
             table = tab
+        del u_words, u_counts, tab
 
     profs = None
     if profiles:
@@ -260,12 +345,19 @@ def count_files(
         capt = _trim(nuniq)
         t_words = tuple(w[:capt] for w in merged["seg_words"])
         t_counts = jnp.minimum(merged["seg_counts"][:capt], HIST_HIGH)
-        profs = _join_profiles(batches, k, t_words, t_counts)
-    return CountOutput(k, hist, table, profs, nreads, totlen)
+        sink = _ProfSink(k, out_base, out_nparts, nreads)
+        _join_profiles_packed(metas, packed_store, k, t_words, t_counts,
+                              sink)
+        sink.close()
+        profs = sink.profs
+    out = CountOutput(k, hist, table, profs, nreads, totlen)
+    out.table_entries = table_entries
+    return out
 
 
 def _count_single_fused(batch: ReadBatch, k: int, table_min: Optional[int],
-                        verbose: bool) -> CountOutput:
+                        verbose: bool, out_base: Optional[str] = None,
+                        out_nparts: int = 4) -> CountOutput:
     """Single-batch `-t -p` jobs: one count_batch call yields the histogram,
     the unique table AND the per-position counts (the reference's "profiles
     by sort inversion" fused into phase 2, count.c:619-1004)."""
@@ -292,31 +384,54 @@ def _count_single_fused(batch: ReadBatch, k: int, table_min: Optional[int],
     u_counts = np.minimum(np.asarray(res["seg_counts"][:nuniq]),
                           HIST_HIGH).astype(np.uint16)
     table = None
+    table_entries = None
     if table_min is not None:
         keep = u_counts >= table_min
-        table = KmerTable(k, table_min, words_to_packed(u_words[keep], k),
-                          u_counts[keep])
+        tab = KmerTable(k, table_min, words_to_packed(u_words[keep], k),
+                        u_counts[keep])
+        table_entries = len(tab)
+        if out_base is not None:
+            from fastk_tpu.formats.ktab import write_ktab
+
+            write_ktab(out_base, tab, nparts=out_nparts)
+        else:
+            table = tab
 
     pos_counts = np.asarray(res["pos_counts"])
-    profs = _profiles_from_positions(batch, pos_counts, k)
-    return CountOutput(k, hist, table, profs, batch.nreads, batch.totlen)
+    sink = _ProfSink(k, out_base, out_nparts, batch.nreads)
+    sink.add_batch(batch.boff, batch.rlen, pos_counts)
+    sink.close()
+    out = CountOutput(k, hist, table, sink.profs, batch.nreads, batch.totlen)
+    out.table_entries = table_entries
+    return out
 
 
-def _join_profiles(batches, k, t_words, t_counts):
-    """Second pass: per-position counts via the device sort-merge join
-    (oversized batches run in overlapping device slices)."""
-    profs: List[np.ndarray] = []
+def _join_profiles(batches, k, t_words, t_counts) -> List[np.ndarray]:
+    """Join per-position counts for in-memory ReadBatches (the multi-chip
+    host path keeps its batches); returns per-read count arrays."""
+    sink = _ProfSink(k, None, 1, sum(b.nreads for b in batches))
     for batch in batches:
-        n = len(batch.codes)
-        pos_counts = np.zeros(n, dtype=np.int32)
-        for off, size, buf in _code_slices(batch.codes, k):
-            pc = np.asarray(
-                profile_join(t_words, t_counts, _device_codes(buf), k, size))
-            take = min(size, n - off)
+        metas = [(np.asarray(batch.boff), np.asarray(batch.rlen),
+                  len(batch.codes))]
+        store = [list(_packed_slices(batch.codes, k))]
+        _join_profiles_packed(metas, store, k, t_words, t_counts, sink)
+    return sink.profs
+
+
+def _join_profiles_packed(metas, packed_store, k, t_words, t_counts,
+                          sink: _ProfSink) -> None:
+    """Second pass: per-position counts via the device sort-merge join,
+    uploading the RETAINED 2-bit packed slices (oversized batches run in
+    overlapping device slices); finished batches go straight to the sink."""
+    for (boff, rlen, clen), slices in zip(metas, packed_store):
+        pos_counts = np.zeros(clen, dtype=np.int32)
+        for off, size, pw, exc, blen in slices:
+            pc = np.asarray(profile_join(
+                t_words, t_counts, _upload_packed(pw, exc, blen), k, size))
+            take = min(size, clen - off)
             if take > 0:
                 pos_counts[off: off + take] = pc[:take]
-        profs.extend(_profiles_from_positions(batch, pos_counts, k))
-    return profs
+        sink.add_batch(boff, rlen, pos_counts)
 
 
 def count_reads(reads: List[bytes], k: int, **kw) -> CountOutput:

@@ -15,21 +15,29 @@ split.c:1407-1713), then counts bucket-by-bucket. The TPU version:
 4. Per part: load spill, device merge (merge_unique_blocks), accumulate the
    histogram, emit the part's table slice. Parts are keyspace-ordered, so
    concatenating their tables yields the final sorted table (the phase-3
-   merge of table.c:346-533 is free by construction).
+   merge of table.c:346-533 is free by construction); with ``out_base`` the
+   slices stream straight into the .ktab part files (KtabWriter).
 5. Profiles (optional): phase 1's key sort also carries positions
    (unique_batch_inst), so (key, position) INSTANCE records spill to their
    keyspace part alongside the uniques (the TPU analog of the reference
    carrying super-mer ordinals into the bucket files, split.c:1167-1277).
-   Phase 2 then joins each part's instances against that part's merged
-   table ONCE (profile_join_keys) and scatters the counts back into
-   per-batch position vectors on host — every instance is processed by
-   exactly one join, instead of every (part, batch) pair.
+   Phase 2 joins each part's instances against that part's merged table
+   ONCE (profile_join_keys) and spills the resulting (position, count)
+   pairs per BATCH; phase 3 walks batches in order, rebuilding one batch's
+   position->count buffer at a time and streaming encoded profiles out
+   (ProfWriter) — the analog of the reference's bounded-window fragment
+   merge (merge.c:88-759) with the window = one batch.
+
+Host memory therefore stays bounded by one batch + one part regardless of
+input size: no ReadBatch outlives its phase-1 device call, and no output
+is buffered whole (the reference's defining claim, README.md:44-46).
 """
 
 from __future__ import annotations
 
 import math
 import os
+from dataclasses import dataclass
 from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -37,7 +45,8 @@ import numpy as np
 import jax.numpy as jnp
 
 from fastk_tpu.formats.hist import HIST_HIGH, Histogram
-from fastk_tpu.formats.ktab import KmerTable
+from fastk_tpu.formats.ktab import KmerTable, KtabWriter
+from fastk_tpu.formats.prof import ProfWriter, encode_profiles_bulk
 from fastk_tpu.io.reader import batched_reads
 from fastk_tpu.ops.count import (
     merge_unique_blocks,
@@ -51,7 +60,7 @@ from fastk_tpu.pipeline.count import (
     CountOutput,
     _device_codes,
     _code_slices,
-    _profiles_from_positions,
+    _profiles_from_meta,
 )
 
 
@@ -65,6 +74,24 @@ def _train_edges(words0: np.ndarray, parts: int) -> np.ndarray:
     qs = [words0[min(len(words0) - 1, len(words0) * t // parts)]
           for t in range(1, parts)]
     return np.array(qs, dtype=np.uint32)
+
+
+@dataclass
+class _BatchMeta:
+    """Per-batch read layout retained after the codes are dropped: a few
+    bytes per READ (vs 1 byte per BASE for the codes themselves)."""
+
+    boff: np.ndarray  # int64 [nreads+1] code offsets
+    rlen: np.ndarray  # int64 [nreads]
+    codes_len: int
+
+    @property
+    def nreads(self) -> int:
+        return len(self.rlen)
+
+    @property
+    def totlen(self) -> int:
+        return int(self.rlen.sum())
 
 
 class _Spill:
@@ -105,6 +132,46 @@ class _Spill:
                     pass
 
 
+class _PosSpill:
+    """Per-BATCH append-only spill of (position, count) pairs — the joined
+    profile values on their way back to read order. 6 bytes/instance as
+    3 little-endian uint16 (positions are batch-local)."""
+
+    def __init__(self, dirpath: str):
+        os.makedirs(dirpath, exist_ok=True)
+        self.dir = dirpath
+        self.nrec: dict[int, int] = {}
+
+    def _path(self, b: int) -> str:
+        return os.path.join(self.dir, f"batch{b}.pos")
+
+    def append(self, b: int, pos: np.ndarray, cnt: np.ndarray) -> None:
+        n = len(pos)
+        if n == 0:
+            return
+        rec = np.empty((n, 3), dtype="<u2")
+        rec[:, :2] = pos.astype("<u4").view("<u2").reshape(n, 2)
+        rec[:, 2] = cnt.astype("<u2")
+        with open(self._path(b), "ab") as f:
+            rec.tofile(f)
+        self.nrec[b] = self.nrec.get(b, 0) + n
+
+    def load(self, b: int) -> Tuple[np.ndarray, np.ndarray]:
+        n = self.nrec.get(b, 0)
+        if n == 0:
+            return np.zeros(0, np.int64), np.zeros(0, np.uint16)
+        rec = np.fromfile(self._path(b), dtype="<u2").reshape(n, 3)
+        pos = np.ascontiguousarray(rec[:, :2]).view("<u4").ravel()
+        return pos.astype(np.int64), rec[:, 2].astype(np.uint16)
+
+    def close(self) -> None:
+        for b in self.nrec:
+            try:
+                os.unlink(self._path(b))
+            except OSError:
+                pass
+
+
 def count_files_ooc(
     paths: Sequence[str],
     k: int,
@@ -116,18 +183,27 @@ def count_files_ooc(
     bc: int = 0,
     batch_bases: int = 64 << 20,
     verbose: bool = False,
+    out_base: Optional[str] = None,
+    out_nparts: int = 4,
 ) -> CountOutput:
-    """Bounded-memory counting via `parts` disk buckets (the -M path)."""
+    """Bounded-memory counting via `parts` disk buckets (the -M path).
+
+    With ``out_base`` the .ktab (if table_min) and .prof (if profiles)
+    file-sets are STREAMED to disk as they are produced; the returned
+    CountOutput then has table=None/profiles=None and table_entries set.
+    """
     W = nwords(k)
     base = os.path.join(sort_path, f"fastk_tpu_ooc.{os.getpid()}")
     spill = _Spill(base, parts, W)
     # instance spill: value column = batch-local position; per-part append
     # metadata (batch idx, n) rebuilds the batch column on load
     ispill = _Spill(base + ".inst", parts, W) if profiles else None
+    pspill = _PosSpill(base + ".pos") if profiles else None
     imeta: List[List[Tuple[int, int]]] = [[] for _ in range(parts)]
     edges: Optional[np.ndarray] = None
-    batches = []
+    metas: List[_BatchMeta] = []
     nvalid_total = 0
+    stream = out_base is not None
 
     try:
         # ---- phase 1: per-batch device dedup, spill by key range ----------
@@ -150,7 +226,8 @@ def count_files_ooc(
                              counts[cuts[p]: cuts[p + 1]])
             if profiles:
                 # valid instances lead the sorted stream (invalid fold to
-                # all-ones keys and sort last)
+                # all-ones keys and sort last); + off makes positions
+                # batch-local across device slices
                 iw = np.stack(
                     [np.asarray(w[:nval]) for w in res["s_words"]], axis=1)
                 ipos = np.asarray(res["s_pos"][:nval]) + np.uint32(off)
@@ -170,26 +247,31 @@ def count_files_ooc(
         pending = None
         for batch, _ord in batched_reads(list(paths), batch_bases,
                                          hc=hc, bc=bc):
-            batches.append(batch)
+            metas.append(_BatchMeta(np.asarray(batch.boff),
+                                    np.asarray(batch.rlen),
+                                    len(batch.codes)))
             for off, size, buf in _code_slices(batch.codes, k):
                 dc = _device_codes(buf)
                 res = (unique_batch_inst(dc, k, size) if profiles
                        else unique_batch(dc, k, size))
                 if pending is not None:
                     _spill_one(*pending)
-                pending = (res, (len(batches) - 1, batch.nreads, off))
+                pending = (res, (len(metas) - 1, metas[-1].nreads, off))
+            del batch  # codes must not outlive phase 1 (bounded RSS)
         if pending is not None:
             _spill_one(*pending)
 
-        nreads = sum(b.nreads for b in batches)
-        totlen = sum(b.totlen for b in batches)
+        nreads = sum(m.nreads for m in metas)
+        totlen = sum(m.totlen for m in metas)
 
         # ---- phase 2: per-part device merge -------------------------------
         hist_arr = np.zeros(HIST_HIGH + 1, dtype=np.int64)
         packed_parts: List[np.ndarray] = []
         count_parts: List[np.ndarray] = []
-        pos_arrays = ([np.zeros(len(b.codes), np.int32) for b in batches]
-                      if profiles else None)
+        ktw = None
+        table_entries = 0
+        if stream and table_min is not None:
+            ktw = KtabWriter(out_base, k, table_min, nparts=out_nparts)
 
         for p in range(parts):
             words, counts = spill.load(p)
@@ -203,7 +285,8 @@ def count_files_ooc(
             m_counts = jnp.concatenate([
                 jnp.asarray(counts.astype(np.int32)),
                 jnp.zeros(cap - n, jnp.int32)])
-            merged = merge_unique_blocks(m_words, m_counts, cap)
+            del words, counts
+            merged = merge_unique_blocks(m_words, m_counts, cap, k)
             hist_arr += np.asarray(merged["hist"]).astype(np.int64)
 
             nuniq = int(merged["nuniq"])
@@ -216,8 +299,15 @@ def count_files_ooc(
                 ).astype(np.uint16)
                 tmin = table_min if table_min is not None else 1
                 keep = u_counts >= tmin
-                packed_parts.append(words_to_packed(u_words[keep], k))
-                count_parts.append(u_counts[keep])
+                if table_min is not None:
+                    table_entries += int(keep.sum())
+                    if ktw is not None:
+                        ktw.add(words_to_packed(u_words[keep], k),
+                                u_counts[keep])
+                if ktw is None and table_min is not None:
+                    packed_parts.append(words_to_packed(u_words[keep], k))
+                    count_parts.append(u_counts[keep])
+                del u_words, u_counts
             if profiles:
                 # join this part's spilled instances against its merged
                 # table NOW (the part table then leaves HBM with the loop)
@@ -237,12 +327,14 @@ def count_files_ooc(
                         for j in range(W))
                     cnts = np.asarray(
                         profile_join_keys(t_words, t_counts, q_words))[:nq]
-                    bcol = np.repeat(
-                        np.array([b for b, _ in imeta[p]], np.int64),
-                        [n for _, n in imeta[p]])
-                    for b in np.unique(bcol):
-                        m = bcol == b
-                        pos_arrays[b][ipos[m]] = cnts[m]
+                    # route joined values back to their batches (pos order
+                    # restored in phase 3, one batch at a time)
+                    o = 0
+                    for b, cnt_n in imeta[p]:
+                        pspill.append(b, ipos[o: o + cnt_n],
+                                      cnts[o: o + cnt_n])
+                        o += cnt_n
+                del iw, ipos
 
         overflow = nvalid_total - int(
             (hist_arr[1:] * np.arange(1, HIST_HIGH + 1, dtype=np.int64)).sum())
@@ -250,17 +342,49 @@ def count_files_ooc(
 
         table = None
         if table_min is not None:
-            table = KmerTable(k, table_min, np.concatenate(packed_parts),
-                              np.concatenate(count_parts))
+            if ktw is not None:
+                ktw.close()
+                ktw = None
+            else:
+                table = KmerTable(k, table_min, np.concatenate(packed_parts),
+                                  np.concatenate(count_parts))
+                table_entries = len(table)
 
+        # ---- phase 3: profiles back to read order, one batch at a time ----
         profs = None
+        pw = None
         if profiles:
-            profs = []
-            for batch, pos_counts in zip(batches, pos_arrays):
-                profs.extend(
-                    _profiles_from_positions(batch, pos_counts, k))
-        return CountOutput(k, hist, table, profs, nreads, totlen)
+            if stream:
+                pw = ProfWriter(out_base, k, nreads,
+                                nparts=min(out_nparts, max(1, nreads)))
+            else:
+                profs = []
+            for b, meta in enumerate(metas):
+                buf = np.zeros(meta.codes_len, dtype=np.uint16)
+                pos, cnt = pspill.load(b)
+                buf[pos] = cnt
+                if pw is not None:
+                    plen = np.maximum(meta.rlen - k + 1, 0)
+                    blob, offs = encode_profiles_bulk(
+                        buf, meta.boff[:-1], plen)
+                    pw.add_block(blob, offs)
+                else:
+                    profs.extend(_profiles_from_meta(
+                        meta.boff, meta.rlen, buf, k))
+            if pw is not None:
+                pw.close()
+                pw = None
+        out = CountOutput(k, hist, table, profs, nreads, totlen)
+        out.table_entries = table_entries if table_min is not None else None
+        return out
     finally:
         spill.close()
         if ispill is not None:
             ispill.close()
+        if pspill is not None:
+            pspill.close()
+        for d in (base, base + ".inst", base + ".pos"):
+            try:
+                os.rmdir(d)
+            except OSError:
+                pass

@@ -119,52 +119,53 @@ def _run(cfg, out_base):
                     if os.path.exists(f)) * (nwords(cfg["k"]) + 1) * 4
     parts = max(1, math.ceil(est_bytes / (cfg["M"] * 1e9)))
 
-    if parts > 1 and rel is None:
-        from fastk_tpu.pipeline.outofcore import count_files_ooc
-
-        if cfg["v"]:
-            print(f"  out-of-core: {parts} keyspace parts under "
-                  f"{cfg['M']}GB budget", file=sys.stderr)
-        out = count_files_ooc(
-            cfg["inputs"], cfg["k"], parts,
-            sort_path=cfg["P"],
-            table_min=cfg["t"],
-            profiles=cfg["p"],
-            hc=cfg["c"],
-            bc=cfg["bc"],
-            batch_bases=batch_bases,
-            verbose=cfg["v"],
-        )
-    else:
-        out = count_files(
-            cfg["inputs"], cfg["k"],
-            table_min=cfg["t"],
-            profiles=cfg["p"],
-            hc=cfg["c"],
-            bc=cfg["bc"],
-            batch_bases=batch_bases,
-            relative_table=rel,
-            verbose=cfg["v"],
-        )
-
-    if cfg["v"]:
-        print(f"  {print_number(out.nreads)} reads, "
-              f"{print_number(out.totlen)} bases", file=sys.stderr)
-        timer.phase()
-
     nparts = max(1, cfg["T"])
     try:
+        if parts > 1 and rel is None:
+            from fastk_tpu.pipeline.outofcore import count_files_ooc
+
+            if cfg["v"]:
+                print(f"  out-of-core: {parts} keyspace parts under "
+                      f"{cfg['M']}GB budget", file=sys.stderr)
+            out = count_files_ooc(
+                cfg["inputs"], cfg["k"], parts,
+                sort_path=cfg["P"],
+                table_min=cfg["t"],
+                profiles=cfg["p"],
+                hc=cfg["c"],
+                bc=cfg["bc"],
+                batch_bases=batch_bases,
+                verbose=cfg["v"],
+                out_base=out_base,
+                out_nparts=nparts,
+            )
+        else:
+            out = count_files(
+                cfg["inputs"], cfg["k"],
+                table_min=cfg["t"],
+                profiles=cfg["p"],
+                hc=cfg["c"],
+                bc=cfg["bc"],
+                batch_bases=batch_bases,
+                relative_table=rel,
+                verbose=cfg["v"],
+                out_base=out_base,
+                out_nparts=nparts,
+            )
+
+        if cfg["v"]:
+            print(f"  {print_number(out.nreads)} reads, "
+                  f"{print_number(out.totlen)} bases", file=sys.stderr)
+            timer.phase()
+
+        # .ktab/.prof were streamed to out_base by the pipeline; only the
+        # (small) histogram remains to be written here
         if rel is None:
             write_histogram(out_base, out.hist)
-            if out.table is not None:
-                write_ktab(out_base, out.table, nparts=nparts)
-                if cfg["v"]:
-                    print(f"  There are {print_number(len(out.table))} "
-                          f"{cfg['k']}-mers that occur {cfg['t']}-or-more "
-                          "times", file=sys.stderr)
-        if out.profiles is not None:
-            write_prof(out_base, cfg["k"], out.profiles,
-                       nparts=min(nparts, max(1, len(out.profiles))))
+            if cfg["t"] is not None and cfg["v"]:
+                print(f"  There are {print_number(out.table_entries)} "
+                      f"{cfg['k']}-mers that occur {cfg['t']}-or-more "
+                      "times", file=sys.stderr)
     except BaseException:
         # drop partial output file-sets (Clean_Exit, FastK.c:181-221)
         _clean_outputs(out_base)

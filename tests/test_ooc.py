@@ -65,3 +65,55 @@ def test_ooc_cli_trigger(data, tmp_path, monkeypatch):
     t2 = fk.read_ktab(o2)
     assert np.array_equal(t1.packed, t2.packed)
     assert np.array_equal(t1.counts, t2.counts)
+
+
+@pytest.mark.parametrize("parts", [1, 3])
+def test_ooc_streamed_outputs_match(data, tmp_path, parts):
+    """out_base streaming writes byte-compatible .ktab/.prof file-sets while
+    keeping nothing in memory; contents must equal the in-memory path."""
+    import fastk_tpu as fk
+    from fastk_tpu.formats.ktab import write_ktab
+    from fastk_tpu.formats.prof import read_profiles, write_prof
+
+    a = count_files_ooc([data], 21, parts, sort_path=str(tmp_path),
+                        table_min=1, profiles=True, batch_bases=2000)
+    ob = str(tmp_path / f"st{parts}")
+    b = count_files_ooc([data], 21, parts, sort_path=str(tmp_path),
+                        table_min=1, profiles=True, batch_bases=2000,
+                        out_base=ob, out_nparts=2)
+    assert b.table is None and b.profiles is None
+    assert b.table_entries == len(a.table)
+    assert a.hist == b.hist
+
+    t2 = fk.read_ktab(ob)
+    assert np.array_equal(a.table.packed, t2.packed)
+    assert np.array_equal(a.table.counts, t2.counts)
+
+    # profile file-set must be byte-identical to the buffered writer's
+    import filecmp
+    mb = str(tmp_path / f"mem{parts}")
+    write_prof(mb, 21, a.profiles, nparts=2)
+    for ext, i in ((".prof", 1), (".prof", 2), (".pidx", 1), (".pidx", 2)):
+        pa = tmp_path / f".mem{parts}{ext}.{i}"
+        pb = tmp_path / f".st{parts}{ext}.{i}"
+        assert filecmp.cmp(str(pa), str(pb), shallow=False), (ext, i)
+    got = read_profiles(ob)
+    assert len(got) == len(a.profiles)
+    for x, y in zip(got, a.profiles):
+        assert np.array_equal(x, y)
+
+
+def test_incore_streamed_outputs_match(data, tmp_path):
+    import fastk_tpu as fk
+    from fastk_tpu.formats.prof import read_profiles
+
+    a = count_files([data], 21, table_min=2, profiles=True, batch_bases=2000)
+    ob = str(tmp_path / "inc")
+    b = count_files([data], 21, table_min=2, profiles=True, batch_bases=2000,
+                    out_base=ob, out_nparts=3)
+    assert b.table is None and b.profiles is None
+    t2 = fk.read_ktab(ob)
+    assert np.array_equal(a.table.packed, t2.packed)
+    got = read_profiles(ob)
+    for x, y in zip(got, a.profiles):
+        assert np.array_equal(x, y)

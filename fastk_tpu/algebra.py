@@ -335,3 +335,75 @@ def _has_gc(n: Node) -> bool:
     if n is None:
         return False
     return n.op == "gc" or _has_gc(n.lft) or _has_gc(n.rgt)
+
+
+def logex_apply_streamed(
+    assignments: Sequence[Tuple[str, str]],
+    source_paths: Sequence[str],
+    hist_range: Optional[Tuple[int, int]] = None,
+    out_nparts: int = 4,
+    do_table: bool = True,
+    window: Optional[int] = None,
+):
+    """logex_apply over STREAMED tables: sources advance through bounded
+    keyspace windows (formats.twindow) and each assignment's output table
+    streams through its own KtabWriter — expression evaluation is windowed
+    exactly like the reference's per-bucket streaming evaluation
+    (Logex.c:1403-1478), so tables larger than RAM evaluate in O(window).
+
+    Returns a list of (name, Histogram|None); tables land on disk.
+    """
+    from fastk_tpu.formats.ktab import KmerStream, KtabWriter
+    from fastk_tpu.formats.twindow import (
+        DEFAULT_WINDOW, stream_windows, window_union)
+
+    streams = [KmerStream(p) for p in source_paths]
+    ntabs = len(streams)
+    kmer = streams[0].kmer
+    kb = streams[0].kbyte
+    for s in streams[1:]:
+        if s.kmer != kmer:
+            raise ValueError("tables have different k-mer sizes")
+    parsed = [(name, parse_expression(expr, ntabs))
+              for name, expr in assignments]
+    need_gc = any(_has_gc(n) for _, n in parsed)
+
+    writers = {}
+    if do_table:
+        for name, _ in parsed:
+            writers[name] = KtabWriter(name, kmer, 1, nparts=out_nparts)
+    hacc = None
+    if hist_range is not None:
+        low, high = hist_range
+        hacc = {name: [np.zeros(high - low + 1, np.int64), 0, 0]
+                for name, _ in parsed}
+
+    for chunk in stream_windows(streams, window or DEFAULT_WINDOW):
+        universe, cvecs = window_union(chunk, kb)
+        if len(universe) == 0:
+            continue
+        gc = (gc_percent(universe, kmer) if need_gc
+              else np.zeros(len(universe), np.int64))
+        for name, node in parsed:
+            c = evaluate(node, cvecs, gc)
+            acc = c > 0
+            if do_table:
+                writers[name].add(universe[acc],
+                                  np.minimum(c[acc], 32767).astype(np.uint16))
+            if hacc is not None:
+                cp = c[acc]
+                a = hacc[name]
+                a[0] += np.bincount(np.clip(cp, low, high) - low,
+                                    minlength=high - low + 1)
+                a[1] += int(cp[cp <= low].sum())
+                a[2] += int(cp[cp >= high].sum())
+    for w in writers.values():
+        w.close()
+    out = []
+    for name, _ in parsed:
+        h = None
+        if hacc is not None:
+            bins, ilow, ihigh = hacc[name]
+            h = Histogram(kmer, low, high, bins, ilow, ihigh)
+        out.append((name, h))
+    return out

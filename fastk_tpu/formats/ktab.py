@@ -189,10 +189,12 @@ def part_splits_from_pindex(pindex: np.ndarray, nparts: int) -> List[int]:
     for t in range(1, nparts):
         target = n * t // nparts
         i0 = int(np.searchsorted(pindex, target, side="left"))
-        if i0 >= len(pindex):
+        hi = int(pindex[i0]) if i0 < len(pindex) else n
+        if hi >= n:
+            # no prefix start at or past the target: cut at the end,
+            # unconditionally (part_splits' starts array excludes n)
             cuts.append(n)
             continue
-        hi = int(pindex[i0])
         lo = int(pindex[i0 - 1]) if i0 > 0 else 0
         cuts.append(hi if hi - target <= target - lo else lo)
     return cuts

@@ -10,6 +10,11 @@ Counts of k-mers present in several sources are summed and clipped at 32767
 from the pivot (largest) table's entry quantiles so every slice job cuts the
 keyspace identically (reference: Fastmerge.c:784-799), and slices then
 concatenate with fastcat.
+
+The merge STREAMS: sources advance through bounded keyspace windows
+(formats.twindow — the GoTo_Kmer_Entry-aligned N-way merge of
+Fastmerge.c:168-450) and the output table streams through KtabWriter, so
+tables larger than RAM merge in O(window) memory.
 """
 
 from __future__ import annotations
@@ -99,21 +104,59 @@ def main(argv=None):
     if len(pos) < 2:
         die(USAGE)
     target, sources = pos[0], pos[1:]
+    return merge_streamed(sources, target, max(1, nthreads * per_thread),
+                          do_hist, do_table, slice_spec)
 
-    tables = []
+
+def merge_streamed(sources, target, nparts, do_hist, do_table, slice_spec,
+                   window=None):
+    """Windowed streaming merge: O(window) memory at any table scale."""
+    from fastk_tpu.formats.hist import HIST_HIGH
+    from fastk_tpu.formats.ktab import KmerStream, KtabWriter
+    from fastk_tpu.formats.twindow import (
+        DEFAULT_WINDOW, key_at, stream_windows, window_sum)
+
+    streams = []
     for s in sources:
         try:
-            tables.append(read_ktab(s))
+            streams.append(KmerStream(s))
         except FileNotFoundError:
             die(f"fastmerge: Cannot open {s}")
+    kmer = streams[0].kmer
+    kb = streams[0].kbyte
+    for s in streams[1:]:
+        if s.kmer != kmer:
+            die("fastmerge: tables do not have a common k-mer size")
 
-    merged = merge_tables(tables, slice_spec)
-    if do_table:
-        write_ktab(target, merged, nparts=max(1, nthreads * per_thread))
+    lo_key = hi_key = None
+    if slice_spec is not None:
+        n, d = slice_spec
+        pivot = max(streams, key=lambda s: s.nels)
+        if pivot.nels:
+            if n > 1:
+                lo_key = key_at(pivot, pivot.nels * (n - 1) // d)
+            if n < d:
+                hi_key = key_at(pivot, pivot.nels * n // d)
+
+    minval = min(s.minval for s in streams)
+    ktw = (KtabWriter(target, kmer, minval, nparts=nparts)
+           if do_table else None)
+    bins = np.zeros(HIST_HIGH + 1, dtype=np.int64)
+    for chunk in stream_windows(streams, window or DEFAULT_WINDOW,
+                                lo_key, hi_key):
+        rows, sums = window_sum(chunk, kb)
+        if len(rows) == 0:
+            continue
+        clipped = np.minimum(sums, HIST_HIGH).astype(np.uint16)
+        if ktw is not None:
+            ktw.add(rows, clipped)
+        if do_hist:
+            bins += np.bincount(clipped, minlength=HIST_HIGH + 1
+                                ).astype(np.int64)
+    if ktw is not None:
+        ktw.close()
     if do_hist:
-        counts = merged.counts.astype(np.int64)
-        h = Histogram.from_clipped_counts(merged.kmer, counts)
-        write_histogram(target, h)
+        write_histogram(target, Histogram.from_bins(kmer, bins))
     return 0
 
 

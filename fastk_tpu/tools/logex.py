@@ -54,15 +54,15 @@ def main(argv=None):
     if not do_table and hist_range is None:
         hist_range = (1, 0x7FFF)
 
-    from fastk_tpu.algebra import ParseError, logex_apply
+    from fastk_tpu.algebra import ParseError, logex_apply_streamed
     from fastk_tpu.formats.hist import write_histogram
-    from fastk_tpu.formats.ktab import read_ktab, write_ktab
 
-    tables = []
     for s in sources:
-        try:
-            tables.append(read_ktab(s))
-        except FileNotFoundError:
+        import os
+
+        from fastk_tpu.formats.paths import stub_path
+
+        if not os.path.exists(stub_path(s, ".ktab")):
             die(f"logex: Cannot open {s}")
 
     parsed_assignments = []
@@ -71,15 +71,16 @@ def main(argv=None):
         parsed_assignments.append((name.strip(), expr))
 
     try:
-        results = logex_apply(parsed_assignments, tables, hist_range)
+        # tables stream window-by-window; outputs stream through KtabWriter
+        results = logex_apply_streamed(
+            parsed_assignments, sources, hist_range,
+            out_nparts=max(1, nthreads), do_table=do_table)
     except ParseError as e:
         die(f"logex: Expression syntax error: {e}")
     except ValueError as e:
         die(f"logex: {e}")
 
-    for name, table, hist in results:
-        if do_table:
-            write_ktab(name, table, nparts=max(1, nthreads))
+    for name, hist in results:
         if hist is not None:
             write_histogram(name, hist)
     return 0

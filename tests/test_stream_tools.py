@@ -1,0 +1,83 @@
+"""Streamed (windowed) fastmerge/logex must equal the in-memory versions,
+byte-for-byte on disk, even when windows are tiny (forcing many windows and
+cut keys inside shared key runs)."""
+
+import filecmp
+import os
+
+import numpy as np
+import pytest
+
+from fastk_tpu.formats.hist import Histogram, read_histogram, write_histogram
+from fastk_tpu.formats.ktab import KmerTable, kbytes, read_ktab, write_ktab
+
+
+def _rand_table(n, k, seed):
+    rng = np.random.default_rng(seed)
+    kb = kbytes(k)
+    packed = rng.integers(0, 4, (n, kb), dtype=np.uint8)  # few distinct ->
+    # heavy cross-table key overlap
+    if k % 4:
+        packed[:, -1] &= (0xFF << (2 * (4 - k % 4))) & 0xFF
+    view = np.ascontiguousarray(packed).view(f"S{kb}").ravel()
+    uv, idx = np.unique(view, return_index=True)
+    packed = packed[np.sort(idx)]
+    view = np.ascontiguousarray(packed).view(f"S{kb}").ravel()
+    order = np.argsort(view)
+    packed = packed[order]
+    counts = rng.integers(1, 30000, len(packed)).astype(np.uint16)
+    return KmerTable(k, 1, packed, counts)
+
+
+@pytest.fixture(scope="module")
+def tabs(tmp_path_factory):
+    d = tmp_path_factory.mktemp("stream_tools")
+    tables = [_rand_table(900 + 137 * i, 16, seed=i) for i in range(3)]
+    paths = []
+    for i, t in enumerate(tables):
+        p = str(d / f"t{i}")
+        write_ktab(p, t, nparts=2)
+        paths.append(p)
+    return d, tables, paths
+
+
+@pytest.mark.parametrize("window", [64, 1 << 20])
+@pytest.mark.parametrize("slice_spec", [None, (1, 3), (2, 3), (3, 3)])
+def test_fastmerge_streamed_matches(tabs, tmp_path, window, slice_spec):
+    from fastk_tpu.tools.fastmerge import merge_streamed, merge_tables
+
+    d, tables, paths = tabs
+    mem = merge_tables(tables, slice_spec)
+    a = str(tmp_path / "mem")
+    write_ktab(a, mem, nparts=3)
+    write_histogram(a, Histogram.from_clipped_counts(
+        mem.kmer, mem.counts.astype(np.int64)))
+
+    b = str(tmp_path / "st")
+    assert merge_streamed(paths, b, 3, True, True, slice_spec,
+                          window=window) == 0
+    assert filecmp.cmp(a + ".ktab", b + ".ktab", shallow=False)
+    for i in (1, 2, 3):
+        assert filecmp.cmp(str(tmp_path / f".mem.ktab.{i}"),
+                           str(tmp_path / f".st.ktab.{i}"), shallow=False), i
+    assert read_histogram(a) == read_histogram(b)
+
+
+@pytest.mark.parametrize("window", [64])
+def test_logex_streamed_matches(tabs, tmp_path, window):
+    from fastk_tpu.algebra import logex_apply, logex_apply_streamed
+
+    d, tables, paths = tabs
+    exprs = [("U", "A|+B|+C"), ("I", "A&.B"), ("D", "A-C"),
+             ("M", "A[2-100]")]
+    mem = logex_apply(exprs, tables, hist_range=(1, 100))
+
+    os.chdir(tmp_path)
+    named = [(str(tmp_path / n), e) for n, e in exprs]
+    got = logex_apply_streamed(named, paths, hist_range=(1, 100),
+                               out_nparts=2, window=window)
+    for (name, t_mem, h_mem), (name2, h_got) in zip(mem, got):
+        t_got = read_ktab(str(tmp_path / name))
+        assert np.array_equal(t_mem.packed, t_got.packed), name
+        assert np.array_equal(t_mem.counts, t_got.counts), name
+        assert h_mem == h_got, name

@@ -185,12 +185,16 @@ def count_files_ooc(
     verbose: bool = False,
     out_base: Optional[str] = None,
     out_nparts: int = 4,
+    part_cap: int = 1 << 26,
 ) -> CountOutput:
     """Bounded-memory counting via `parts` disk buckets (the -M path).
 
     With ``out_base`` the .ktab (if table_min) and .prof (if profiles)
     file-sets are STREAMED to disk as they are produced; the returned
     CountOutput then has table=None/profiles=None and table_entries set.
+
+    part_cap: max records merged in one device call; a part whose spill
+    exceeds it is sub-split at word0 quantiles (skew recovery).
     """
     W = nwords(k)
     base = os.path.join(sort_path, f"fastk_tpu_ooc.{os.getpid()}")
@@ -273,8 +277,8 @@ def count_files_ooc(
         if stream and table_min is not None:
             ktw = KtabWriter(out_base, k, table_min, nparts=out_nparts)
 
-        for p in range(parts):
-            words, counts = spill.load(p)
+        def _merge_range(words, counts, iw, ipos, bcol):
+            nonlocal table_entries
             n = len(counts)
             cap = 1 << max(15, math.ceil(math.log2(max(n, 2))))
             m_words = tuple(
@@ -285,33 +289,27 @@ def count_files_ooc(
             m_counts = jnp.concatenate([
                 jnp.asarray(counts.astype(np.int32)),
                 jnp.zeros(cap - n, jnp.int32)])
-            del words, counts
             merged = merge_unique_blocks(m_words, m_counts, cap, k)
-            hist_arr += np.asarray(merged["hist"]).astype(np.int64)
+            hist_arr[:] += np.asarray(merged["hist"]).astype(np.int64)
 
             nuniq = int(merged["nuniq"])
-            if table_min is not None or profiles:
+            if table_min is not None:
                 u_words = np.stack(
                     [np.asarray(w[:nuniq]) for w in merged["seg_words"]],
                     axis=1)
                 u_counts = np.minimum(
                     np.asarray(merged["seg_counts"][:nuniq]), HIST_HIGH
                 ).astype(np.uint16)
-                tmin = table_min if table_min is not None else 1
-                keep = u_counts >= tmin
-                if table_min is not None:
-                    table_entries += int(keep.sum())
-                    if ktw is not None:
-                        ktw.add(words_to_packed(u_words[keep], k),
-                                u_counts[keep])
-                if ktw is None and table_min is not None:
+                keep = u_counts >= table_min
+                table_entries += int(keep.sum())
+                if ktw is not None:
+                    ktw.add(words_to_packed(u_words[keep], k),
+                            u_counts[keep])
+                else:
                     packed_parts.append(words_to_packed(u_words[keep], k))
                     count_parts.append(u_counts[keep])
                 del u_words, u_counts
             if profiles:
-                # join this part's spilled instances against its merged
-                # table NOW (the part table then leaves HBM with the loop)
-                iw, ipos = ispill.load(p)
                 nq = len(ipos)
                 if nq:
                     # pow2 pads bound the distinct jit shapes on long runs
@@ -329,12 +327,60 @@ def count_files_ooc(
                         profile_join_keys(t_words, t_counts, q_words))[:nq]
                     # route joined values back to their batches (pos order
                     # restored in phase 3, one batch at a time)
-                    o = 0
-                    for b, cnt_n in imeta[p]:
-                        pspill.append(b, ipos[o: o + cnt_n],
-                                      cnts[o: o + cnt_n])
-                        o += cnt_n
-                del iw, ipos
+                    for b in np.unique(bcol):
+                        m = bcol == b
+                        pspill.append(int(b), ipos[m], cnts[m])
+
+        for p in range(parts):
+            words, counts = spill.load(p)
+            if profiles:
+                iw, ipos = ispill.load(p)
+                bcol = np.repeat(
+                    np.array([b for b, _ in imeta[p]], np.int64),
+                    [cnt_n for _, cnt_n in imeta[p]])
+            else:
+                iw = ipos = bcol = None
+            n = len(counts)
+            if n <= part_cap:
+                if verbose:
+                    print(f"  part {p + 1}/{parts}: {n} records",
+                          flush=True)
+                _merge_range(words, counts, iw, ipos, bcol)
+                continue
+            # part overflow recovery: sub-split the part at word0 quantile
+            # values (identical keys share word0, so sub-ranges still
+            # partition the keyspace and concatenate in order) — the
+            # adaptive analog of the reference's trie refinement on bucket
+            # skew (split.c:437-472), applied at merge time so no spilled
+            # record ever moves
+            nsub = math.ceil(n / part_cap)
+            rng = np.random.default_rng(0)
+            sample = words[rng.integers(0, n, min(n, 1 << 20)), 0]
+            sample.sort()
+            vals = np.unique(np.array(
+                [sample[len(sample) * t // nsub] for t in range(1, nsub)],
+                dtype=np.uint32))
+            if verbose:
+                print(f"  part {p + 1}/{parts}: {n} records, sub-split "
+                      f"into {len(vals) + 1} ranges", flush=True)
+            bounds = [None, *vals.tolist(), None]
+            for lo, hi in zip(bounds[:-1], bounds[1:]):
+                m = np.ones(n, dtype=bool)
+                if lo is not None:
+                    m &= words[:, 0] >= lo
+                if hi is not None:
+                    m &= words[:, 0] < hi
+                if profiles:
+                    mi = np.ones(len(ipos), dtype=bool)
+                    if lo is not None:
+                        mi &= iw[:, 0] >= lo
+                    if hi is not None:
+                        mi &= iw[:, 0] < hi
+                    _merge_range(words[m], counts[m], iw[mi], ipos[mi],
+                                 bcol[mi])
+                else:
+                    _merge_range(words[m], counts[m], None, None, None)
+            del words, counts, iw, ipos, bcol
 
         overflow = nvalid_total - int(
             (hist_arr[1:] * np.arange(1, HIST_HIGH + 1, dtype=np.int64)).sum())

@@ -117,3 +117,34 @@ def test_incore_streamed_outputs_match(data, tmp_path):
     got = read_profiles(ob)
     for x, y in zip(got, a.profiles):
         assert np.array_equal(x, y)
+
+
+def test_part_overflow_subsplit(data, tmp_path):
+    """A part bigger than part_cap is sub-split at word0 quantiles and still
+    produces identical outputs (skew recovery without retraining)."""
+    a = count_files_ooc([data], 21, 2, sort_path=str(tmp_path),
+                        table_min=1, profiles=True, batch_bases=2000)
+    b = count_files_ooc([data], 21, 2, sort_path=str(tmp_path),
+                        table_min=1, profiles=True, batch_bases=2000,
+                        part_cap=50)  # force many sub-splits
+    assert a.hist == b.hist
+    assert np.array_equal(a.table.packed, b.table.packed)
+    assert np.array_equal(a.table.counts, b.table.counts)
+    for x, y in zip(a.profiles, b.profiles):
+        assert np.array_equal(x, y)
+
+
+def test_skewed_input_completes(tmp_path):
+    """One dominating repeated k-mer region (maximal skew) completes and
+    counts exactly."""
+    reads = ["a" * 500] * 30 + ["acgtacgtacgtacgtacgtacgtacgt"]
+    p = tmp_path / "skew.fasta"
+    with open(p, "w") as f:
+        for i, r in enumerate(reads):
+            f.write(f">r{i}\n{r}\n")
+    out = count_files_ooc([str(p)], 21, 3, sort_path=str(tmp_path),
+                          table_min=1, batch_bases=1000, part_cap=200)
+    # 30 reads of a^500 -> (500-21+1)*30 = 14400 instances of a^21
+    i = out.table.find("a" * 21)
+    assert i is not None
+    assert out.table.counts[i] == min(14400, 32767)

@@ -35,8 +35,11 @@ is buffered whole (the reference's defining claim, README.md:44-46).
 
 from __future__ import annotations
 
+import hashlib
+import json
 import math
 import os
+import shutil
 from dataclasses import dataclass
 from typing import List, Optional, Sequence, Tuple
 
@@ -95,13 +98,27 @@ class _BatchMeta:
 
 
 class _Spill:
-    """Per-part append-only spill of (W words, count) uint32 records."""
+    """Per-part append-only spill of (W words, count) uint32 records.
 
-    def __init__(self, dirpath: str, parts: int, W: int):
+    resume_nrec: per-part record counts from a prior run's manifest; files
+    are truncated to exactly those counts (dropping any partially-written
+    batch) and opened for append."""
+
+    def __init__(self, dirpath: str, parts: int, W: int,
+                 resume_nrec: Optional[List[int]] = None):
         os.makedirs(dirpath, exist_ok=True)
         self.W = W
         self.paths = [os.path.join(dirpath, f"part{p}.spill")
                       for p in range(parts)]
+        if resume_nrec is not None:
+            rb = 4 * (W + 1)
+            for p, nr in zip(self.paths, resume_nrec):
+                with open(p, "ab") as f:
+                    pass  # ensure exists
+                os.truncate(p, nr * rb)
+            self.files = [open(p, "ab") for p in self.paths]
+            self.nrec = list(resume_nrec)
+            return
         self.files = [open(p, "wb") for p in self.paths]
         self.nrec = [0] * parts
 
@@ -172,6 +189,37 @@ class _PosSpill:
                 pass
 
 
+def _run_signature(paths, k, parts, table_min, profiles, hc, bc,
+                   batch_bases) -> str:
+    """Deterministic identity of an ooc run: same inputs (path/size/mtime)
+    and same configuration — the key that makes a crashed run resumable."""
+    ident = []
+    for p in paths:
+        st = os.stat(p)
+        ident.append((os.path.abspath(p), st.st_size, int(st.st_mtime)))
+    blob = repr((ident, k, parts, table_min, profiles, hc, bc, batch_bases))
+    return hashlib.sha1(blob.encode()).hexdigest()[:16]
+
+
+def _manifest_path(base: str) -> str:
+    return os.path.join(base, "manifest.json")
+
+
+def _save_manifest(base: str, state: dict) -> None:
+    tmp = _manifest_path(base) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(state, f)
+    os.replace(tmp, _manifest_path(base))  # atomic: torn writes can't win
+
+
+def _load_manifest(base: str) -> Optional[dict]:
+    try:
+        with open(_manifest_path(base)) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return None
+
+
 def count_files_ooc(
     paths: Sequence[str],
     k: int,
@@ -186,6 +234,7 @@ def count_files_ooc(
     out_base: Optional[str] = None,
     out_nparts: int = 4,
     part_cap: int = 1 << 26,
+    resume: bool = False,
 ) -> CountOutput:
     """Bounded-memory counting via `parts` disk buckets (the -M path).
 
@@ -195,19 +244,45 @@ def count_files_ooc(
 
     part_cap: max records merged in one device call; a part whose spill
     exceeds it is sub-split at word0 quantiles (skew recovery).
+
+    resume: on failure KEEP the phase-1 spill + a batch-granular manifest;
+    a rerun with the same inputs/config re-enters phase 1 after the last
+    completed batch (the reference's DEVELOPER staged restart,
+    FastK.c:302-315, at batch instead of phase granularity). Device work
+    already spilled is never redone.
     """
     W = nwords(k)
-    base = os.path.join(sort_path, f"fastk_tpu_ooc.{os.getpid()}")
-    spill = _Spill(base, parts, W)
+    sig = _run_signature(paths, k, parts, table_min, profiles, hc, bc,
+                         batch_bases)
+    base = os.path.join(sort_path, f"fastk_tpu_ooc.{sig}")
+    state = _load_manifest(base) if resume else None
+    if state is not None and state.get("sig") != sig:
+        state = None
+    if state is None:
+        for d in (base, base + ".inst", base + ".pos"):
+            if os.path.isdir(d):  # stale leftovers of a crashed run
+                shutil.rmtree(d, ignore_errors=True)
+    bdone = state["batches_done"] if state else 0
+    if verbose and bdone:
+        print(f"  resume: phase 1 re-enters after batch {bdone}",
+              flush=True)
+    spill = _Spill(base, parts, W,
+                   resume_nrec=state["nrec"] if state else None)
     # instance spill: value column = batch-local position; per-part append
     # metadata (batch idx, n) rebuilds the batch column on load
-    ispill = _Spill(base + ".inst", parts, W) if profiles else None
+    ispill = (_Spill(base + ".inst", parts, W,
+                     resume_nrec=state["inrec"] if state else None)
+              if profiles else None)
     pspill = _PosSpill(base + ".pos") if profiles else None
-    imeta: List[List[Tuple[int, int]]] = [[] for _ in range(parts)]
-    edges: Optional[np.ndarray] = None
+    imeta: List[List[Tuple[int, int]]] = (
+        [[tuple(x) for x in lst] for lst in state["imeta"]] if state
+        else [[] for _ in range(parts)])
+    edges: Optional[np.ndarray] = (
+        np.array(state["edges"], dtype=np.uint32) if state else None)
     metas: List[_BatchMeta] = []
-    nvalid_total = 0
+    nvalid_total = state["nvalid"] if state else 0
     stream = out_base is not None
+    keep_spill = False
 
     try:
         # ---- phase 1: per-batch device dedup, spill by key range ----------
@@ -245,6 +320,12 @@ def count_files_ooc(
             if verbose:
                 print(f"  batch {bidx + 1}: {nreads} reads, "
                       f"{nu} uniques spilled", flush=True)
+            if resume:
+                _save_manifest(base, dict(
+                    sig=sig, batches_done=bidx + 1, nrec=spill.nrec,
+                    inrec=ispill.nrec if ispill is not None else None,
+                    imeta=imeta, nvalid=nvalid_total,
+                    edges=[int(x) for x in edges]))
 
         # one-batch lookahead so the next batch's parse/pack/H2D overlaps
         # the previous batch's device compute (mirrors pipeline.count)
@@ -254,6 +335,9 @@ def count_files_ooc(
             metas.append(_BatchMeta(np.asarray(batch.boff),
                                     np.asarray(batch.rlen),
                                     len(batch.codes)))
+            if len(metas) - 1 < bdone:
+                del batch  # already spilled by the interrupted run
+                continue
             for off, size, buf in _code_slices(batch.codes, k):
                 dc = _device_codes(buf)
                 res = (unique_batch_inst(dc, k, size) if profiles
@@ -423,12 +507,21 @@ def count_files_ooc(
         out = CountOutput(k, hist, table, profs, nreads, totlen)
         out.table_entries = table_entries if table_min is not None else None
         return out
+    except BaseException:
+        # with resume on, the spill + manifest survive for a rerun
+        keep_spill = resume
+        raise
     finally:
-        spill.close()
+        spill.close(remove=not keep_spill)
         if ispill is not None:
-            ispill.close()
+            ispill.close(remove=not keep_spill)
         if pspill is not None:
-            pspill.close()
+            pspill.close()  # phase-3 spill is never resumed from
+        if not keep_spill:
+            try:
+                os.unlink(_manifest_path(base))
+            except OSError:
+                pass
         for d in (base, base + ".inst", base + ".pos"):
             try:
                 os.rmdir(d)

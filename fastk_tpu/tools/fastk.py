@@ -28,9 +28,14 @@ USAGE = """Usage: fastk [-k<int(40)>] [-t[<int(1)>]] [-p[:<table>[.ktab]]] [-c] 
 def parse_argv(argv):
     cfg = dict(k=40, t=None, p=False, ptable=None, c=False, bc=0, v=False,
                N=None, P=os.environ.get("TMPDIR", "/tmp"), M=12, T=4,
-               inputs=[])
+               R=False, inputs=[])
     for a in argv:
-        if a.startswith("-k"):
+        if a in ("-R", "--resume"):
+            # staged restart (reference DEVELOPER mode, FastK.c:302-315):
+            # keep the out-of-core spill on failure and re-enter after the
+            # last completed batch on rerun
+            cfg["R"] = True
+        elif a.startswith("-k"):
             cfg["k"] = int(a[2:])
         elif a == "-t":
             cfg["t"] = 1
@@ -138,6 +143,7 @@ def _run(cfg, out_base):
                 verbose=cfg["v"],
                 out_base=out_base,
                 out_nparts=nparts,
+                resume=cfg["R"],
             )
         else:
             out = count_files(

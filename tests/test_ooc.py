@@ -148,3 +148,59 @@ def test_skewed_input_completes(tmp_path):
     i = out.table.find("a" * 21)
     assert i is not None
     assert out.table.counts[i] == min(14400, 32767)
+
+
+def test_resume_after_crash(data, tmp_path):
+    """Kill phase 1 mid-run; a resume rerun skips the already-spilled
+    batches and produces identical outputs."""
+    import fastk_tpu.pipeline.outofcore as ooc
+
+    kw = dict(k=21, parts=3, sort_path=str(tmp_path), table_min=1,
+              profiles=True, batch_bases=2000)
+    want = count_files_ooc([data], resume=False, **kw)
+
+    calls = {"n": 0}
+    real = ooc.unique_batch_inst
+
+    def dying(*a, **k2):
+        calls["n"] += 1
+        if calls["n"] == 3:
+            raise KeyboardInterrupt("simulated kill")
+        return real(*a, **k2)
+
+    ooc.unique_batch_inst = dying
+    try:
+        with pytest.raises(KeyboardInterrupt):
+            count_files_ooc([data], resume=True, **kw)
+    finally:
+        ooc.unique_batch_inst = real
+    # manifest + spill survived
+    import glob
+    assert glob.glob(str(tmp_path / "fastk_tpu_ooc.*" / "manifest.json"))
+
+    calls2 = {"n": 0}
+
+    def counting(*a, **k2):
+        calls2["n"] += 1
+        return real(*a, **k2)
+
+    ooc.unique_batch_inst = counting
+    try:
+        got = count_files_ooc([data], resume=True, **kw)
+    finally:
+        ooc.unique_batch_inst = real
+    # at least one batch's device work was skipped
+    assert calls2["n"] < calls["n"] + ooc_total_batches(data, 2000) - 1
+    assert want.hist == got.hist
+    assert np.array_equal(want.table.packed, got.table.packed)
+    assert np.array_equal(want.table.counts, got.table.counts)
+    for x, y in zip(want.profiles, got.profiles):
+        assert np.array_equal(x, y)
+    # spill dir cleaned up after the successful resume
+    assert not glob.glob(str(tmp_path / "fastk_tpu_ooc.*" / "manifest.json"))
+
+
+def ooc_total_batches(path, batch_bases):
+    from fastk_tpu.io.reader import batched_reads
+
+    return sum(1 for _ in batched_reads([path], batch_bases))

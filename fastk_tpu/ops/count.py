@@ -334,8 +334,12 @@ def _join_counts(table_words, table_counts, q_folded):
     N = A + size
     merged = tuple(
         jnp.concatenate([tw, qw]) for tw, qw in zip(table_words, q_folded))
-    cnt = jnp.concatenate([table_counts.astype(jnp.int32),
-                           jnp.zeros(size, jnp.int32)])
+    # counts are clipped 15-bit, so they ride BOTH sorts as uint16 operands
+    # (sort cost is per operand byte) and return to host as uint16 (halves
+    # the profile D2H, which is the production profile pipeline's ceiling)
+    cnt = jnp.concatenate([
+        jnp.minimum(table_counts, HIST_HIGH).astype(jnp.uint16),
+        jnp.zeros(size, jnp.uint16)])
     # one operand doubles as the table-first tiebreak key AND the position:
     # table entries get 0, query at position i gets i+1
     pos = jnp.concatenate([jnp.zeros(A, jnp.uint32),
@@ -350,11 +354,12 @@ def _join_counts(table_words, table_counts, q_folded):
     for w in s_words:
         starts = starts | (w != jnp.roll(w, 1))
     starts = starts.at[0].set(True)
-    elem_cnt = jnp.maximum(fill_forward(starts, s_cnt, N), 0)
+    elem_cnt = jnp.maximum(fill_forward(starts, s_cnt, N), 0
+                           ).astype(jnp.uint16)
     # inverse sort by the same combined key: the A table entries (pos 0)
     # land first, queries follow in position order
     by_pos = jax.lax.sort((s_pos, elem_cnt), num_keys=1, is_stable=False)[1]
-    return jnp.minimum(by_pos[A: A + size], HIST_HIGH)
+    return by_pos[A: A + size]
 
 
 @functools.partial(jax.jit, static_argnums=(3, 4))
@@ -447,6 +452,7 @@ def count_batch(codes: jnp.ndarray, k: int, size: int, want_positions: bool,
                           want_elem_counts=want_positions, want_hist=want_hist)
     out["nvalid"] = jnp.int32(size) - jnp.sum(invalid.astype(jnp.int32))
     if want_positions:
-        elem = out.pop("elem_counts")
+        # clipped counts ride the inverse sort and the D2H as uint16
+        elem = out.pop("elem_counts").astype(jnp.uint16)
         out["pos_counts"] = positions_inverse(s_vals[0], elem)
     return out

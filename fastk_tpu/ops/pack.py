@@ -84,3 +84,14 @@ def unpack_words(packed_words: jnp.ndarray, exceptions: jnp.ndarray,
     """Device: uint32-word packed stream -> uint8 codes (sentinels restored)."""
     p = jax.lax.bitcast_convert_type(packed_words, jnp.uint8).reshape(-1)
     return unpack_stream(p, exceptions, size)
+
+
+def fetch_u16(x) -> np.ndarray:
+    """Device uint16 array -> host np.uint16, transferred as uint32 words
+    (sub-32-bit arrays move pathologically slowly on some PJRT transports;
+    the bitcast pairs two uint16 lanes per word, both sides little-endian)."""
+    n = int(x.shape[0])
+    if n % 2:
+        return np.asarray(x)
+    w = jax.lax.bitcast_convert_type(x.reshape(n // 2, 2), jnp.uint32)
+    return np.asarray(w).view(np.uint16)

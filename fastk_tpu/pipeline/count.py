@@ -397,7 +397,9 @@ def _count_single_fused(batch: ReadBatch, k: int, table_min: Optional[int],
         else:
             table = tab
 
-    pos_counts = np.asarray(res["pos_counts"])
+    from fastk_tpu.ops.pack import fetch_u16
+
+    pos_counts = fetch_u16(res["pos_counts"])
     sink = _ProfSink(k, out_base, out_nparts, batch.nreads)
     sink.add_batch(batch.boff, batch.rlen, pos_counts)
     sink.close()
@@ -423,10 +425,12 @@ def _join_profiles_packed(metas, packed_store, k, t_words, t_counts,
     """Second pass: per-position counts via the device sort-merge join,
     uploading the RETAINED 2-bit packed slices (oversized batches run in
     overlapping device slices); finished batches go straight to the sink."""
+    from fastk_tpu.ops.pack import fetch_u16
+
     for (boff, rlen, clen), slices in zip(metas, packed_store):
-        pos_counts = np.zeros(clen, dtype=np.int32)
+        pos_counts = np.zeros(clen, dtype=np.uint16)
         for off, size, pw, exc, blen in slices:
-            pc = np.asarray(profile_join(
+            pc = fetch_u16(profile_join(
                 t_words, t_counts, _upload_packed(pw, exc, blen), k, size))
             take = min(size, clen - off)
             if take > 0:

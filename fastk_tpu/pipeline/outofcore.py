@@ -407,7 +407,9 @@ def count_files_ooc(
                             jnp.asarray(np.ascontiguousarray(iw[:, j])),
                             jnp.full(capq - nq, 0xFFFFFFFF, jnp.uint32)])
                         for j in range(W))
-                    cnts = np.asarray(
+                    from fastk_tpu.ops.pack import fetch_u16
+
+                    cnts = fetch_u16(
                         profile_join_keys(t_words, t_counts, q_words))[:nq]
                     # route joined values back to their batches (pos order
                     # restored in phase 3, one batch at a time)

@@ -1,10 +1,11 @@
-"""CRAM ingestion gate.
+"""CRAM ingestion.
 
 The reference vendors all of htslib (~61k LoC of C) solely to decode CRAM
-containers (io.c:1821-1990). A faithful CRAM decoder needs the container/
-slice structure, rANS & name-tokenizer codecs and reference-based sequence
-reconstruction; that native decoder is planned but not yet implemented here.
-Until then we fail with clear guidance instead of mis-reading the file.
+containers (io.c:1821-1990). Here the primary path is the SELF-CONTAINED
+decoder in io.cram_native (CRAM 3.0 containers, rANS-4x8, reference-based
+sequence reconstruction — no system dependencies). Files using features
+outside its gate (CRAM 3.1 codecs, exotic encodings) fall back to a system
+htslib (LIBHTS=...) or pysam when configured, else fail with guidance.
 """
 
 from __future__ import annotations
@@ -14,6 +15,15 @@ from typing import Iterator
 
 
 def iter_cram_reads(path: str) -> Iterator[bytes]:
+    from fastk_tpu.io.cram_native import CramUnsupported, \
+        iter_cram_reads_native
+
+    try:
+        yield from iter_cram_reads_native(path)
+        return
+    except CramUnsupported as e:
+        reason = str(e)
+
     from fastk_tpu.io import htslib
 
     if htslib.load() is not None:
@@ -24,9 +34,9 @@ def iter_cram_reads(path: str) -> Iterator[bytes]:
         import pysam  # optional, not in the base image
     except ImportError:
         raise NotImplementedError(
-            f"{path}: CRAM input needs an htslib (set LIBHTS=/path/to/"
-            "libhts.so) or pysam. Convert with `samtools view -b` to BAM, "
-            "which is supported natively.")
+            f"{path}: CRAM feature outside the native decoder's gate "
+            f"({reason}); set LIBHTS=/path/to/libhts.so or install pysam, "
+            "or convert to BAM with `samtools view -b`.")
     with pysam.AlignmentFile(path, "rc", check_sq=False) as f:
         for rec in f.fetch(until_eof=True):
             if rec.flag & 0x900:

@@ -1,0 +1,938 @@
+"""Self-contained CRAM 3.0 decoder (host side) — no htslib.
+
+Decodes the container/slice structure, the block codecs the htslib writer
+emits (raw, gzip, rANS-4x8 order 0/1), the record data series, and
+reference-based sequence reconstruction — everything needed to yield each
+record's SEQ, which is all FastK consumes (the reference vendors the whole
+of htslib for exactly this, io.c:1821-1990 + HTSLIB/cram/*).
+
+Scope (gated, not pretended): CRAM 3.0; codecs EXTERNAL / HUFFMAN / BETA /
+GAMMA / BYTE_ARRAY_LEN / BYTE_ARRAY_STOP; references from an embedded-ref
+slice block, an external FASTA (FASTK_TPU_CRAM_REF), or none (no-ref /
+unmapped records). Unsupported features raise CramUnsupported so the caller
+can fall back to a system htslib if one is configured.
+
+Format facts follow the CRAM 3.0 specification (ITF8/LTF8 varints,
+container/block/slice layouts, rANS order-0/1 with 12-bit frequencies).
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+import zlib
+from dataclasses import dataclass, field
+from typing import Dict, Iterator, List, Optional, Tuple
+
+import numpy as np
+
+
+class CramError(ValueError):
+    pass
+
+
+class CramUnsupported(NotImplementedError):
+    pass
+
+
+# ---------------------------------------------------------------------------
+# Varints
+# ---------------------------------------------------------------------------
+
+class ByteReader:
+    __slots__ = ("buf", "pos")
+
+    def __init__(self, buf: bytes, pos: int = 0):
+        self.buf = buf
+        self.pos = pos
+
+    def u8(self) -> int:
+        b = self.buf[self.pos]
+        self.pos += 1
+        return b
+
+    def take(self, n: int) -> bytes:
+        b = self.buf[self.pos: self.pos + n]
+        if len(b) != n:
+            raise CramError("truncated CRAM stream")
+        self.pos += n
+        return b
+
+    def itf8(self) -> int:
+        b = self.u8()
+        if not b & 0x80:
+            v = b
+        elif not b & 0x40:
+            v = (b & 0x3F) << 8 | self.u8()
+        elif not b & 0x20:
+            v = (b & 0x1F) << 16 | self.u8() << 8 | self.u8()
+        elif not b & 0x10:
+            v = (b & 0x0F) << 24 | self.u8() << 16 | self.u8() << 8 | self.u8()
+        else:
+            v = ((b & 0x0F) << 28 | self.u8() << 20 | self.u8() << 12
+                 | self.u8() << 4 | (self.u8() & 0x0F))
+        # ITF8 is a 32-bit signed quantity
+        return v - (1 << 32) if v >= (1 << 31) else v
+
+    def ltf8(self) -> int:
+        b = self.u8()
+        if b < 0x80:
+            return b
+        next_counts = [(0xC0, 1, 14), (0xE0, 2, 21), (0xF0, 3, 28),
+                       (0xF8, 4, 35), (0xFC, 5, 42), (0xFE, 6, 49),
+                       (0xFF, 7, 56)]
+        for bound, extra, bits in next_counts:
+            if b < bound:
+                v = b
+                for _ in range(extra):
+                    v = (v << 8) | self.u8()
+                return v & ((1 << bits) - 1)
+        v = 0
+        for _ in range(8):
+            v = (v << 8) | self.u8()
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    @property
+    def remaining(self) -> int:
+        return len(self.buf) - self.pos
+
+
+# ---------------------------------------------------------------------------
+# rANS 4x8 (order 0 / order 1), 12-bit frequencies — htslib rans_static
+# ---------------------------------------------------------------------------
+
+_TF_SHIFT = 12
+_TOTFREQ = 1 << _TF_SHIFT
+_RANS_LOW = 1 << 23
+
+
+def _read_freqs0(r: ByteReader, zero_is_total: bool = False
+                 ) -> Tuple[np.ndarray, np.ndarray, bytearray]:
+    """Order-0 frequency table -> (F[256], C[256], lookup[4096]).
+
+    Mirrors htslib rans_static.c: symbol-RLE table, cumulative start = the
+    running total in visit order, totals of 4095 allowed historically (the
+    last slot repeats), and — in order-1 context rows (zero_is_total) —
+    F == 0 means the whole table."""
+    F = np.zeros(256, np.uint32)
+    C = np.zeros(256, np.uint32)
+    lookup = bytearray(_TOTFREQ)
+    x = 0
+    j = r.u8()
+    rle = 0
+    while True:
+        f = r.u8()
+        if f >= 128:
+            f = ((f & 0x7F) << 8) | r.u8()
+        if f == 0 and zero_is_total:
+            f = _TOTFREQ
+        F[j] = f
+        C[j] = x
+        if x + f > _TOTFREQ:
+            raise CramError("rANS frequencies exceed 4096")
+        lookup[x: x + f] = bytes([j]) * f
+        x += f
+        if rle > 0:
+            rle -= 1
+            j += 1
+        else:
+            nj = r.u8()
+            if nj == j + 1:
+                rle = r.u8()
+            j = nj
+        if j == 0:
+            break
+    if x < _TOTFREQ - 1 or x > _TOTFREQ:
+        raise CramError("rANS frequencies do not sum to 4096")
+    if x < _TOTFREQ:  # historically tables fill 4095, not 4096
+        lookup[x] = lookup[x - 1]
+    return F, C, lookup
+
+
+def _rans_uncompress_o0(r: ByteReader, out_sz: int) -> bytes:
+    F, C, lookup = _read_freqs0(r)
+    states = [struct.unpack("<I", r.take(4))[0] for _ in range(4)]
+    buf = r.buf
+    pos = r.pos
+    out = bytearray(out_sz)
+    for i in range(out_sz):
+        j = i & 3
+        x = states[j]
+        m = x & (_TOTFREQ - 1)
+        s = lookup[m]
+        out[i] = s
+        x = int(F[s]) * (x >> _TF_SHIFT) + m - int(C[s])
+        while x < _RANS_LOW and pos < len(buf):
+            x = (x << 8) | buf[pos]
+            pos += 1
+        states[j] = x
+    r.pos = pos
+    return bytes(out)
+
+
+def _read_freqs1(r: ByteReader):
+    """Order-1 tables: ctx -> (F, C, lookup)."""
+    tables: Dict[int, tuple] = {}
+    i = r.u8()
+    rle_i = 0
+    while True:
+        tables[i] = _read_freqs0(r, zero_is_total=True)
+        if rle_i > 0:
+            rle_i -= 1
+            i += 1
+        else:
+            ni = r.u8()
+            if ni == i + 1:
+                rle_i = r.u8()
+            i = ni
+        if i == 0:
+            break
+    return tables
+
+
+def _rans_uncompress_o1(r: ByteReader, out_sz: int) -> bytes:
+    tables = _read_freqs1(r)
+    states = [struct.unpack("<I", r.take(4))[0] for _ in range(4)]
+    buf = r.buf
+    pos = r.pos
+    out = bytearray(out_sz)
+    isz4 = out_sz >> 2
+    ctx = [0, 0, 0, 0]
+    for i in range(isz4):
+        for j in range(4):
+            x = states[j]
+            m = x & (_TOTFREQ - 1)
+            F, C, lookup = tables.get(ctx[j]) or _missing_ctx(ctx[j])
+            s = lookup[m]
+            out[j * isz4 + i] = s
+            x = int(F[s]) * (x >> _TF_SHIFT) + m - int(C[s])
+            while x < _RANS_LOW and pos < len(buf):
+                x = (x << 8) | buf[pos]
+                pos += 1
+            states[j] = x
+            ctx[j] = int(s)
+    # remainder decoded by state 3, context continues
+    for i in range(4 * isz4, out_sz):
+        x = states[3]
+        m = x & (_TOTFREQ - 1)
+        F, C, lookup = tables.get(ctx[3]) or _missing_ctx(ctx[3])
+        s = lookup[m]
+        out[i] = s
+        x = int(F[s]) * (x >> _TF_SHIFT) + m - int(C[s])
+        while x < _RANS_LOW and pos < len(buf):
+            x = (x << 8) | buf[pos]
+            pos += 1
+        states[3] = x
+        ctx[3] = int(s)
+    r.pos = pos
+    return bytes(out)
+
+
+def _missing_ctx(c):
+    raise CramError(f"rANS O1 context {c} missing from table")
+
+
+def rans_uncompress(data: bytes, raw_size: int) -> bytes:
+    r = ByteReader(data)
+    order = r.u8()
+    _csize = struct.unpack("<I", r.take(4))[0]
+    usize = struct.unpack("<I", r.take(4))[0]
+    if usize != raw_size:
+        raise CramError("rANS size mismatch")
+    if order == 0:
+        return _rans_uncompress_o0(r, usize)
+    if order == 1:
+        return _rans_uncompress_o1(r, usize)
+    raise CramUnsupported(f"rANS order {order}")
+
+
+# ---------------------------------------------------------------------------
+# Blocks and containers
+# ---------------------------------------------------------------------------
+
+BLOCK_RAW, BLOCK_GZIP, BLOCK_BZIP2, BLOCK_LZMA, BLOCK_RANS = range(5)
+CT_FILE_HEADER, CT_COMPRESSION_HEADER, CT_SLICE_HEADER = 0, 1, 2
+CT_EXTERNAL, CT_CORE = 4, 5
+
+
+@dataclass
+class Block:
+    method: int
+    content_type: int
+    content_id: int
+    data: bytes
+
+
+def read_block(f) -> Block:
+    head = f.read(2)
+    if len(head) < 2:
+        raise CramError("truncated block")
+    method, ctype = head[0], head[1]
+    hdr = _FileITF8(f)
+    content_id = hdr.itf8()
+    csize = hdr.itf8()
+    rsize = hdr.itf8()
+    data = f.read(csize)
+    if len(data) != csize:
+        raise CramError("truncated block data")
+    f.read(4)  # CRC32 (v3)
+    if method == BLOCK_RAW:
+        raw = data
+    elif method == BLOCK_GZIP:
+        raw = zlib.decompress(data, wbits=31)
+    elif method == BLOCK_RANS:
+        raw = rans_uncompress(data, rsize)
+    elif method == BLOCK_BZIP2:
+        import bz2
+
+        raw = bz2.decompress(data)
+    elif method == BLOCK_LZMA:
+        import lzma
+
+        raw = lzma.decompress(data)
+    else:
+        raise CramUnsupported(f"block compression method {method}")
+    if len(raw) != rsize:
+        raise CramError("block raw size mismatch")
+    return Block(method, ctype, content_id, raw)
+
+
+class _FileITF8:
+    """ITF8/LTF8 reads straight off a file object."""
+
+    def __init__(self, f):
+        self.f = f
+
+    def u8(self) -> int:
+        b = self.f.read(1)
+        if not b:
+            raise EOFError
+        return b[0]
+
+    def itf8(self) -> int:
+        return ByteReader.itf8(self)  # type: ignore[arg-type]
+
+    def ltf8(self) -> int:
+        return ByteReader.ltf8(self)  # type: ignore[arg-type]
+
+    def take(self, n: int) -> bytes:
+        b = self.f.read(n)
+        if len(b) != n:
+            raise CramError("truncated")
+        return b
+
+
+@dataclass
+class ContainerHeader:
+    length: int
+    ref_id: int
+    start: int
+    span: int
+    n_records: int
+    counter: int
+    n_bases: int
+    n_blocks: int
+    landmarks: List[int]
+
+
+def read_container_header(f) -> Optional[ContainerHeader]:
+    raw = f.read(4)
+    if len(raw) < 4:
+        return None
+    (length,) = struct.unpack("<i", raw)
+    r = _FileITF8(f)
+    try:
+        ref_id = r.itf8()
+    except EOFError:
+        return None
+    start = r.itf8()
+    span = r.itf8()
+    nrec = r.itf8()
+    counter = r.ltf8()
+    nbases = r.ltf8()
+    nblocks = r.itf8()
+    nland = r.itf8()
+    landmarks = [r.itf8() for _ in range(nland)]
+    f.read(4)  # CRC32
+    return ContainerHeader(length, ref_id, start, span, nrec, counter,
+                           nbases, nblocks, landmarks)
+
+
+# ---------------------------------------------------------------------------
+# Encodings (codecs)
+# ---------------------------------------------------------------------------
+
+ENC_NULL, ENC_EXTERNAL, ENC_GOLOMB, ENC_HUFFMAN, ENC_BYTE_ARRAY_LEN, \
+    ENC_BYTE_ARRAY_STOP, ENC_BETA, ENC_SUBEXP, ENC_GOLOMB_RICE, \
+    ENC_GAMMA = range(10)
+
+
+class BitReader:
+    """MSB-first bit reader over the core block."""
+
+    __slots__ = ("buf", "pos", "bit")
+
+    def __init__(self, buf: bytes):
+        self.buf = buf
+        self.pos = 0
+        self.bit = 0
+
+    def read(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            byte = self.buf[self.pos]
+            v = (v << 1) | ((byte >> (7 - self.bit)) & 1)
+            self.bit += 1
+            if self.bit == 8:
+                self.bit = 0
+                self.pos += 1
+        return v
+
+    def read1(self) -> int:
+        byte = self.buf[self.pos]
+        v = (byte >> (7 - self.bit)) & 1
+        self.bit += 1
+        if self.bit == 8:
+            self.bit = 0
+            self.pos += 1
+        return v
+
+
+def parse_encoding(r: ByteReader) -> tuple:
+    codec = r.itf8()
+    size = r.itf8()
+    body = ByteReader(r.take(size))
+    if codec == ENC_NULL:
+        return ("null",)
+    if codec == ENC_EXTERNAL:
+        return ("external", body.itf8())
+    if codec == ENC_HUFFMAN:
+        n = body.itf8()
+        symbols = [body.itf8() for _ in range(n)]
+        n2 = body.itf8()
+        lengths = [body.itf8() for _ in range(n2)]
+        return ("huffman", symbols, lengths, _huffman_codes(symbols, lengths))
+    if codec == ENC_BYTE_ARRAY_LEN:
+        len_enc = parse_encoding(body)
+        val_enc = parse_encoding(body)
+        return ("byte_array_len", len_enc, val_enc)
+    if codec == ENC_BYTE_ARRAY_STOP:
+        stop = body.u8()
+        cid = body.itf8()
+        return ("byte_array_stop", stop, cid)
+    if codec == ENC_BETA:
+        offset = body.itf8()
+        nbits = body.itf8()
+        return ("beta", offset, nbits)
+    if codec == ENC_GAMMA:
+        offset = body.itf8()
+        return ("gamma", offset)
+    if codec == ENC_SUBEXP:
+        offset = body.itf8()
+        k = body.itf8()
+        return ("subexp", offset, k)
+    raise CramUnsupported(f"encoding codec {codec}")
+
+
+def _huffman_codes(symbols: List[int], lengths: List[int]):
+    """Canonical Huffman codes: (sorted by (len, symbol order as given))."""
+    items = sorted(zip(lengths, range(len(symbols))))
+    codes = {}
+    code = 0
+    prev_len = 0
+    for ln, idx in items:
+        code <<= (ln - prev_len)
+        prev_len = ln
+        codes[(ln, code)] = symbols[idx]
+        code += 1
+    return codes
+
+
+class SliceDecoder:
+    """Decodes values of one slice: external streams + shared core bits."""
+
+    def __init__(self, core: BitReader, external: Dict[int, ByteReader]):
+        self.core = core
+        self.external = external
+
+    def _ext(self, cid: int) -> ByteReader:
+        try:
+            return self.external[cid]
+        except KeyError:
+            raise CramError(f"missing external block {cid}")
+
+    def read_int(self, enc: tuple) -> int:
+        kind = enc[0]
+        if kind == "external":
+            return self._ext(enc[1]).itf8()
+        if kind == "huffman":
+            symbols, lengths, codes = enc[1], enc[2], enc[3]
+            if len(symbols) == 1 and lengths[0] == 0:
+                return symbols[0]
+            code, ln = 0, 0
+            while True:
+                code = (code << 1) | self.core.read1()
+                ln += 1
+                if (ln, code) in codes:
+                    return codes[(ln, code)]
+                if ln > 31:
+                    raise CramError("bad huffman stream")
+        if kind == "beta":
+            offset, nbits = enc[1], enc[2]
+            return self.core.read(nbits) - offset
+        if kind == "gamma":
+            offset = enc[1]
+            ln = 0
+            while self.core.read1() == 0:
+                ln += 1
+            v = 1
+            for _ in range(ln):
+                v = (v << 1) | self.core.read1()
+            return v - offset
+        if kind == "subexp":
+            offset, k = enc[1], enc[2]
+            i = 0
+            while self.core.read1() == 1:
+                i += 1
+            if i == 0:
+                b = k
+                n = self.core.read(b)
+            else:
+                b = i + k - 1
+                n = (1 << b) | self.core.read(b)
+            return n - offset
+        raise CramUnsupported(f"int read from {kind}")
+
+    def read_byte(self, enc: tuple) -> int:
+        kind = enc[0]
+        if kind == "external":
+            return self._ext(enc[1]).u8()
+        if kind == "huffman":
+            return self.read_int(enc)
+        if kind == "beta":
+            return self.read_int(enc)
+        raise CramUnsupported(f"byte read from {kind}")
+
+    def read_bytes(self, enc: tuple, implicit_len: Optional[int] = None
+                   ) -> bytes:
+        kind = enc[0]
+        if kind == "byte_array_stop":
+            stop, cid = enc[1], enc[2]
+            r = self._ext(cid)
+            end = r.buf.index(bytes([stop]), r.pos)
+            out = r.buf[r.pos: end]
+            r.pos = end + 1
+            return out
+        if kind == "byte_array_len":
+            n = self.read_int(enc[1])
+            return self._read_n(enc[2], n)
+        if kind == "external":
+            if implicit_len is None:
+                raise CramError("external byte array needs a length")
+            return self._ext(enc[1]).take(implicit_len)
+        raise CramUnsupported(f"byte array from {kind}")
+
+    def _read_n(self, enc: tuple, n: int) -> bytes:
+        if enc[0] == "external":
+            return self._ext(enc[1]).take(n)
+        return bytes(self.read_byte(enc) for _ in range(n))
+
+
+# ---------------------------------------------------------------------------
+# Compression header / slice header
+# ---------------------------------------------------------------------------
+
+@dataclass
+class CompressionHeader:
+    rn_preserved: bool = True
+    ap_delta: bool = True
+    rr_ref_required: bool = True
+    sub_matrix: bytes = b"\x00" * 5
+    tag_dict: List[List[int]] = field(default_factory=list)
+    series: Dict[bytes, tuple] = field(default_factory=dict)
+    tags: Dict[int, tuple] = field(default_factory=dict)
+
+
+def parse_compression_header(data: bytes) -> CompressionHeader:
+    r = ByteReader(data)
+    h = CompressionHeader()
+    # --- preservation map
+    r.itf8()  # size in bytes
+    n = r.itf8()
+    for _ in range(n):
+        key = bytes(r.take(2))
+        if key == b"RN":
+            h.rn_preserved = bool(r.u8())
+        elif key == b"AP":
+            h.ap_delta = bool(r.u8())
+        elif key == b"RR":
+            h.rr_ref_required = bool(r.u8())
+        elif key == b"SM":
+            h.sub_matrix = bytes(r.take(5))
+        elif key == b"TD":
+            tn = r.itf8()
+            blob = r.take(tn)
+            h.tag_dict = _parse_tag_dict(blob)
+        else:
+            raise CramUnsupported(f"preservation key {key!r}")
+    # --- data series encodings
+    r.itf8()
+    n = r.itf8()
+    for _ in range(n):
+        key = bytes(r.take(2))
+        h.series[key] = parse_encoding(r)
+    # --- tag encodings
+    r.itf8()
+    n = r.itf8()
+    for _ in range(n):
+        key = r.itf8()
+        h.tags[key] = parse_encoding(r)
+    return h
+
+
+def _parse_tag_dict(blob: bytes) -> List[List[int]]:
+    """TD: \\0-separated lines of 3-byte tag keys."""
+    lines: List[List[int]] = []
+    for part in blob.split(b"\x00"):
+        keys = [part[i] << 16 | part[i + 1] << 8 | part[i + 2]
+                for i in range(0, len(part) - 2, 3)]
+        lines.append(keys)
+    if blob.endswith(b"\x00") and lines and lines[-1] == []:
+        lines.pop()
+    return lines
+
+
+@dataclass
+class SliceHeader:
+    ref_id: int
+    start: int
+    span: int
+    n_records: int
+    counter: int
+    n_blocks: int
+    content_ids: List[int]
+    embedded_ref_id: int
+
+
+def parse_slice_header(data: bytes) -> SliceHeader:
+    r = ByteReader(data)
+    ref_id = r.itf8()
+    start = r.itf8()
+    span = r.itf8()
+    nrec = r.itf8()
+    counter = r.ltf8()
+    nblocks = r.itf8()
+    nids = r.itf8()
+    ids = [r.itf8() for _ in range(nids)]
+    emb = r.itf8()
+    r.take(16)  # MD5
+    return SliceHeader(ref_id, start, span, nrec, counter, nblocks, ids, emb)
+
+
+# ---------------------------------------------------------------------------
+# Record decoding / sequence reconstruction
+# ---------------------------------------------------------------------------
+
+_BAM_FUNMAP = 0x4
+_BAM_SECSUP = 0x900
+_CF_QS_STORED = 0x1
+_CF_DETACHED = 0x2
+_CF_MATE_DOWNSTREAM = 0x4
+_CF_NO_SEQ = 0x8
+
+_BASES = b"ACGTN"
+
+
+def _sub_decode_table(sm: bytes) -> Dict[Tuple[int, int], int]:
+    """(ref base index, BS code) -> substituted base byte."""
+    table = {}
+    for ri in range(5):
+        alts = [b for b in range(5) if b != ri]
+        byte = sm[ri]
+        for pos, alt in enumerate(alts):
+            code = (byte >> (6 - 2 * pos)) & 3
+            table[(ri, code)] = _BASES[alt]
+    return table
+
+
+_BASE_INDEX = {b: i for i, b in enumerate(_BASES)}
+
+
+def _decode_slice_records(ch: CompressionHeader, sh: SliceHeader,
+                          dec: SliceDecoder, refget, verify_flags=True
+                          ) -> Iterator[Tuple[int, bytes]]:
+    """Yield (bam_flags, seq bytes) per record of one slice."""
+    S = ch.series
+    subs = _sub_decode_table(ch.sub_matrix)
+    last_pos = sh.start
+
+    def want(key: bytes) -> tuple:
+        e = S.get(key)
+        if e is None or e[0] == "null":
+            raise CramUnsupported(f"data series {key!r} missing")
+        return e
+
+    for _ in range(sh.n_records):
+        bf = dec.read_int(want(b"BF"))
+        cf = dec.read_int(want(b"CF"))
+        ref_id = sh.ref_id
+        if sh.ref_id == -2:
+            ref_id = dec.read_int(want(b"RI"))
+        rl = dec.read_int(want(b"RL"))
+        if ch.ap_delta:
+            last_pos += dec.read_int(want(b"AP"))
+            pos = last_pos
+        else:
+            pos = dec.read_int(want(b"AP"))
+        dec.read_int(want(b"RG"))
+        if ch.rn_preserved:
+            dec.read_bytes(want(b"RN"))
+        if cf & _CF_DETACHED:
+            dec.read_int(want(b"MF"))
+            if not ch.rn_preserved:
+                dec.read_bytes(want(b"RN"))
+            dec.read_int(want(b"NS"))
+            dec.read_int(want(b"NP"))
+            dec.read_int(want(b"TS"))
+        elif cf & _CF_MATE_DOWNSTREAM:
+            dec.read_int(want(b"NF"))
+        tl = dec.read_int(want(b"TL"))
+        if 0 <= tl < len(ch.tag_dict):
+            for key in ch.tag_dict[tl]:
+                enc = ch.tags.get(key)
+                if enc is None:
+                    raise CramUnsupported(f"tag {key:06x} encoding missing")
+                dec.read_bytes(enc)
+
+        if bf & _BAM_FUNMAP:
+            if cf & _CF_NO_SEQ:
+                seq = b"N" * rl
+            else:
+                ba = want(b"BA")
+                seq = bytes(dec.read_byte(ba) for _ in range(rl))
+            if cf & _CF_QS_STORED:
+                qs = want(b"QS")
+                for _ in range(rl):
+                    dec.read_byte(qs)
+            yield bf, seq
+            continue
+
+        # ---- mapped record: features against the reference ----
+        nfeat = dec.read_int(want(b"FN"))
+        seq = bytearray(rl)
+        have = 0  # bases of the read produced so far
+        rpos = pos  # 1-based reference cursor
+        no_seq = bool(cf & _CF_NO_SEQ)
+
+        def ref_fill(n):
+            nonlocal have, rpos
+            if n <= 0:
+                return
+            if no_seq:
+                seq[have: have + n] = b"N" * n
+            else:
+                seq[have: have + n] = refget(ref_id, rpos - 1, n)
+            have += n
+            rpos += n
+
+        fpos = 0
+        for _ in range(nfeat):
+            code = dec.read_byte(want(b"FC"))
+            fpos += dec.read_int(want(b"FP"))
+            gap = fpos - 1 - have
+            ref_fill(gap)
+            c = chr(code)
+            if c == "X":
+                bs = dec.read_byte(want(b"BS"))
+                if no_seq:
+                    seq[have] = ord("N")
+                else:
+                    rb = refget(ref_id, rpos - 1, 1)[0]
+                    seq[have] = subs[(_BASE_INDEX.get(rb, 4), bs)]
+                have += 1
+                rpos += 1
+            elif c == "S":
+                sc = dec.read_bytes(want(b"SC"))
+                seq[have: have + len(sc)] = sc
+                have += len(sc)
+            elif c == "I":
+                ins = dec.read_bytes(want(b"IN"))
+                seq[have: have + len(ins)] = ins
+                have += len(ins)
+            elif c == "i":
+                seq[have] = dec.read_byte(want(b"BA"))
+                have += 1
+            elif c == "b":
+                bb = dec.read_bytes(want(b"BB"))
+                seq[have: have + len(bb)] = bb
+                have += len(bb)
+                rpos += len(bb)
+            elif c == "B":
+                seq[have] = dec.read_byte(want(b"BA"))
+                have += 1
+                rpos += 1
+                dec.read_byte(want(b"QS"))
+            elif c == "q":
+                dec.read_bytes(want(b"QQ"))
+            elif c == "Q":
+                dec.read_byte(want(b"QS"))
+            elif c == "D":
+                rpos += dec.read_int(want(b"DL"))
+            elif c == "N":
+                rpos += dec.read_int(want(b"RS"))
+            elif c == "P":
+                dec.read_int(want(b"PD"))
+            elif c == "H":
+                dec.read_int(want(b"HC"))
+            else:
+                raise CramUnsupported(f"feature code {c!r}")
+        ref_fill(rl - have)
+        dec.read_int(want(b"MQ"))
+        if cf & _CF_QS_STORED:
+            qs = want(b"QS")
+            for _ in range(rl):
+                dec.read_byte(qs)
+        yield bf, bytes(seq)
+
+
+# ---------------------------------------------------------------------------
+# Reference lookup
+# ---------------------------------------------------------------------------
+
+class Reference:
+    """Reference bases per ref id: from an embedded-ref block or an external
+    FASTA (FASTK_TPU_CRAM_REF), matched to @SQ order in the SAM header."""
+
+    def __init__(self, sq_names: List[str]):
+        self.sq_names = sq_names
+        self._fasta: Optional[Dict[str, bytes]] = None
+        self._embedded: Optional[Tuple[int, bytes]] = None  # (start-1, seq)
+
+    def set_embedded(self, start: int, data: bytes) -> None:
+        self._embedded = (start - 1, data)
+
+    def _load_fasta(self) -> Dict[str, bytes]:
+        if self._fasta is None:
+            path = os.environ.get("FASTK_TPU_CRAM_REF")
+            if not path:
+                raise CramUnsupported(
+                    "reference-compressed CRAM needs FASTK_TPU_CRAM_REF="
+                    "<ref.fasta> (or a system htslib fallback)")
+            seqs: Dict[str, bytes] = {}
+            name = None
+            chunks: List[bytes] = []
+            with open(path, "rb") as f:
+                for line in f:
+                    line = line.rstrip()
+                    if line.startswith(b">"):
+                        if name is not None:
+                            seqs[name] = b"".join(chunks).upper()
+                        name = line[1:].split()[0].decode()
+                        chunks = []
+                    else:
+                        chunks.append(line)
+            if name is not None:
+                seqs[name] = b"".join(chunks).upper()
+            self._fasta = seqs
+        return self._fasta
+
+    def get(self, ref_id: int, off0: int, n: int) -> bytes:
+        if self._embedded is not None:
+            base, data = self._embedded
+            s = off0 - base
+            if 0 <= s and s + n <= len(data):
+                return data[s: s + n].upper()
+        if ref_id < 0 or ref_id >= len(self.sq_names):
+            raise CramError(f"bad reference id {ref_id}")
+        seqs = self._load_fasta()
+        name = self.sq_names[ref_id]
+        if name not in seqs:
+            raise CramError(f"reference sequence {name} not in FASTA")
+        seq = seqs[name]
+        return seq[off0: off0 + n]
+
+
+def _sq_names_from_header(text: str) -> List[str]:
+    names = []
+    for line in text.splitlines():
+        if line.startswith("@SQ"):
+            for fieldv in line.split("\t"):
+                if fieldv.startswith("SN:"):
+                    names.append(fieldv[3:])
+    return names
+
+
+# ---------------------------------------------------------------------------
+# Top level
+# ---------------------------------------------------------------------------
+
+def iter_cram_records(path: str) -> Iterator[Tuple[int, bytes]]:
+    """Yield (bam_flags, SEQ) for every record of a CRAM 3.x file."""
+    with open(path, "rb") as f:
+        magic = f.read(4)
+        if magic != b"CRAM":
+            raise CramError(f"{path}: not a CRAM file")
+        major, minor = f.read(1)[0], f.read(1)[0]
+        if major != 3:
+            raise CramUnsupported(f"CRAM version {major}.{minor}")
+        f.read(20)  # file id
+
+        # SAM header container
+        hdr = read_container_header(f)
+        if hdr is None:
+            raise CramError("missing CRAM header container")
+        hdr_end = f.tell() + hdr.length
+        blk = read_block(f)
+        if blk.content_type != CT_FILE_HEADER:
+            raise CramError("first block is not the SAM header")
+        (hlen,) = struct.unpack("<i", blk.data[:4])
+        sam_header = blk.data[4: 4 + hlen].decode("latin-1")
+        f.seek(hdr_end)
+        ref = Reference(_sq_names_from_header(sam_header))
+
+        while True:
+            ch_hdr = read_container_header(f)
+            if ch_hdr is None:
+                return
+            end = f.tell() + ch_hdr.length
+            if ch_hdr.n_records == 0:
+                if ch_hdr.ref_id == -1 and ch_hdr.n_blocks <= 1:
+                    return  # EOF container
+                f.seek(end)
+                continue
+            blk = read_block(f)
+            if blk.content_type != CT_COMPRESSION_HEADER:
+                raise CramError("expected compression header block")
+            comp = parse_compression_header(blk.data)
+            while f.tell() < end:
+                sblk = read_block(f)
+                if sblk.content_type != CT_SLICE_HEADER:
+                    raise CramError("expected slice header block")
+                sh = parse_slice_header(sblk.data)
+                core: Optional[BitReader] = None
+                external: Dict[int, ByteReader] = {}
+                embedded = None
+                for _ in range(sh.n_blocks):
+                    b = read_block(f)
+                    if b.content_type == CT_CORE:
+                        core = BitReader(b.data)
+                    elif b.content_type == CT_EXTERNAL:
+                        if b.content_id == sh.embedded_ref_id:
+                            embedded = b.data
+                        external[b.content_id] = ByteReader(b.data)
+                    else:
+                        raise CramError("unexpected block in slice")
+                if embedded is not None:
+                    ref.set_embedded(sh.start, embedded)
+                dec = SliceDecoder(core or BitReader(b""), external)
+                yield from _decode_slice_records(comp, sh, dec, ref.get)
+            f.seek(end)
+
+
+def iter_cram_reads_native(path: str) -> Iterator[bytes]:
+    """SEQs of primary records (secondary/supplementary skipped, matching
+    the SAM/BAM readers and reference io.c:1357,1466)."""
+    for flags, seq in iter_cram_records(path):
+        if flags & _BAM_SECSUP:
+            continue
+        yield seq

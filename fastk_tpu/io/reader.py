@@ -27,7 +27,9 @@ for _i, _b in enumerate("acgt"):
 
 def _open(path: str):
     if path.endswith(".gz"):
-        return gzip.open(path, "rb")
+        from fastk_tpu.io.bgzf import open_gz
+
+        return open_gz(path)  # block-parallel when the .gz is BGZF-framed
     return open(path, "rb")
 
 
@@ -220,9 +222,27 @@ def _record_chunks(path: str, fmt: str,
         yield carry
 
 
+def _ingest_threads() -> int:
+    """Parser worker count: FASTK_TPU_INGEST_THREADS, else min(4, cores).
+    The native scanner runs with the GIL released (ctypes), so workers
+    parse distinct record chunks truly in parallel — the reference's
+    ITHREADS byte-range input data-parallelism (io.c:2280-2600), with the
+    record-boundary snap done once at chunk seams instead of per thread."""
+    import os
+
+    v = os.environ.get("FASTK_TPU_INGEST_THREADS")
+    if v:
+        return max(1, int(v))
+    return min(4, os.cpu_count() or 1)
+
+
 def _scan_stream_native(path: str, fmt: str, hc: bool, bc: int):
     """Streamed native parse: yields (codes, boff, rlen) per record chunk,
-    or None when unavailable (caller falls back to the Python parser)."""
+    or None when unavailable (caller falls back to the Python parser).
+
+    Chunks are parsed by a bounded pool of worker threads and yielded in
+    file order; at most (workers + 1) raw chunks are in flight, so host
+    memory stays O(workers * INGEST_CHUNK) regardless of file size."""
     if fmt not in ("fasta", "fastq"):
         return None
     from fastk_tpu import native
@@ -230,15 +250,35 @@ def _scan_stream_native(path: str, fmt: str, hc: bool, bc: int):
     if native.load() is None:
         return None
 
+    def parse_one(buf: bytes):
+        piece = native.scan_seq(buf, fastq=(fmt == "fastq"), hc=hc, bc=bc)
+        if piece is None:  # capacity edge: fall back for this buffer
+            piece_reads = list(_iter_buffer(buf, fmt))
+            b = pack_reads(piece_reads, hc=hc, bc=bc)
+            piece = (b.codes, b.boff, b.rlen)
+        return piece
+
+    nw = _ingest_threads()
+    if nw <= 1:
+        def gen_serial():
+            for buf in _record_chunks(path, fmt):
+                yield parse_one(buf)
+
+        return gen_serial()
+
     def gen():
-        for buf in _record_chunks(path, fmt):
-            piece = native.scan_seq(buf, fastq=(fmt == "fastq"),
-                                    hc=hc, bc=bc)
-            if piece is None:  # capacity edge: fall back for this buffer
-                piece_reads = list(_iter_buffer(buf, fmt))
-                b = pack_reads(piece_reads, hc=hc, bc=bc)
-                piece = (b.codes, b.boff, b.rlen)
-            yield piece
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=nw) as pool:
+            pending = deque()
+            for buf in _record_chunks(path, fmt):
+                pending.append(pool.submit(parse_one, buf))
+                del buf
+                while len(pending) > nw:
+                    yield pending.popleft().result()
+            while pending:
+                yield pending.popleft().result()
 
     return gen()
 

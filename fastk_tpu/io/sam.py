@@ -33,7 +33,9 @@ _SKIP_FLAGS = 0x900  # secondary | supplementary (reference io.c:1357,1466)
 
 def _open(path: str):
     if path.endswith(".gz") or path.endswith(".bam"):
-        return gzip.open(path, "rb")
+        from fastk_tpu.io.bgzf import open_gz
+
+        return open_gz(path)
     return open(path, "rb")
 
 

@@ -34,11 +34,17 @@ def _shard_codes(codes: np.ndarray, k: int, mesh: Mesh, shard_size: int):
 
 
 def train_splitters(codes: np.ndarray, k: int, mesh: Mesh,
-                    sample: int = 1 << 20, bits: int = 10) -> np.ndarray:
+                    sample: int = 1 << 20, bits: int = 10,
+                    exact: bool = False) -> np.ndarray:
     """Train keyspace splitters on a sample (single-chip prefix histogram).
 
     The analog of the reference's minimizer-scheme trainer on the first
-    ~1Gbp block (Determine_Scheme, split.c:491-803)."""
+    ~1Gbp block (Determine_Scheme, split.c:491-803).
+
+    exact: place splitters at empirical word0 quantiles of the sample
+    (full 32-bit resolution) instead of `bits`-bit prefix-histogram
+    boundaries — the rebalance path uses this, since a single hot prefix
+    can exceed a chip's bucket at any histogram granularity."""
     D = mesh.devices.size
     if D == 1:
         return np.zeros(0, dtype=np.uint32)
@@ -46,8 +52,27 @@ def train_splitters(codes: np.ndarray, k: int, mesh: Mesh,
     size = 1 << max(15, int(np.ceil(np.log2(max(n, 2)))))
     buf = np.full(size + pad_needed(k), 4, dtype=np.uint8)
     buf[:n] = codes[:n]
-    ph = np.asarray(prefix_histogram(jnp.asarray(buf), k, size, bits))
-    return splitters_from_prefix_hist(ph, D)
+    if not exact:
+        ph = np.asarray(prefix_histogram(jnp.asarray(buf), k, size, bits))
+        return splitters_from_prefix_hist(ph, D)
+
+    from fastk_tpu.ops.count import fold_invalid
+    from fastk_tpu.ops.kmers import canonical_kmers
+
+    @jax.jit
+    def w0_sorted(c):
+        words, invalid = canonical_kmers(c, k, size)
+        f0 = fold_invalid((words[0],), invalid)[0]
+        return jax.lax.sort((f0,), num_keys=1)[0]
+
+    sw = np.asarray(w0_sorted(jnp.asarray(buf)))
+    nvalid = int(np.searchsorted(sw, 0xFFFFFFFF))
+    if nvalid == 0:
+        return splitters_from_prefix_hist(
+            np.ones(1 << bits, np.int64), D)
+    # exclusive upper bounds: chip d owns w0 in [spl[d-1], spl[d])
+    return sw[[min(nvalid - 1, nvalid * t // D)
+               for t in range(1, D)]].astype(np.uint32)
 
 
 def count_files_sharded(
@@ -89,12 +114,13 @@ def count_files_sharded(
     batches, pos_list = [], []
     nreads = totlen = 0
     splitters = None
+    reb: dict = {}
     for batch, _ord in batched_reads(list(paths), batch_bases):
         if splitters is None:
             splitters = train_splitters(batch.codes, k, mesh)
         words, counts, _hist, _ovf, pos = sharded_count(
             batch.codes, k, mesh, splitters=splitters,
-            want_positions=profiles)
+            want_positions=profiles, rebalance_state=reb, verbose=verbose)
         words_list.append(words)
         counts_list.append(counts)
         batches.append(batch)
@@ -225,11 +251,22 @@ def sharded_count(
     want_positions: bool = False,
     slack: float = 1.8,
     route_impl: str = "auto",
+    rebalance_state: Optional[dict] = None,
+    auto_rebalance: bool = True,
+    verbose: bool = False,
 ):
     """Count canonical k-mers of one host code stream across the mesh.
 
     Returns (words (n,W) uint32 sorted, counts int64, hist_arr int32[32768],
     overflow int, pos_counts int32[len(codes)] or None).
+
+    Adaptive rebalance: when keyspace routing overflows a chip's bucket
+    (splitters trained on an earlier, differently-composed sample — the
+    reference refines its trie the same way, split.c:437-472), splitters
+    retrain on THIS stream and the batch retries; a second overflow retries
+    once more with doubled slack before failing. Results are unaffected:
+    every batch's output is globally key-sorted whatever the splitters.
+    rebalance_state (a dict) carries retrained splitters to later batches.
     """
     D = mesh.devices.size
     W = nwords(k)
@@ -237,19 +274,41 @@ def sharded_count(
     step = 1 << 14
     shard_size = ((shard_size + step - 1) // step) * step
 
+    if rebalance_state is not None and "splitters" in rebalance_state:
+        splitters = rebalance_state["splitters"]
     if splitters is None:
         splitters = train_splitters(codes, k, mesh)
-    spl = jax.device_put(
-        jnp.asarray(splitters, dtype=jnp.uint32),
-        NamedSharding(mesh, P()),
-    )
+
+    def put_spl(s):
+        return jax.device_put(jnp.asarray(s, dtype=jnp.uint32),
+                              NamedSharding(mesh, P()))
 
     fn = sharded_count_fn(mesh, k, shard_size, slack=slack,
                           want_positions=want_positions,
                           route_impl=route_impl)
     codes_dev = _shard_codes(codes, k, mesh, shard_size)
-    out = fn(codes_dev, spl)
+    out = fn(codes_dev, put_spl(splitters))
     route_ovf = int(out["route_overflow"])
+    if route_ovf > 0 and D > 1 and auto_rebalance:
+        # retrain on the full current stream at exact word0 quantiles
+        splitters = train_splitters(codes, k, mesh, sample=len(codes),
+                                    exact=True)
+        if rebalance_state is not None:
+            rebalance_state["splitters"] = splitters
+        if verbose:
+            print(f"  route overflow ({route_ovf} records): splitters "
+                  "retrained on current batch", flush=True)
+        out = fn(codes_dev, put_spl(splitters))
+        route_ovf = int(out["route_overflow"])
+    if route_ovf > 0 and D > 1 and auto_rebalance:
+        fn2 = sharded_count_fn(mesh, k, shard_size, slack=min(2 * slack, D),
+                               want_positions=want_positions,
+                               route_impl=route_impl)
+        if verbose:
+            print("  still overflowing: retrying with doubled slack",
+                  flush=True)
+        out = fn2(codes_dev, put_spl(splitters))
+        route_ovf = int(out["route_overflow"])
     if route_ovf > 0:
         raise RuntimeError(
             f"bucket capacity exceeded by {route_ovf} records; "

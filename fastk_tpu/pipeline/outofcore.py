@@ -352,6 +352,17 @@ def count_files_ooc(
         nreads = sum(m.nreads for m in metas)
         totlen = sum(m.totlen for m in metas)
 
+        if verbose and sum(spill.nrec):
+            # per-part balance report (the reference's distribution-plan
+            # diagnostic, split.c:1582-1655): bucket skew is THE signal
+            # that part sizing / edge training needs attention
+            tot = sum(spill.nrec)
+            avg = tot / parts
+            print("  part balance: " + " ".join(
+                f"{100.0 * n / tot:.1f}%" for n in spill.nrec), flush=True)
+            print(f"  part skew: max {max(spill.nrec) / avg:.2f}x avg, "
+                  f"min {min(spill.nrec) / avg:.2f}x avg", flush=True)
+
         # ---- phase 2: per-part device merge -------------------------------
         hist_arr = np.zeros(HIST_HIGH + 1, dtype=np.int64)
         packed_parts: List[np.ndarray] = []

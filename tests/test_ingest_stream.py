@@ -90,3 +90,22 @@ def test_single_giant_read_spans_chunks(tmp_path, monkeypatch):
     got_codes = np.concatenate([b.codes for b, _ in batches])
     assert np.array_equal(got_codes, want.codes)
     assert sum(b.nreads for b, _ in batches) == 2
+
+
+@pytest.mark.parametrize("workers", [1, 3])
+def test_parallel_parse_equals_serial(tmp_path, monkeypatch, workers):
+    """The chunk-parallel native parse pool must preserve file order and
+    produce byte-identical batches for any worker count."""
+    rng = np.random.default_rng(77)
+    reads = _mk_reads(rng, 120)
+    p = str(tmp_path / "in.fastq")
+    _write_fastq(p, reads)
+    want = rd.pack_reads(list(rd.iter_reads(p)))
+
+    monkeypatch.setattr(rd, "INGEST_CHUNK", 256)
+    monkeypatch.setenv("FASTK_TPU_INGEST_THREADS", str(workers))
+    batches = list(rd.batched_reads([p], batch_bases=997))
+    got_codes = np.concatenate([b.codes for b, _ in batches])
+    assert np.array_equal(got_codes, want.codes)
+    got_rlen = np.concatenate([b.rlen for b, _ in batches])
+    assert np.array_equal(got_rlen, want.rlen)

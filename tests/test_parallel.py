@@ -183,3 +183,32 @@ def test_relative_profiles_sharded(tmp_path):
         assert len(multi.profiles) == len(single.profiles) == 25
         for x, y in zip(single.profiles, multi.profiles):
             assert np.array_equal(x, y)
+
+
+def test_route_overflow_auto_rebalance():
+    """A composition shift between the splitter-training sample and a later
+    batch (random -> GC-poor) must retrain splitters and complete, matching
+    the single-chip result, instead of raising on route overflow."""
+    if len(jax.devices()) < 8:
+        pytest.skip("not enough devices")
+    k = 24
+    rng = np.random.default_rng(11)
+    # train on uniform composition...
+    train = rng.integers(0, 4, 4096).astype(np.uint8)
+    # ...then count a stream whose k-mers crowd the low keyspace (mostly
+    # A/C), so uniform splitters route nearly everything to few chips
+    skew = rng.choice(np.array([0, 1], np.uint8), 16384, p=[0.8, 0.2])
+    codes = np.concatenate([skew, np.full(64, 4, np.uint8)])
+
+    mesh = make_mesh(8)
+    splitters = train_splitters(train, k, mesh)
+    with pytest.raises(RuntimeError):
+        sharded_count(codes, k, mesh, splitters=splitters, slack=1.05,
+                      auto_rebalance=False)
+    reb = {}
+    w, c, h, o, _ = sharded_count(codes, k, mesh, splitters=splitters,
+                                  slack=1.05, rebalance_state=reb)
+    assert "splitters" in reb  # retrain happened and is carried forward
+    w1, c1, h1, o1, _ = sharded_count(codes, k, make_mesh(1))
+    assert np.array_equal(w, w1) and np.array_equal(c, c1)
+    assert np.array_equal(h, h1) and o == o1

@@ -129,7 +129,9 @@ def main():
         t0 = time.perf_counter()
         outs = [device_step(jnp.asarray(packed_host), excd)
                 for _ in range(NBATCH)]
-        hists = [np.asarray(o["hist"]) for o in outs]
+        # one stacked fetch: per-batch fetches would pay the transport's
+        # ~28ms sync latency NBATCH times for the same bytes
+        hists = np.asarray(jnp.stack([o["hist"] for o in outs]))
         best = min(best, (time.perf_counter() - t0) / NBATCH)
         assert all(int(h[1:].sum()) > 0 for h in hists)
         reps += 1

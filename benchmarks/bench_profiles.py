@@ -1,8 +1,14 @@
 """Secondary benchmark: the fused `-t -p` job (table + per-read profiles).
 
-Measures the full device path per batch: count + merge-quality uniques plus
-the profile sort-merge join, on the 50X-HiFi-like synthetic set. Prints one
-JSON line like bench.py (not the driver headline; kept for the record)."""
+Measures the DEVICE path per batch: count + merge-quality uniques plus the
+profile sort-merge join, on the 50X-HiFi-like synthetic set. D2H included:
+the nvalid scalar + an 8-element pos_counts probe (forces execution). The
+bulk uint16 pos_counts D2H (0.5 B/base) is EXCLUDED on purpose: this rig's
+tunneled link moves ~11MB/s D2H, which would measure the tunnel, not the
+pipeline; production hosts move GB/s and the production path fetches
+counts as uint16 words (fetch_u16) for exactly this reason.
+
+Prints one JSON line like bench.py (not the driver headline)."""
 
 import json
 import sys

@@ -314,9 +314,13 @@ def merge_unique_blocks(words, counts, size: int, k: int = 0):
                 hist=hist)
 
 
-def _join_counts(table_words, table_counts, q_folded):
+def _join_counts(table_words, table_counts, q_folded, q_pos=None):
     """Core sort-merge join: clipped table count of each query key, in
-    query order (0 where the key is absent or all-ones).
+    query order (0 where the key is absent or all-ones). q_pos (uint32,
+    a permutation of [0, size)) reorders the result: out[q_pos[i]] =
+    count of query i — used by the instance-stream path, whose queries
+    arrive in sorted-key order but whose output is wanted in position
+    order (the reorder rides the join's own restore sort for free).
 
     A sort-merge join: table entries and query positions are sorted together
     keyed by (words..., pos') where pos' is 0 for table entries and i+1 for
@@ -342,8 +346,9 @@ def _join_counts(table_words, table_counts, q_folded):
         jnp.zeros(size, jnp.uint16)])
     # one operand doubles as the table-first tiebreak key AND the position:
     # table entries get 0, query at position i gets i+1
-    pos = jnp.concatenate([jnp.zeros(A, jnp.uint32),
-                           jnp.arange(1, size + 1, dtype=jnp.uint32)])
+    qp = (jnp.arange(size, dtype=jnp.uint32) if q_pos is None
+          else q_pos.astype(jnp.uint32))
+    pos = jnp.concatenate([jnp.zeros(A, jnp.uint32), qp + 1])
     out = jax.lax.sort((*merged, pos, cnt), num_keys=W + 1, is_stable=False)
     s_words, s_pos, s_cnt = out[:W], out[W], out[W + 1]
 
@@ -382,6 +387,17 @@ def profile_join_keys(table_words, table_counts, q_words):
     this on spilled instance records — each instance visits exactly ONE
     part's join instead of every (part, batch) pair."""
     return _join_counts(table_words, table_counts, q_words)
+
+
+@jax.jit
+def profile_join_inst(table_words, table_counts, s_words, s_pos):
+    """Join a batch's retained SORTED instance stream (from
+    unique_batch_inst) against a sorted table: clipped uint16 counts in
+    POSITION order. The fused multi-batch profile path: no re-upload, no
+    canonical recompute, and the position restore rides the join's own
+    second sort (s_words arrive already invalid-folded by the counting
+    sort)."""
+    return _join_counts(table_words, table_counts, s_words, q_pos=s_pos)
 
 
 def positions_inverse(pos: jnp.ndarray, values: jnp.ndarray):

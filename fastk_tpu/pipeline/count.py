@@ -231,6 +231,8 @@ def count_files(
     set). Profile jobs then retain only the 2-bit packed code stream between
     passes (0.25 B/base); nothing else outlives its batch.
     """
+    import os
+
     W = nwords(k)
     metas: List[Tuple[np.ndarray, np.ndarray, int]] = []  # boff, rlen, clen
     packed_store: List[List[tuple]] = []  # per batch: packed device slices
@@ -238,6 +240,15 @@ def count_files(
     blocks_counts: List[jnp.ndarray] = []
     nvalid_total = 0
     retain_packed = profiles  # the profile pass re-reads the code stream
+    # fused multi-batch profiles: retain each batch's SORTED instance stream
+    # (folded key words + position) device-resident out of the counting sort
+    # (ops.count.unique_batch_inst), so the profile pass joins directly with
+    # no re-upload and no canonical recompute — the in-core analog of the
+    # out-of-core instance spill. Gated by an HBM budget; oversized runs
+    # fall back to re-uploading the retained 2-bit packed slices.
+    inst_budget = int(os.environ.get("FASTK_TPU_INST_HBM", 4 << 30))
+    inst_store: List[List[tuple]] = []  # per batch: (off, size, s_words, s_pos)
+    inst_bytes = 0
 
     def _finalize(res, size):
         nonlocal nvalid_total
@@ -264,6 +275,13 @@ def count_files(
         return _count_single_fused(first_two[0], k, table_min, verbose,
                                    out_base, out_nparts)
 
+    if (not profiles and table_min is None and relative_table is None
+            and len(first_two) == 1
+            and len(first_two[0].codes) + pad_needed(k) <= MAX_DEVICE_POSITIONS):
+        # single batch, histogram only (the plain `FastK -k` job): the lean
+        # hist_batch kernel — no segment compaction, no merge pass
+        return _count_single_hist(first_two[0], k, verbose)
+
     def _batches():
         yield from first_two
         for batch, _ordinal in gen:
@@ -274,11 +292,25 @@ def count_files(
                       len(batch.codes)))
         if retain_packed:
             packed_store.append([])
+            inst_store.append([])
         for off, size, pw, exc, blen in _packed_slices(batch.codes, k):
             if retain_packed:
                 packed_store[-1].append((off, size, pw, exc, blen))
             if relative_table is None:
-                res = unique_batch(_upload_packed(pw, exc, blen), k, size)
+                rec_bytes = size * (4 * W + 4)
+                fuse = (retain_packed
+                        and inst_bytes + rec_bytes <= inst_budget)
+                if fuse:
+                    from fastk_tpu.ops.count import unique_batch_inst
+
+                    res = unique_batch_inst(
+                        _upload_packed(pw, exc, blen), k, size)
+                    inst_store[-1].append(
+                        (off, size, res["s_words"], res["s_pos"]))
+                    inst_bytes += rec_bytes
+                else:
+                    res = unique_batch(_upload_packed(pw, exc, blen), k,
+                                       size)
                 if pending is not None:
                     _finalize(*pending)
                 pending = (res, size)
@@ -346,13 +378,33 @@ def count_files(
         t_words = tuple(w[:capt] for w in merged["seg_words"])
         t_counts = jnp.minimum(merged["seg_counts"][:capt], HIST_HIGH)
         sink = _ProfSink(k, out_base, out_nparts, nreads)
-        _join_profiles_packed(metas, packed_store, k, t_words, t_counts,
-                              sink)
+        _join_profiles_any(metas, inst_store, packed_store, k, t_words,
+                           t_counts, sink)
         sink.close()
         profs = sink.profs
     out = CountOutput(k, hist, table, profs, nreads, totlen)
     out.table_entries = table_entries
     return out
+
+
+def _count_single_hist(batch: ReadBatch, k: int, verbose: bool
+                       ) -> CountOutput:
+    """Single-batch histogram-only job via ops.count.hist_batch (the lean
+    kernel the headline benchmark measures IS the production path)."""
+    from fastk_tpu.ops.count import hist_batch
+
+    size = _round_size(len(batch.codes), k)
+    codes = _pad_codes(batch, k, size)
+    res = hist_batch(_device_codes(codes), k, size)
+    if verbose:
+        print(f"  batch 1 (hist-only): {batch.nreads} reads, "
+              f"{batch.totlen} bases", flush=True)
+    hist_arr = np.asarray(res["hist"]).astype(np.int64)
+    nvalid = int(res["nvalid"])
+    overflow = nvalid - int(
+        (hist_arr[1:] * np.arange(1, HIST_HIGH + 1, dtype=np.int64)).sum())
+    hist = Histogram.from_bins(k, hist_arr, overflow)
+    return CountOutput(k, hist, None, None, batch.nreads, batch.totlen)
 
 
 def _count_single_fused(batch: ReadBatch, k: int, table_min: Optional[int],
@@ -418,6 +470,33 @@ def _join_profiles(batches, k, t_words, t_counts) -> List[np.ndarray]:
         store = [list(_packed_slices(batch.codes, k))]
         _join_profiles_packed(metas, store, k, t_words, t_counts, sink)
     return sink.profs
+
+
+def _join_profiles_any(metas, inst_store, packed_store, k, t_words,
+                       t_counts, sink: _ProfSink) -> None:
+    """Profile pass dispatcher: batches whose sorted instance streams were
+    retained device-resident join via profile_join_inst (no re-upload, no
+    canonical recompute, position order straight off the join); the rest
+    re-upload their 2-bit packed slices (_join_profiles_packed)."""
+    from fastk_tpu.ops.count import profile_join_inst
+    from fastk_tpu.ops.pack import fetch_u16
+
+    for i, ((boff, rlen, clen), pslices) in enumerate(
+            zip(metas, packed_store)):
+        islices = inst_store[i] if i < len(inst_store) else []
+        if len(islices) != len(pslices) or not islices:
+            islices.clear()  # free any partial retention before the join
+            _join_profiles_packed([metas[i]], [pslices], k, t_words,
+                                  t_counts, sink)
+            continue
+        pos_counts = np.zeros(clen, dtype=np.uint16)
+        for off, size, s_words, s_pos in islices:
+            pc = fetch_u16(profile_join_inst(
+                t_words, t_counts, s_words, s_pos))
+            take = min(size, clen - off)
+            if take > 0:
+                pos_counts[off: off + take] = pc[:take]
+        sink.add_batch(boff, rlen, pos_counts)
 
 
 def _join_profiles_packed(metas, packed_store, k, t_words, t_counts,

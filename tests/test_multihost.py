@@ -105,7 +105,9 @@ def test_multihost_two_process_cpu(data, tmp_path):
         for i in range(2)]
     for p in procs:
         try:
-            p.wait(timeout=240)
+            # two workers compile concurrently on (possibly) one core;
+            # budget generously — the slow part is compilation, not the run
+            p.wait(timeout=600)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()

@@ -167,3 +167,21 @@ def test_relative_profiles_match_oracle_golden():
     assert pi.nreads == len(out.profiles)
     for i in range(pi.nreads):
         assert np.array_equal(pi.fetch(i), out.profiles[i]), f"read {i}"
+
+
+def test_hist_only_fast_path(tmp_path):
+    """The single-batch hist-only job (plain -k) takes the lean hist_batch
+    kernel; its histogram must be byte-identical to the golden .hist and to
+    the generic (table-building) path's."""
+    out = count_files([_inp("small.fasta")], 40)
+    assert out.table is None and out.profiles is None
+    H.write_histogram(str(tmp_path / "o"), out.hist)
+    with open(str(tmp_path / "o.hist"), "rb") as f:
+        mine = f.read()
+    with open(os.path.join(GOLDEN, "small_k40", "small.hist"), "rb") as f:
+        assert mine == f.read()
+    gen = count_files([_inp("small.fasta")], 40, table_min=1)
+    assert out.hist == gen.hist
+    # multi-batch hist-only still goes through the merge path
+    mb = count_files([_inp("small.fasta")], 40, batch_bases=50_000)
+    assert mb.hist == out.hist

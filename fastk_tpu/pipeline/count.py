@@ -136,6 +136,9 @@ class CountOutput:
     # set when outputs were STREAMED to disk (table/profiles above are then
     # None): number of table entries written, for reporting
     table_entries: Optional[int] = None
+    # reads shorter than k (contribute no k-mers; the reference warns,
+    # split.c:1533-1538)
+    nshort: int = 0
 
 
 def _profiles_from_meta(boff: np.ndarray, rlen: np.ndarray,
@@ -322,6 +325,7 @@ def count_files(
         _finalize(*pending)
 
     nreads = sum(len(m[1]) for m in metas)
+    nshort = sum(int((m[1] < k).sum()) for m in metas)
     totlen = sum(int(m[1].sum()) for m in metas)
 
     if relative_table is not None:
@@ -331,7 +335,8 @@ def count_files(
         _join_profiles_packed(metas, packed_store, k, t_words, t_counts,
                               sink)
         sink.close()
-        return CountOutput(k, None, None, sink.profs, nreads, totlen)
+        return CountOutput(k, None, None, sink.profs, nreads, totlen,
+                           nshort=nshort)
 
     # final device merge of all unique blocks
     total = sum(int(b.shape[0]) for b in blocks_counts)
@@ -382,20 +387,26 @@ def count_files(
                            t_counts, sink)
         sink.close()
         profs = sink.profs
-    out = CountOutput(k, hist, table, profs, nreads, totlen)
+    out = CountOutput(k, hist, table, profs, nreads, totlen,
+                      nshort=nshort)
     out.table_entries = table_entries
     return out
 
 
 def _count_single_hist(batch: ReadBatch, k: int, verbose: bool
                        ) -> CountOutput:
-    """Single-batch histogram-only job via ops.count.hist_batch (the lean
-    kernel the headline benchmark measures IS the production path)."""
+    """Single-batch histogram-only job via the run-length walk kernel
+    (ops.histker) on TPU, falling back to ops.count.hist_batch — the lean
+    paths the headline benchmark measures ARE the production paths."""
     from fastk_tpu.ops.count import hist_batch
+    from fastk_tpu.ops.histker import hist_batch_fast
 
     size = _round_size(len(batch.codes), k)
     codes = _pad_codes(batch, k, size)
-    res = hist_batch(_device_codes(codes), k, size)
+    dev = _device_codes(codes)
+    res = hist_batch_fast(dev, k, size)
+    if res is None:
+        res = hist_batch(dev, k, size)
     if verbose:
         print(f"  batch 1 (hist-only): {batch.nreads} reads, "
               f"{batch.totlen} bases", flush=True)
@@ -404,7 +415,8 @@ def _count_single_hist(batch: ReadBatch, k: int, verbose: bool
     overflow = nvalid - int(
         (hist_arr[1:] * np.arange(1, HIST_HIGH + 1, dtype=np.int64)).sum())
     hist = Histogram.from_bins(k, hist_arr, overflow)
-    return CountOutput(k, hist, None, None, batch.nreads, batch.totlen)
+    return CountOutput(k, hist, None, None, batch.nreads, batch.totlen,
+                       nshort=int((np.asarray(batch.rlen) < k).sum()))
 
 
 def _count_single_fused(batch: ReadBatch, k: int, table_min: Optional[int],
@@ -455,7 +467,9 @@ def _count_single_fused(batch: ReadBatch, k: int, table_min: Optional[int],
     sink = _ProfSink(k, out_base, out_nparts, batch.nreads)
     sink.add_batch(batch.boff, batch.rlen, pos_counts)
     sink.close()
-    out = CountOutput(k, hist, table, sink.profs, batch.nreads, batch.totlen)
+    out = CountOutput(k, hist, table, sink.profs, batch.nreads,
+                      batch.totlen,
+                      nshort=int((np.asarray(batch.rlen) < k).sum()))
     out.table_entries = table_entries
     return out
 

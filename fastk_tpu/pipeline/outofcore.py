@@ -517,7 +517,8 @@ def count_files_ooc(
             if pw is not None:
                 pw.close()
                 pw = None
-        out = CountOutput(k, hist, table, profs, nreads, totlen)
+        out = CountOutput(k, hist, table, profs, nreads, totlen,
+                          nshort=sum(int((m.rlen < k).sum()) for m in metas))
         out.table_entries = table_entries if table_min is not None else None
         return out
     except BaseException:

@@ -159,6 +159,11 @@ def _run(cfg, out_base):
                 out_nparts=nparts,
             )
 
+        if out.nshort:
+            # the reference's short-read warning (split.c:1533-1538)
+            print(f"Warning: {print_number(out.nshort)} reads are shorter "
+                  f"than the k-mer size ({cfg['k']}) and contribute no "
+                  "k-mers", file=sys.stderr)
         if cfg["v"]:
             print(f"  {print_number(out.nreads)} reads, "
                   f"{print_number(out.totlen)} bases", file=sys.stderr)

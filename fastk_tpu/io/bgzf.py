@@ -77,27 +77,30 @@ _GROUP = 32  # members inflated per pool task (amortizes dispatch)
 
 def _iter_member_groups(path: str) -> Iterator[List[bytes]]:
     buf = b""
+    off = 0  # cursor into buf: members are sliced, never the remainder
     group: List[bytes] = []
     with open(path, "rb") as f:
         while True:
-            if len(buf) < 18:
+            if len(buf) - off < 18:
                 more = f.read(_READ_CHUNK)
                 if not more:
                     break
-                buf += more
+                buf = buf[off:] + more
+                off = 0
                 continue
-            size = _bsize(buf, 0)
-            while len(buf) < size:
+            size = _bsize(buf, off)
+            while len(buf) - off < size:
                 more = f.read(_READ_CHUNK)
                 if not more:
                     raise ValueError(f"{path}: truncated BGZF member")
-                buf += more
-            group.append(buf[:size])
-            buf = buf[size:]
+                buf = buf[off:] + more
+                off = 0
+            group.append(buf[off: off + size])
+            off += size
             if len(group) >= _GROUP:
                 yield group
                 group = []
-    if buf:
+    if len(buf) - off:
         raise ValueError(f"{path}: trailing garbage after last BGZF member")
     if group:
         yield group

@@ -18,17 +18,31 @@ def iter_cram_reads(path: str) -> Iterator[bytes]:
     from fastk_tpu.io.cram_native import CramUnsupported, \
         iter_cram_reads_native
 
+    # the native decoder can hit an unsupported feature MID-STREAM (a later
+    # container using a gated codec); the fallback re-reads from the start,
+    # so records already yielded must be skipped — both decoders walk the
+    # same primary records in file order, making the count a valid cursor
+    nyielded = 0
     try:
-        yield from iter_cram_reads_native(path)
+        for seq in iter_cram_reads_native(path):
+            yield seq
+            nyielded += 1
         return
     except CramUnsupported as e:
         reason = str(e)
+
+    yielded_skip = nyielded
+
+    def resume(it: Iterator[bytes]) -> Iterator[bytes]:
+        for i, seq in enumerate(it):
+            if i >= yielded_skip:
+                yield seq
 
     from fastk_tpu.io import htslib
 
     if htslib.load() is not None:
         ref = os.environ.get("FASTK_TPU_CRAM_REF")
-        yield from htslib.iter_hts_reads(path, ref)
+        yield from resume(htslib.iter_hts_reads(path, ref))
         return
     try:
         import pysam  # optional, not in the base image
@@ -37,10 +51,14 @@ def iter_cram_reads(path: str) -> Iterator[bytes]:
             f"{path}: CRAM feature outside the native decoder's gate "
             f"({reason}); set LIBHTS=/path/to/libhts.so or install pysam, "
             "or convert to BAM with `samtools view -b`.")
-    with pysam.AlignmentFile(path, "rc", check_sq=False) as f:
-        for rec in f.fetch(until_eof=True):
-            if rec.flag & 0x900:
-                continue
-            seq = rec.query_sequence
-            if seq:
-                yield seq.encode()
+
+    def pysam_reads() -> Iterator[bytes]:
+        with pysam.AlignmentFile(path, "rc", check_sq=False) as f:
+            for rec in f.fetch(until_eof=True):
+                if rec.flag & 0x900:
+                    continue
+                seq = rec.query_sequence
+                if seq:
+                    yield seq.encode()
+
+    yield from resume(pysam_reads())

@@ -806,10 +806,16 @@ class Reference:
     def __init__(self, sq_names: List[str]):
         self.sq_names = sq_names
         self._fasta: Optional[Dict[str, bytes]] = None
-        self._embedded: Optional[Tuple[int, bytes]] = None  # (start-1, seq)
+        # (ref_id, start-1, seq) of the CURRENT slice's embedded block
+        self._embedded: Optional[Tuple[int, int, bytes]] = None
 
-    def set_embedded(self, start: int, data: bytes) -> None:
-        self._embedded = (start - 1, data)
+    def set_embedded(self, ref_id: int, start: int,
+                     data: Optional[bytes]) -> None:
+        """Install (or, with data=None, clear) the embedded reference for
+        the slice about to decode. Embedded blocks are slice-scoped: a
+        stale window from a previous slice must never serve a different
+        slice (let alone a different ref_id)."""
+        self._embedded = None if data is None else (ref_id, start - 1, data)
 
     def _load_fasta(self) -> Dict[str, bytes]:
         if self._fasta is None:
@@ -837,8 +843,8 @@ class Reference:
         return self._fasta
 
     def get(self, ref_id: int, off0: int, n: int) -> bytes:
-        if self._embedded is not None:
-            base, data = self._embedded
+        if self._embedded is not None and self._embedded[0] == ref_id:
+            _rid, base, data = self._embedded
             s = off0 - base
             if 0 <= s and s + n <= len(data):
                 return data[s: s + n].upper()
@@ -922,8 +928,7 @@ def iter_cram_records(path: str) -> Iterator[Tuple[int, bytes]]:
                         external[b.content_id] = ByteReader(b.data)
                     else:
                         raise CramError("unexpected block in slice")
-                if embedded is not None:
-                    ref.set_embedded(sh.start, embedded)
+                ref.set_embedded(sh.ref_id, sh.start, embedded)
                 dec = SliceDecoder(core or BitReader(b""), external)
                 yield from _decode_slice_records(comp, sh, dec, ref.get)
             f.seek(end)
@@ -933,6 +938,9 @@ def iter_cram_reads_native(path: str) -> Iterator[bytes]:
     """SEQs of primary records (secondary/supplementary skipped, matching
     the SAM/BAM readers and reference io.c:1357,1466)."""
     for flags, seq in iter_cram_records(path):
-        if flags & _BAM_SECSUP:
+        if flags & _BAM_SECSUP or not seq:
+            # empty SEQs skip like the SAM/BAM/htslib readers — keeping
+            # all four paths' record streams aligned also lets the gated
+            # fallback resume at an exact record count (io/cram.py)
             continue
         yield seq

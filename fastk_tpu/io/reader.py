@@ -223,17 +223,14 @@ def _record_chunks(path: str, fmt: str,
 
 
 def _ingest_threads() -> int:
-    """Parser worker count: FASTK_TPU_INGEST_THREADS, else min(4, cores).
+    """Parser worker count (shared policy with the BGZF inflate pool).
     The native scanner runs with the GIL released (ctypes), so workers
     parse distinct record chunks truly in parallel — the reference's
     ITHREADS byte-range input data-parallelism (io.c:2280-2600), with the
     record-boundary snap done once at chunk seams instead of per thread."""
-    import os
+    from fastk_tpu.io.bgzf import _ingest_threads as n
 
-    v = os.environ.get("FASTK_TPU_INGEST_THREADS")
-    if v:
-        return max(1, int(v))
-    return min(4, os.cpu_count() or 1)
+    return n()
 
 
 def _scan_stream_native(path: str, fmt: str, hc: bool, bc: int):

@@ -37,14 +37,22 @@ from fastk_tpu.ops.kmers import nwords, pad_needed
 
 def init_from_env() -> Tuple[int, int]:
     """Initialize jax.distributed from FASTK_TPU_COORD / _NPROCS / _PROC
-    (no-op when unset or already initialized). Returns (pid, nprocs)."""
+    (no-op when unset or already initialized). Returns (pid, nprocs).
+
+    The env check comes FIRST: jax.distributed.initialize must run before
+    ANY backend-initializing JAX call (even jax.process_count()), or it
+    raises. Only after initialize (or when the env is unset) is it safe
+    to query the process topology."""
     coord = os.environ.get("FASTK_TPU_COORD")
-    if coord and jax.process_count() == 1 and "FASTK_TPU_NPROCS" in os.environ:
-        jax.distributed.initialize(
-            coordinator_address=coord,
-            num_processes=int(os.environ["FASTK_TPU_NPROCS"]),
-            process_id=int(os.environ["FASTK_TPU_PROC"]),
-        )
+    if coord and "FASTK_TPU_NPROCS" in os.environ:
+        try:
+            jax.distributed.initialize(
+                coordinator_address=coord,
+                num_processes=int(os.environ["FASTK_TPU_NPROCS"]),
+                process_id=int(os.environ["FASTK_TPU_PROC"]),
+            )
+        except RuntimeError:
+            pass  # already initialized (idempotent re-entry)
     return jax.process_index(), jax.process_count()
 
 
@@ -140,14 +148,12 @@ def count_files_multihost(
     W = nwords(k)
     my_paths = shard_files(paths, pid, nprocs) if nprocs > 1 else list(paths)
 
-    batches = [b for b, _ in batched_reads(my_paths, batch_bases)]
-    # lockstep: all hosts run the same number of collective rounds
-    if nprocs > 1:
-        counts = np.asarray(multihost_utils.process_allgather(
-            np.array([len(batches)], np.int64))).reshape(-1)
-        rounds = int(counts.max())
-    else:
-        rounds = len(batches)
+    # STREAMED lockstep: batches are never materialized up front (host RAM
+    # stays O(batch)); each round every host contributes "do I still have
+    # data" to a tiny allgather, and rounds continue while ANY host does —
+    # short hosts feed sentinel-filled shards to keep the collectives
+    # aligned.
+    gen = (b for b, _ in batched_reads(my_paths, batch_bases))
 
     # shared shard geometry + splitters (host 0 trains, everyone agrees):
     # each host's ~batch_bases batch shards over its LOCAL devices, with
@@ -157,7 +163,8 @@ def count_files_multihost(
     shard_size = (3 * batch_bases // 2 + n_local - 1) // max(n_local, 1)
     step = 1 << 14
     shard_size = ((shard_size + step - 1) // step) * step
-    first_codes = (batches[0].codes if batches
+    first_batch = next(gen, None)
+    first_codes = (first_batch.codes if first_batch is not None
                    else np.full(1024, 4, np.uint8))
     splitters = train_splitters(first_codes, k, mesh)
     if nprocs > 1:
@@ -172,8 +179,16 @@ def count_files_multihost(
     nvalid = 0
     nreads = totlen = 0
     empty = np.full(16, 4, dtype=np.uint8)
-    for i in range(rounds):
-        batch = batches[i] if i < len(batches) else None
+    i = 0
+    batch = first_batch
+    while True:
+        if nprocs > 1:
+            flags = np.asarray(multihost_utils.process_allgather(
+                np.array([0 if batch is None else 1], np.int64))).reshape(-1)
+            if int(flags.max()) == 0:
+                break
+        elif batch is None:
+            break
         codes = batch.codes if batch is not None else empty
         if len(codes) > n_local * shard_size:
             raise ValueError("batch exceeds this host's shard capacity; "
@@ -196,7 +211,10 @@ def count_files_multihost(
                 words_list.append(g[:, 1: 1 + W])
                 counts_list.append(g[:, 1 + W].astype(np.int64))
         if verbose and pid == 0:
-            print(f"  multihost round {i + 1}/{rounds}", flush=True)
+            print(f"  multihost round {i + 1}", flush=True)
+        del batch
+        batch = next(gen, None)
+        i += 1
 
     if not words_list:
         words_list = [np.zeros((0, W), np.uint32)]

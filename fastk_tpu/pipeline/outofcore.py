@@ -132,6 +132,13 @@ class _Spill:
         rec.tofile(self.files[p])
         self.nrec[p] += n
 
+    def flush(self) -> None:
+        """Push buffered records to the OS — called before each manifest
+        save so a SIGKILL can never persist a manifest that claims more
+        records than the spill files hold."""
+        for f in self.files:
+            f.flush()
+
     def load(self, p: int) -> Tuple[np.ndarray, np.ndarray]:
         self.files[p].flush()
         rec = np.fromfile(self.paths[p], dtype=np.uint32
@@ -258,8 +265,12 @@ def count_files_ooc(
     state = _load_manifest(base) if resume else None
     if state is not None and state.get("sig") != sig:
         state = None
+    # phase-2 .pos state is never resumable: clear it even when resuming,
+    # or stale batch*.pos from a hard-killed phase 2 would be appended to
+    if os.path.isdir(base + ".pos"):
+        shutil.rmtree(base + ".pos", ignore_errors=True)
     if state is None:
-        for d in (base, base + ".inst", base + ".pos"):
+        for d in (base, base + ".inst"):
             if os.path.isdir(d):  # stale leftovers of a crashed run
                 shutil.rmtree(d, ignore_errors=True)
     bdone = state["batches_done"] if state else 0
@@ -286,7 +297,7 @@ def count_files_ooc(
 
     try:
         # ---- phase 1: per-batch device dedup, spill by key range ----------
-        def _spill_one(res, label):
+        def _spill_one(res, label, batch_complete: bool):
             nonlocal nvalid_total, edges
             bidx, nreads, off = label
             nu = int(res["nuniq"])
@@ -320,7 +331,13 @@ def count_files_ooc(
             if verbose:
                 print(f"  batch {bidx + 1}: {nreads} reads, "
                       f"{nu} uniques spilled", flush=True)
-            if resume:
+            if resume and batch_complete:
+                # only a FULLY spilled batch may enter the manifest (large
+                # batches run in several device slices sharing one bidx),
+                # and only after its records are flushed past userspace
+                spill.flush()
+                if ispill is not None:
+                    ispill.flush()
                 _save_manifest(base, dict(
                     sig=sig, batches_done=bidx + 1, nrec=spill.nrec,
                     inrec=ispill.nrec if ispill is not None else None,
@@ -342,12 +359,16 @@ def count_files_ooc(
                 dc = _device_codes(buf)
                 res = (unique_batch_inst(dc, k, size) if profiles
                        else unique_batch(dc, k, size))
+                label = (len(metas) - 1, metas[-1].nreads, off)
                 if pending is not None:
-                    _spill_one(*pending)
-                pending = (res, (len(metas) - 1, metas[-1].nreads, off))
+                    # the deferred slice completed its batch iff the slice
+                    # now dispatched belongs to a LATER batch
+                    _spill_one(*pending,
+                               batch_complete=pending[1][0] != label[0])
+                pending = (res, label)
             del batch  # codes must not outlive phase 1 (bounded RSS)
         if pending is not None:
-            _spill_one(*pending)
+            _spill_one(*pending, batch_complete=True)
 
         nreads = sum(m.nreads for m in metas)
         totlen = sum(m.totlen for m in metas)

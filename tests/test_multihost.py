@@ -105,9 +105,10 @@ def test_multihost_two_process_cpu(data, tmp_path):
         for i in range(2)]
     for p in procs:
         try:
-            # two workers compile concurrently on (possibly) one core;
-            # budget generously — the slow part is compilation, not the run
-            p.wait(timeout=600)
+            # two workers compile concurrently on (possibly) one core,
+            # often while other suites hog it; budget generously — the
+            # slow part is compilation, not the run
+            p.wait(timeout=900)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()

@@ -204,3 +204,48 @@ def ooc_total_batches(path, batch_bases):
     from fastk_tpu.io.reader import batched_reads
 
     return sum(1 for _ in batched_reads([path], batch_bases))
+
+
+def test_resume_multislice_batch(tmp_path, monkeypatch):
+    """A batch processed in SEVERAL device slices must only enter the
+    resume manifest once its LAST slice is spilled: killing between two
+    slices of the same batch and resuming must still be exact."""
+    import fastk_tpu.pipeline.count as pc
+    import fastk_tpu.pipeline.outofcore as ooc
+
+    # force every batch to split into multiple device slices (slices are
+    # at least _MIN_SIZE=2^15 positions, so the input must exceed that)
+    monkeypatch.setattr(pc, "MAX_DEVICE_POSITIONS", 1 << 15)
+    rng = np.random.default_rng(3)
+    genome = rng.integers(0, 4, size=4000)
+    p = tmp_path / "big.fasta"
+    with open(p, "w") as f:
+        for i in range(500):
+            s = int(rng.integers(0, len(genome) - 150))
+            f.write(f">r{i}\n" + "".join(
+                "acgt"[c] for c in genome[s: s + 150]) + "\n")
+    data = str(p)
+
+    kw = dict(k=21, parts=3, sort_path=str(tmp_path), table_min=1,
+              profiles=True, batch_bases=90_000)
+    want = count_files_ooc([data], resume=False, **kw)
+
+    calls = {"n": 0}
+    real = ooc.unique_batch_inst
+
+    def dying(*a, **k2):
+        calls["n"] += 1
+        if calls["n"] == 2:  # die on the SECOND slice (same batch)
+            raise KeyboardInterrupt("simulated kill")
+        return real(*a, **k2)
+
+    monkeypatch.setattr(ooc, "unique_batch_inst", dying)
+    with pytest.raises(KeyboardInterrupt):
+        count_files_ooc([data], resume=True, **kw)
+    monkeypatch.setattr(ooc, "unique_batch_inst", real)
+
+    got = count_files_ooc([data], resume=True, **kw)
+    assert want.hist == got.hist
+    assert np.array_equal(want.table.packed, got.table.packed)
+    for x, y in zip(want.profiles, got.profiles):
+        assert np.array_equal(x, y)

@@ -378,27 +378,40 @@ def logex_apply_streamed(
         hacc = {name: [np.zeros(high - low + 1, np.int64), 0, 0]
                 for name, _ in parsed}
 
-    for chunk in stream_windows(streams, window or DEFAULT_WINDOW):
-        universe, cvecs = window_union(chunk, kb)
-        if len(universe) == 0:
-            continue
-        gc = (gc_percent(universe, kmer) if need_gc
-              else np.zeros(len(universe), np.int64))
-        for name, node in parsed:
-            c = evaluate(node, cvecs, gc)
-            acc = c > 0
-            if do_table:
-                writers[name].add(universe[acc],
-                                  np.minimum(c[acc], 32767).astype(np.uint16))
-            if hacc is not None:
-                cp = c[acc]
-                a = hacc[name]
-                a[0] += np.bincount(np.clip(cp, low, high) - low,
-                                    minlength=high - low + 1)
-                a[1] += int(cp[cp <= low].sum())
-                a[2] += int(cp[cp >= high].sum())
-    for w in writers.values():
-        w.close()
+    ok = False
+    try:
+        for chunk in stream_windows(streams, window or DEFAULT_WINDOW):
+            universe, cvecs = window_union(chunk, kb)
+            if len(universe) == 0:
+                continue
+            gc = (gc_percent(universe, kmer) if need_gc
+                  else np.zeros(len(universe), np.int64))
+            for name, node in parsed:
+                c = evaluate(node, cvecs, gc)
+                acc = c > 0
+                if do_table:
+                    writers[name].add(
+                        universe[acc],
+                        np.minimum(c[acc], 32767).astype(np.uint16))
+                if hacc is not None:
+                    cp = c[acc]
+                    a = hacc[name]
+                    a[0] += np.bincount(np.clip(cp, low, high) - low,
+                                        minlength=high - low + 1)
+                    a[1] += int(cp[cp <= low].sum())
+                    a[2] += int(cp[cp >= high].sum())
+        for w in writers.values():
+            w.close()
+        ok = True
+    finally:
+        if not ok:
+            # a failure mid-stream (disk full, bad expression at runtime)
+            # must not leave open handles or partial .ktab file-sets
+            for w in writers.values():
+                try:
+                    w.abort()
+                except Exception:
+                    pass
     out = []
     for name, _ in parsed:
         h = None

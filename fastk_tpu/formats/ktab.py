@@ -160,7 +160,7 @@ def part_splits(prefix_vals: np.ndarray, pidxlen: int, nparts: int) -> List[int]
     """
     n = len(prefix_vals)
     if nparts <= 1 or n == 0:
-        return [0] * (nparts - 1) if n == 0 else [n * (i + 1) // nparts for i in range(nparts - 1)]
+        return [0] * max(nparts - 1, 0)
     # first entry ordinal of each distinct prefix
     starts = np.flatnonzero(np.diff(prefix_vals, prepend=-1))  # ordinals
     cuts = []
@@ -279,6 +279,17 @@ class KtabWriter:
                     np.ascontiguousarray(mm[c0:c1, ibyte:]).tofile(f)
         del mm
 
+    def abort(self) -> None:
+        """Tear down without finalizing: close and remove the tmp spool
+        (no stub/part files have been written yet at this point)."""
+        try:
+            self._tmp.close()
+        finally:
+            try:
+                os.unlink(self._tmp_path)
+            except OSError:
+                pass
+
     def __enter__(self):
         return self
 
@@ -286,11 +297,7 @@ class KtabWriter:
         if et is None:
             self.close()
         else:
-            self._tmp.close()
-            try:
-                os.unlink(self._tmp_path)
-            except OSError:
-                pass
+            self.abort()
 
 
 def write_ktab(

@@ -29,6 +29,7 @@ reference's bytes exactly.
 
 from __future__ import annotations
 
+import os
 import struct
 from typing import Iterator, List, Sequence
 
@@ -268,6 +269,10 @@ class ProfWriter:
 
     def close(self) -> None:
         if self.r != self.total:
+            # close handles and remove the partial file-set BEFORE
+            # raising: a truncated .prof/.pidx set must never remain on
+            # disk for ProfileIndex to mis-read
+            self.abort()
             raise ValueError(
                 f"ProfWriter: {self.r} profiles added, expected {self.total}")
         while self._p + 1 < self.nparts or self._p < 0:
@@ -275,12 +280,34 @@ class ProfWriter:
         self._df.close()
         self._xf.close()
 
+    def abort(self) -> None:
+        """Close handles and remove every file written so far (the stub
+        and all .prof/.pidx parts)."""
+        for h in (getattr(self, "_df", None), getattr(self, "_xf", None)):
+            try:
+                if h is not None:
+                    h.close()
+            except OSError:
+                pass
+        for p in range(self.nparts):
+            for suff in (".prof", ".pidx"):
+                try:
+                    os.unlink(part_path(self.path, suff, p + 1))
+                except OSError:
+                    pass
+        try:
+            os.unlink(stub_path(self.path, ".prof"))
+        except OSError:
+            pass
+
     def __enter__(self):
         return self
 
     def __exit__(self, et, ev, tb):
         if et is None:
             self.close()
+        else:
+            self.abort()
 
 
 def write_prof(

@@ -83,21 +83,36 @@ def narrow_words(words, k: int):
 
 
 def widen_words(words, k: int):
-    """Inverse of narrow_words: restore the left-aligned uint32 last word."""
+    """Inverse of narrow_words: restore the left-aligned uint32 last word.
+
+    All-ones sentinel slots (invalid records / empty block slots, all-ones
+    in EVERY word) widen back to 0xFFFFFFFF, not 0xFFFF0000 — the
+    documented sentinel invariant. A REAL key whose narrow last word is
+    0xFFFF (a T^8 suffix) is distinguished by its other words."""
     if words and words[-1].dtype == jnp.uint16:
-        return words[:-1] + (words[-1].astype(jnp.uint32) << 16,)
+        wide = words[-1].astype(jnp.uint32) << 16
+        sent = words[-1] == ONES16
+        for w in words[:-1]:
+            sent = sent & (w == ONES)
+        return words[:-1] + (jnp.where(sent, ONES, wide),)
     return words
 
 
-def sort_records(words, invalid, values=()):
+def sort_records(words, invalid, values=(), k: int = 0):
     """Sort records keyed by (invalid-folded words...) carrying `values`.
 
     Returns (s_words, s_invalid, s_values) ascending, invalid records last.
-    Kept as the generic entry point for the multi-chip path."""
-    ops = (*fold_invalid(words, invalid), *values)
-    out = jax.lax.sort(ops, num_keys=len(words), is_stable=False)
-    s_words = out[: len(words)]
-    return s_words, is_invalid_key(s_words).astype(jnp.uint32), out[len(words):]
+    Kept as the generic entry point for the multi-chip path. Pass k to
+    enable the narrow uint16 last-operand (returned words stay narrowed;
+    widen_words restores them)."""
+    folded = fold_invalid(words, invalid)
+    if k:
+        folded = narrow_words(folded, k)
+    ops = (*folded, *values)
+    out = jax.lax.sort(ops, num_keys=len(folded), is_stable=False)
+    s_words = out[: len(folded)]
+    return s_words, is_invalid_key(s_words).astype(jnp.uint32), \
+        out[len(folded):]
 
 
 def segment_reduce(s_words, size: int, weights=None, carry_words: bool = False,
@@ -427,7 +442,9 @@ def segmented_count(s_words, s_inv, size: int, want_elem_counts: bool = False,
     overflow = jnp.sum(
         jnp.where(seg_valid & (seg_counts > HIST_HIGH),
                   seg_counts - HIST_HIGH, 0))
-    out = dict(seg_words=seg["seg_words"], seg_counts=seg_counts,
+    # restore full-width words for consumers (no-op unless narrowed)
+    out = dict(seg_words=widen_words(seg["seg_words"], 0),
+               seg_counts=seg_counts,
                seg_valid=seg_valid, nseg=seg["nseg"], overflow=overflow)
     if want_hist:
         vals = jnp.where(seg_valid, jnp.minimum(seg_counts, HIST_HIGH),
@@ -463,7 +480,7 @@ def count_batch(codes: jnp.ndarray, k: int, size: int, want_positions: bool,
     invalid positions)."""
     words, invalid = canonical_kmers(codes, k, size)
     values = (jnp.arange(size, dtype=jnp.uint32),) if want_positions else ()
-    s_words, s_inv, s_vals = sort_records(words, invalid, values)
+    s_words, s_inv, s_vals = sort_records(words, invalid, values, k=k)
     out = segmented_count(s_words, jnp.zeros(size, jnp.uint32), size,
                           want_elem_counts=want_positions, want_hist=want_hist)
     out["nvalid"] = jnp.int32(size) - jnp.sum(invalid.astype(jnp.int32))

@@ -166,17 +166,37 @@ def _route_chip(words, invalid, pos, splitters, ndev: int, cap: int, size: int,
     return send_words, send_valid, overflow, orig, flat
 
 
-def _count_received(words, valid, D_cap: int, want_rec_counts: bool):
+def _slot_counts_to_routed(flat_counts, send_valid_flat, size: int):
+    """Counts per ROUTED-ORDER record from per-send-slot counts, without
+    the index-array gather the cost table forbids (~940ms at 64M vs a
+    ~2-key sort).
+
+    Send slots are assigned to routed records in increasing order (slot =
+    dest*cap + rank follows the routed sort order), so a stable compaction
+    of the USED slots' counts IS the placed records' counts in routed
+    order; dropped (invalid) records trail the routed order and take the
+    zero tail."""
+    masked = jnp.where(send_valid_flat > 0,
+                       flat_counts.astype(jnp.int32), 0)
+    comp = jax.lax.sort(
+        ((1 - send_valid_flat).astype(jnp.uint8), masked),
+        num_keys=1, is_stable=True)[1]
+    return comp[:size]
+
+
+def _count_received(words, valid, D_cap: int, want_rec_counts: bool,
+                    k: int = 0):
     """Sort + segment-count the received records on one chip.
 
     Records with valid==0 are padding; they sort to the end (valid is the
-    most significant sort key, inverted)."""
+    most significant sort key, inverted). k enables the narrow uint16
+    last sort operand (segmented_count widens its outputs back)."""
     from fastk_tpu.ops.count import (
         positions_inverse, segmented_count, sort_records)
 
     inv = (valid == 0).astype(jnp.uint32)
     values = (jnp.arange(D_cap, dtype=jnp.uint32),) if want_rec_counts else ()
-    s_words, s_inv, s_vals = sort_records(list(words), inv, values)
+    s_words, s_inv, s_vals = sort_records(list(words), inv, values, k=k)
     res = segmented_count(s_words, jnp.zeros(D_cap, jnp.uint32), D_cap,
                           want_elem_counts=want_rec_counts, want_hist=True)
     if want_rec_counts:
@@ -217,7 +237,7 @@ def sharded_count_fn(mesh: Mesh, k: int, shard_size: int, slack: float = 1.6,
             rw, rv = words, (invalid == 0).astype(jnp.uint32)
             route_ovf = jnp.int32(0)
             orig = flat = None
-            res = _count_received(rw, rv, D_cap, want_positions)
+            res = _count_received(rw, rv, D_cap, want_positions, k=k)
         else:
             (send_words, send_valid, route_ovf, orig, flat
              ) = _route_chip(words, invalid, pos, splitters, D, cap,
@@ -228,7 +248,7 @@ def sharded_count_fn(mesh: Mesh, k: int, shard_size: int, slack: float = 1.6,
             recv_valid = jax.lax.all_to_all(send_valid, axis, 0, 0, tiled=False)
             rw = tuple(w.reshape(D_cap) for w in recv_words)
             rv = recv_valid.reshape(D_cap)
-            res = _count_received(rw, rv, D_cap, want_positions)
+            res = _count_received(rw, rv, D_cap, want_positions, k=k)
 
         hist = jax.lax.psum(res["hist"], axis) if D > 1 else res["hist"]
         overflow = jax.lax.psum(res["overflow"], axis) if D > 1 else res["overflow"]
@@ -250,13 +270,13 @@ def sharded_count_fn(mesh: Mesh, k: int, shard_size: int, slack: float = 1.6,
             else:
                 rc = res["rec_counts"].reshape(D, cap)
                 back = jax.lax.all_to_all(rc, axis, 0, 0, tiled=False)
-                # undo routing: record with original position `orig` sat at
-                # send slot `flat`; invert by sort, never scatter
+                # undo routing: compact used-slot counts back to routed
+                # order, then one sort by original position — no gather
                 from fastk_tpu.ops.count import positions_inverse
 
-                flat_counts = back.reshape(D_cap)
-                got = jnp.concatenate(
-                    [flat_counts, jnp.zeros(1, jnp.int32)])[flat]
+                got = _slot_counts_to_routed(
+                    back.reshape(D_cap), send_valid.reshape(D_cap),
+                    shard_size)
                 pos_counts = positions_inverse(orig, got)
             out["pos_counts"] = pos_counts[None]
         return out
@@ -333,8 +353,8 @@ def sharded_relative_fn(mesh: Mesh, k: int, shard_size: int, table_cap: int,
         rec = _join_counts(tw, tc, q)                      # received order
         back = jax.lax.all_to_all(
             rec.reshape(D, cap), axis, 0, 0, tiled=False)
-        flat_counts = back.reshape(D_cap)
-        got = jnp.concatenate([flat_counts, jnp.zeros(1, jnp.int32)])[flat]
+        got = _slot_counts_to_routed(
+            back.reshape(D_cap), send_valid.reshape(D_cap), shard_size)
         pos_counts = positions_inverse(orig, got)
         return dict(pos_counts=pos_counts[None],
                     route_overflow=jax.lax.psum(route_ovf, axis))

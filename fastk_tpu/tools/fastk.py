@@ -68,11 +68,20 @@ def parse_argv(argv):
         die(USAGE)
     if cfg["k"] < 5:
         die("fastk: k must be at least 5")
+    if cfg["k"] > 128:
+        # same documented ceiling as the reference (README.md:236-239);
+        # the word pipeline would run but is untested beyond this
+        die("fastk: k must be at most 128")
     return cfg
 
 
 def main(argv=None):
     cfg = parse_argv(sys.argv[1:] if argv is None else argv)
+    import os
+
+    for p in cfg["inputs"]:
+        if not os.path.exists(p):
+            die(f"fastk: cannot open {p}")
     out_base = (cfg["N"] or source_root(cfg["inputs"][0]))
     return _run(cfg, out_base)
 

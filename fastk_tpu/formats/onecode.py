@@ -511,7 +511,7 @@ def write_kmr(stream, cut: int, command: str, out=None,
         for j in range(hi - lo):
             pre = int(pvals[j])
             if pre != cur_pre:
-                if cur_pre is not None:
+                if sufs:  # groups fully below the cut emit nothing
                     f1.line("S", "".join(sufs))
                     f1.line("C", cnts)
                 cur_pre, sufs, cnts = pre, [], []
@@ -520,8 +520,9 @@ def write_kmr(stream, cut: int, command: str, out=None,
                 sufs.append(
                     kmer_to_string(packed[j], stream.kmer)[gmer:])
                 cnts.append(c)
-    f1.line("S", "".join(sufs))
-    f1.line("C", cnts)
+    if sufs:
+        f1.line("S", "".join(sufs))
+        f1.line("C", cnts)
     if binary:
         f1.close()
 

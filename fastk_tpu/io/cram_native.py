@@ -435,8 +435,12 @@ def parse_encoding(r: ByteReader) -> tuple:
 
 
 def _huffman_codes(symbols: List[int], lengths: List[int]):
-    """Canonical Huffman codes: (sorted by (len, symbol order as given))."""
-    items = sorted(zip(lengths, range(len(symbols))))
+    """Canonical Huffman codes, ties broken by SYMBOL VALUE (the CRAM
+    canonical rule; htslib writes tables pre-sorted by (len, symbol) so
+    list-order ties happen to agree, but other writers need not)."""
+    items = sorted(
+        range(len(symbols)), key=lambda i: (lengths[i], symbols[i]))
+    items = [(lengths[i], i) for i in items]
     codes = {}
     code = 0
     prev_len = 0
@@ -855,7 +859,15 @@ class Reference:
         if name not in seqs:
             raise CramError(f"reference sequence {name} not in FASTA")
         seq = seqs[name]
-        return seq[off0: off0 + n]
+        # alignments may poke past either contig end (htslib pads with N,
+        # which downstream codes as invalid); always return EXACTLY n
+        # bytes — a short slice would silently shrink the SEQ buffer, and
+        # a negative offset must not wrap around Python-style
+        lo = min(max(off0, 0), len(seq))
+        hi = min(max(off0 + n, lo), len(seq))
+        chunk = seq[lo:hi]
+        return (b"N" * (lo - off0)) + chunk + b"N" * (
+            n - (lo - off0) - len(chunk))
 
 
 def _sq_names_from_header(text: str) -> List[str]:

@@ -117,3 +117,29 @@ def sort_counted(words: np.ndarray, counts: np.ndarray
     sw = np.stack([np.asarray(w[:n]) for w in out[:W]], axis=1)
     sc = np.asarray(out[W][:n])
     return sw, sc.astype(counts.dtype)
+
+
+def pad_counted_pow2(words: "np.ndarray", counts, W: int,
+                     min_bits: int = 15):
+    """Device operands for merge_unique_blocks from host (n, W) words and
+    counts: pow2 capacity >= 2^min_bits, all-ones word pads / zero count
+    pads (the empty-slot sentinel convention). Returns (words_tuple,
+    counts_arr, cap). The single place that encodes the pad convention —
+    pipeline.count, outofcore and the query pad all use it."""
+    import math
+
+    import jax.numpy as jnp
+
+    n = len(counts) if counts is not None else words.shape[0]
+    cap = 1 << max(min_bits, math.ceil(math.log2(max(n, 2))))
+    wt = tuple(
+        jnp.concatenate([
+            jnp.asarray(np.ascontiguousarray(words[:, j])),
+            jnp.full(cap - n, 0xFFFFFFFF, jnp.uint32)])
+        for j in range(W))
+    ct = None
+    if counts is not None:
+        ct = jnp.concatenate([
+            jnp.asarray(np.asarray(counts).astype(np.int32)),
+            jnp.zeros(cap - n, jnp.int32)])
+    return wt, ct, cap

@@ -113,11 +113,13 @@ def count_files_sharded(
     words_list, counts_list = [], []
     batches, pos_list = [], []
     nreads = totlen = 0
+    nshort = 0
     splitters = None
     reb: dict = {}
     for batch, _ord in batched_reads(list(paths), batch_bases):
         if splitters is None:
             splitters = train_splitters(batch.codes, k, mesh)
+        nshort += int((np.asarray(batch.rlen) < k).sum())
         words, counts, _hist, _ovf, pos = sharded_count(
             batch.codes, k, mesh, splitters=splitters,
             want_positions=profiles, rebalance_state=reb, verbose=verbose)
@@ -153,7 +155,8 @@ def count_files_sharded(
                              clipped.astype(np.uint16))
             t_words, t_counts = _device_table(full, k)
             profs = _join_profiles(batches, k, t_words, t_counts)
-    return CountOutput(k, hist, table, profs, nreads, totlen)
+    return CountOutput(k, hist, table, profs, nreads, totlen,
+                       nshort=nshort)
 
 
 def relative_profiles_sharded(
@@ -213,20 +216,21 @@ def relative_profiles_sharded(
     spl = jax.device_put(jnp.asarray(splitters), NamedSharding(mesh, P()))
 
     fn = None
-    shard_size = None
+    shard_size = 0
     profs = []
     nreads = totlen = 0
     for batch, _ord in batched_reads(list(paths), batch_bases):
         codes = batch.codes
-        if fn is None:
-            shard_size = (max(len(codes), D) + D - 1) // D
-            step = 1 << 14
-            shard_size = ((shard_size + step - 1) // step) * step
+        # batches can exceed batch_bases (a read is never split), so size
+        # shards per batch and rebuild the program only when a batch
+        # outgrows the current geometry (pow2-stepped to bound recompiles)
+        need = (max(len(codes), D) + D - 1) // D
+        step = 1 << 14
+        need = ((need + step - 1) // step) * step
+        if fn is None or need > shard_size:
+            shard_size = max(need, 2 * shard_size)
             fn = sharded_relative_fn(mesh, k, shard_size, table_cap,
                                      slack=slack, route_impl=route_impl)
-        if len(codes) > D * shard_size:
-            raise ValueError("batch exceeds the first batch's shard size; "
-                             "lower batch_bases")
         out = fn(_shard_codes(codes, k, mesh, shard_size), spl,
                  t_words, t_counts)
         if int(out["route_overflow"]) > 0:

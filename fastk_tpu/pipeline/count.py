@@ -317,6 +317,15 @@ def count_files(
                 if pending is not None:
                     _finalize(*pending)
                 pending = (res, size)
+        if (retain_packed and inst_store and inst_store[-1]
+                and len(inst_store[-1]) == len(packed_store[-1])):
+            # every slice of this batch is instanced device-resident: the
+            # profile pass will never re-upload it, so drop the packed
+            # bytes (0.25 B/base of dead host RAM otherwise) but keep the
+            # slice geometry the dispatcher checks
+            packed_store[-1] = [(off, size, None, None, blen)
+                                for off, size, _pw, _exc, blen
+                                in packed_store[-1]]
         if verbose:
             print(f"  batch {len(metas)}: {metas[-1][1].shape[0]} reads, "
                   f"{int(metas[-1][1].sum())} bases", flush=True)

@@ -395,16 +395,9 @@ def count_files_ooc(
 
         def _merge_range(words, counts, iw, ipos, bcol):
             nonlocal table_entries
-            n = len(counts)
-            cap = 1 << max(15, math.ceil(math.log2(max(n, 2))))
-            m_words = tuple(
-                jnp.concatenate([
-                    jnp.asarray(np.ascontiguousarray(words[:, j])),
-                    jnp.full(cap - n, 0xFFFFFFFF, jnp.uint32)])
-                for j in range(W))
-            m_counts = jnp.concatenate([
-                jnp.asarray(counts.astype(np.int32)),
-                jnp.zeros(cap - n, jnp.int32)])
+            from fastk_tpu.ops.tables import pad_counted_pow2
+
+            m_words, m_counts, cap = pad_counted_pow2(words, counts, W)
             merged = merge_unique_blocks(m_words, m_counts, cap, k)
             hist_arr[:] += np.asarray(merged["hist"]).astype(np.int64)
 
@@ -433,12 +426,7 @@ def count_files_ooc(
                     t_words = tuple(w[:capt] for w in merged["seg_words"])
                     t_counts = jnp.minimum(
                         merged["seg_counts"][:capt], HIST_HIGH)
-                    capq = 1 << max(15, math.ceil(math.log2(nq)))
-                    q_words = tuple(
-                        jnp.concatenate([
-                            jnp.asarray(np.ascontiguousarray(iw[:, j])),
-                            jnp.full(capq - nq, 0xFFFFFFFF, jnp.uint32)])
-                        for j in range(W))
+                    q_words, _qc, _capq = pad_counted_pow2(iw, None, W)
                     from fastk_tpu.ops.pack import fetch_u16
 
                     cnts = fetch_u16(

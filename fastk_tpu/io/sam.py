@@ -86,6 +86,8 @@ def _iter_bam(path: str) -> Iterator[bytes]:
             hdr = f.read(4)
             if not hdr:
                 return
+            if len(hdr) != 4:
+                raise ValueError(f"{path}: truncated BAM file")
             (block_size,) = struct.unpack("<i", hdr)
             rec = _read_exact(f, block_size, path)
             l_read_name = rec[8]

@@ -36,7 +36,8 @@ static void init_code(void)
  *            reference's ADD macro)
  * bc:        drop this many leading bases of each read (after hc)
  * codes:     out, capacity ccap; reads separated by one sentinel (4);
- *            stream does NOT begin with a sentinel, ends without one
+ *            stream does NOT begin with a sentinel; every read
+ *            (including the last) is FOLLOWED by one sentinel
  * boff:      out, capacity rcap+1; boff[r] = code offset of read r;
  *            boff[nreads] = total codes + 1 per read (sentinel slots)
  * rlen:      out, capacity rcap; emitted length of read r

@@ -14,8 +14,7 @@ import sys
 import numpy as np
 
 from fastk_tpu.formats.hist import Histogram, read_histogram, write_histogram
-from fastk_tpu.formats.ktab import KmerTable, read_ktab, write_ktab
-from fastk_tpu.formats.prof import ProfileIndex, write_prof
+from fastk_tpu.formats.prof import ProfileIndex
 from fastk_tpu.tools._cli import die
 
 USAGE = "Usage: fastcat [-vk] [-htp] <target> <source>[.hist|.ktab|.prof] ..."
@@ -35,32 +34,78 @@ def cat_histograms(paths):
     return Histogram(k, hs[0].low, hs[0].high, total, ilow, ihigh)
 
 
-def cat_tables(paths):
-    ts = [read_ktab(p) for p in paths]
-    k = ts[0].kmer
-    kb = ts[0].packed.shape[1]
-    for t in ts[1:]:
-        if t.kmer != k:
+def cat_tables_streamed(paths, target: str, nparts: int):
+    """Splice keyspace table slices in O(window) memory: each source
+    streams through KmerStream chunks into one KtabWriter. Sources are
+    sorted by format invariant (Tabex -C checks that); only the SEAMS
+    between consecutive sources need validating here."""
+    from fastk_tpu.formats.ktab import KmerStream, KtabWriter
+
+    streams = [KmerStream(p) for p in paths]
+    k = streams[0].kmer
+    for s in streams[1:]:
+        if s.kmer != k:
             die("fastcat: tables do not have a common k-mer size")
-    packed = np.concatenate([t.packed for t in ts])
-    counts = np.concatenate([t.counts for t in ts])
-    # slices must already be in keyspace order; validate the seams
-    view = packed.view(f"S{kb}").ravel()
-    if len(view) > 1 and not bool(np.all(view[:-1] < view[1:])):
-        die("fastcat: sources are not disjoint ordered slices")
-    return KmerTable(k, min(t.minval for t in ts), packed, counts)
+    kb = streams[0].kbyte
+    minval = min(s.minval for s in streams)
+    CHUNK = 1 << 20
+    prev_last = None
+    with KtabWriter(target, k, minval, nparts=nparts) as w:
+        for s in streams:
+            if s.nels == 0:
+                continue
+            first = s.read_range(0, 1)[0].view(f"S{kb}").ravel()[0]
+            if prev_last is not None and not prev_last < first:
+                die("fastcat: sources are not disjoint ordered slices")
+            for lo in range(0, s.nels, CHUNK):
+                hi = min(s.nels, lo + CHUNK)
+                packed, counts = s.read_range(lo, hi)
+                w.add(packed, counts)
+            prev_last = s.read_range(s.nels - 1, s.nels)[0].view(
+                f"S{kb}").ravel()[0]
 
 
-def cat_profiles(paths):
+def cat_profiles_streamed(paths, target: str, nparts: int):
+    """Concatenate read-partitioned profile sets in bounded memory: the
+    already-encoded per-read blobs are copied part by part in chunks —
+    no decode/re-encode round trip (the reference also splices raw
+    blocks, Fastcat.c:330-430)."""
+    from fastk_tpu.formats.paths import part_path
+    from fastk_tpu.formats.prof import ProfWriter
+
     pis = [ProfileIndex(p) for p in paths]
     k = pis[0].kmer
     for p in pis[1:]:
         if p.kmer != k:
             die("fastcat: profiles do not have a common k-mer size")
-    profs = []
-    for pi in pis:
-        profs.extend(pi.fetch(i) for i in range(pi.nreads))
-    return k, profs
+    total = sum(pi.nreads for pi in pis)
+    CHUNK_BYTES = 64 << 20
+    w = ProfWriter(target, k, total, nparts=nparts)
+    try:
+        for pi in pis:
+            base = 0
+            for p in range(pi.nparts):
+                offs = pi._index[p + 1]  # part-local END offsets
+                n = len(offs)
+                with open(part_path(pi.path, ".prof", p + 1), "rb") as f:
+                    i0 = 0
+                    while i0 < n:
+                        start = 0 if i0 == 0 else int(offs[i0 - 1])
+                        i1 = i0
+                        while i1 < n and int(offs[i1]) - start <= CHUNK_BYTES:
+                            i1 += 1
+                        i1 = max(i1, i0 + 1)
+                        end = int(offs[i1 - 1])
+                        f.seek(start)
+                        blob = np.frombuffer(f.read(end - start), np.uint8)
+                        w.add_block(blob,
+                                    np.asarray(offs[i0:i1]) - start)
+                        i0 = i1
+                base += n
+        w.close()
+    except BaseException:
+        w.abort()
+        raise
 
 
 def main(argv=None):
@@ -94,11 +139,9 @@ def main(argv=None):
     if "h" in do:
         write_histogram(target, cat_histograms([r + ".hist" for r in roots]))
     if "t" in do:
-        t = cat_tables(roots)
-        write_ktab(target, t, nparts=max(1, len(roots)))
+        cat_tables_streamed(roots, target, nparts=max(1, len(roots)))
     if "p" in do:
-        k, profs = cat_profiles(roots)
-        write_prof(target, k, profs, nparts=max(1, len(roots)))
+        cat_profiles_streamed(roots, target, nparts=max(1, len(roots)))
 
     if not keep:
         from fastk_tpu.tools.fastrm import main as fastrm_main

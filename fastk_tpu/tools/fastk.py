@@ -129,8 +129,29 @@ def _run(cfg, out_base):
     # FastK.c:422-429); dedup-before-spill makes this an upper bound
     from fastk_tpu.ops.kmers import nwords
 
-    est_bytes = sum(os.path.getsize(f) for f in cfg["inputs"]
-                    if os.path.exists(f)) * (nwords(cfg["k"]) + 1) * 4
+    def _est_base_bytes(f: str) -> int:
+        """Estimated BASE count of an input: on-disk size corrected for
+        the container (gz compresses sequence ~4x; Dazzler stubs point at
+        a hidden 2-bit .bps holding 4 bases/byte; BAM/CRAM pack+compress)."""
+        if not os.path.exists(f):
+            return 0
+        sz = os.path.getsize(f)
+        low = f.lower()
+        if low.endswith((".db", ".dam")):
+            from fastk_tpu.io.dazz import _hidden
+
+            bps = _hidden(f, ".bps")
+            if os.path.exists(bps):
+                return os.path.getsize(bps) * 4
+            return sz
+        if low.endswith(".gz"):
+            return sz * 4
+        if low.endswith((".bam", ".cram")):
+            return sz * 6
+        return sz
+
+    est_bytes = sum(_est_base_bytes(f) for f in cfg["inputs"]
+                    ) * (nwords(cfg["k"]) + 1) * 4
     parts = max(1, math.ceil(est_bytes / (cfg["M"] * 1e9)))
 
     nparts = max(1, cfg["T"])

@@ -118,6 +118,10 @@ def merge_streamed(sources, target, nparts, do_hist, do_table, slice_spec,
 
     streams = []
     for s in sources:
+        for ext in (".hist", ".ktab", ".prof"):
+            if s.endswith(ext):  # USAGE accepts suffixed roots
+                s = s[: -len(ext)]
+                break
         try:
             streams.append(KmerStream(s))
         except FileNotFoundError:

@@ -27,16 +27,23 @@ def expand_targets(arg: str):
     return cands
 
 
-def remove_set(stub: str, force: bool = False) -> None:
-    """Remove one stub file and its hidden parts (library entry; the
-    Clean_Exit path uses this to drop partial outputs, FastK.c:181-221)."""
+def files_of_set(stub: str) -> list:
+    """Every file of a stub's file set: the stub, its hidden parts, and
+    (for .prof) the hidden .pidx parts — THE single definition of the
+    hidden-file layout for deletion."""
     files = [stub] + hidden_files_of(stub)
     if stub.endswith(".prof"):
         base = stub[:-5]
         d = os.path.dirname(base) or "."
         b = os.path.basename(base)
         files += sorted(glob.glob(os.path.join(d, f".{b}.pidx.*")))
-    for f in dict.fromkeys(files):
+    return list(dict.fromkeys(files))
+
+
+def remove_set(stub: str, force: bool = False) -> None:
+    """Remove one stub file and its hidden parts (library entry; the
+    Clean_Exit path uses this to drop partial outputs, FastK.c:181-221)."""
+    for f in files_of_set(stub):
         try:
             os.unlink(f)
         except FileNotFoundError:
@@ -72,13 +79,7 @@ def main(argv=None):
                 ans = input(f"fastrm: remove {stub}? ")
                 if not ans.lower().startswith("y"):
                     continue
-            files = [stub] + hidden_files_of(stub)
-            if stub.endswith(".prof"):
-                base = stub[:-5]
-                d = os.path.dirname(base) or "."
-                b = os.path.basename(base)
-                files += sorted(glob.glob(os.path.join(d, f".{b}.pidx.*")))
-            for f in dict.fromkeys(files):
+            for f in files_of_set(stub):
                 try:
                     os.unlink(f)
                 except FileNotFoundError:

@@ -46,29 +46,31 @@ def main(argv=None):
     if k < 20 + MAX_HOMO_LEN:
         die(f"homex: A k-mer length of at least {20 + MAX_HOMO_LEN} is needed")
 
-    codes = unpack_codes(t.packed, k)
-    counts = t.counts.astype(np.int64)
-    mid = k // 2
-
-    # maximal homopolymer run covering the middle position
+    mid = t.kmer // 2
     good = np.zeros((4, MAX_HOMO_LEN + 1), np.int64)
     bad = np.zeros((4, MAX_HOMO_LEN + 1), np.int64)
-    center = codes[:, mid]
     bases = "acgt"
-    for i in range(len(codes)):
-        c = codes[i]
-        s = int(center[i])
-        lo = mid
-        while lo > 0 and c[lo - 1] == s:
-            lo -= 1
-        hi = mid
-        while hi + 1 < k and c[hi + 1] == s:
-            hi += 1
-        ln = min(hi - lo + 1, MAX_HOMO_LEN)
-        if counts[i] <= etresh:
-            bad[s, ln] += 1
-        elif glo <= counts[i] <= ghi:
-            good[s, ln] += 1
+
+    # vectorized over table chunks (a per-entry Python loop is hours at
+    # real table sizes): the maximal homopolymer run covering the middle
+    # position is found with two cumulative products of equality masks
+    CHUNK = 1 << 20
+    for lo0 in range(0, len(t), CHUNK):
+        hi0 = min(len(t), lo0 + CHUNK)
+        codes = unpack_codes(t.packed[lo0:hi0], k)
+        counts = t.counts[lo0:hi0].astype(np.int64)
+        center = codes[:, mid].astype(np.int64)
+        eq = codes == center[:, None]
+        # run extent left of mid: consecutive equal bases walking left
+        left = np.cumprod(eq[:, mid - 1:: -1], axis=1).sum(axis=1) \
+            if mid > 0 else np.zeros(len(codes), np.int64)
+        right = np.cumprod(eq[:, mid + 1:], axis=1).sum(axis=1) \
+            if mid + 1 < k else np.zeros(len(codes), np.int64)
+        ln = np.minimum(left + right + 1, MAX_HOMO_LEN).astype(np.int64)
+        isbad = counts <= etresh
+        isgood = (~isbad) & (counts >= glo) & (counts <= ghi)
+        for arr, mask in ((bad, isbad), (good, isgood)):
+            np.add.at(arr, (center[mask], ln[mask]), 1)
 
     print("  Len  Sym       Good      Error     Err %")
     for ln in range(1, MAX_HOMO_LEN + 1):

@@ -81,3 +81,15 @@ def test_logex_streamed_matches(tabs, tmp_path, window):
         assert np.array_equal(t_mem.packed, t_got.packed), name
         assert np.array_equal(t_mem.counts, t_got.counts), name
         assert h_mem == h_got, name
+
+
+def test_fastmerge_cli_accepts_suffixed_sources(tabs, tmp_path, monkeypatch):
+    """USAGE advertises <source>[.hist|.ktab]; suffixed roots must open."""
+    from fastk_tpu.tools.fastmerge import main
+
+    d, tables, paths = tabs
+    out = str(tmp_path / "m")
+    rc = main(["-t", out] + [p + ".ktab" for p in paths])
+    assert rc == 0
+    got = read_ktab(out)
+    assert len(got) > 0

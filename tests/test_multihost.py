@@ -89,34 +89,49 @@ def test_multihost_two_process_cpu(data, tmp_path):
 
     from fastk_tpu.pipeline.count import count_files
 
-    with socket.socket() as s:
-        s.bind(("127.0.0.1", 0))
-        port = s.getsockname()[1]
-    coord = f"127.0.0.1:{port}"
     worker = tmp_path / "worker.py"
     worker.write_text(_WORKER)
     outs = [str(tmp_path / f"out{i}.json") for i in range(2)]
     env = {**os.environ}
     env.pop("XLA_FLAGS", None)
     env.pop("JAX_PLATFORMS", None)
-    procs = [subprocess.Popen(
-        [sys.executable, str(worker), coord, str(i), json.dumps(data),
-         outs[i]], env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE)
-        for i in range(2)]
-    for p in procs:
-        try:
-            # two workers compile concurrently on (possibly) one core,
-            # often while other suites hog it; budget generously — the
-            # slow part is compilation, not the run
-            p.wait(timeout=900)
-        except subprocess.TimeoutExpired:
-            for q in procs:
-                q.kill()
-            pytest.fail("multihost worker timed out")
-    for p in procs:
-        if p.returncode != 0:
-            err = p.stderr.read().decode()[-2000:]
-            pytest.fail(f"worker failed: {err}")
+
+    def attempt():
+        """One coordinated 2-process run; returns None on success, else a
+        failure description. Fresh port per attempt (the coordinator does
+        not always release its socket fast enough to rebind)."""
+        with socket.socket() as s:
+            s.bind(("127.0.0.1", 0))
+            port = s.getsockname()[1]
+        coord = f"127.0.0.1:{port}"
+        procs = [subprocess.Popen(
+            [sys.executable, str(worker), coord, str(i), json.dumps(data),
+             outs[i]], env=env, stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE)
+            for i in range(2)]
+        for p in procs:
+            try:
+                # two workers compile concurrently on (possibly) one core,
+                # often while other suites hog it; budget generously — the
+                # slow part is compilation, not the run
+                p.wait(timeout=900)
+            except subprocess.TimeoutExpired:
+                for q in procs:
+                    q.kill()
+                    q.wait()
+                return "multihost worker timed out"
+        for p in procs:
+            if p.returncode != 0:
+                return "worker failed: " + p.stderr.read().decode()[-2000:]
+        return None
+
+    # compile storms and coordinator handshake races on a loaded 1-core box
+    # are environmental, not product bugs: retry once before failing
+    fail = attempt()
+    if fail is not None:
+        fail = attempt()
+    if fail is not None:
+        pytest.fail(fail)
 
     want = count_files(data, 17, table_min=1, batch_bases=3000)
     for o in outs:

@@ -2,8 +2,9 @@
 
 The reference vendors all of htslib (~61k LoC of C) solely to decode CRAM
 containers (io.c:1821-1990). Here the primary path is the SELF-CONTAINED
-decoder in io.cram_native (CRAM 3.0 containers, rANS-4x8, reference-based
-sequence reconstruction — no system dependencies). Files using features
+decoder in io.cram_native (CRAM 2.0/2.1/3.0 containers — everything the
+reference's vendored htslib 1.10.2 reads — rANS-4x8, reference-based
+sequence reconstruction; no system dependencies). Files using features
 outside its gate (CRAM 3.1 codecs, exotic encodings) fall back to a system
 htslib (LIBHTS=...) or pysam when configured, else fail with guidance.
 """

@@ -6,7 +6,9 @@ reference-based sequence reconstruction — everything needed to yield each
 record's SEQ, which is all FastK consumes (the reference vendors the whole
 of htslib for exactly this, io.c:1821-1990 + HTSLIB/cram/*).
 
-Scope (gated, not pretended): CRAM 3.0; codecs EXTERNAL / HUFFMAN / BETA /
+Scope (gated, not pretended): CRAM 2.0/2.1/3.0 (v2 = no CRCs, ITF8 record
+counters, UNMAPPED_SLICE headers, no EOF container in 2.0 — the same set the
+reference's vendored htslib 1.10.2 reads); codecs EXTERNAL / HUFFMAN / BETA /
 GAMMA / BYTE_ARRAY_LEN / BYTE_ARRAY_STOP; references from an embedded-ref
 slice block, an external FASTA (FASTK_TPU_CRAM_REF), or none (no-ref /
 unmapped records). Unsupported features raise CramUnsupported so the caller
@@ -251,8 +253,8 @@ def rans_uncompress(data: bytes, raw_size: int) -> bytes:
 # ---------------------------------------------------------------------------
 
 BLOCK_RAW, BLOCK_GZIP, BLOCK_BZIP2, BLOCK_LZMA, BLOCK_RANS = range(5)
-CT_FILE_HEADER, CT_COMPRESSION_HEADER, CT_SLICE_HEADER = 0, 1, 2
-CT_EXTERNAL, CT_CORE = 4, 5
+CT_FILE_HEADER, CT_COMPRESSION_HEADER = 0, 1
+CT_MAPPED_SLICE, CT_UNMAPPED_SLICE, CT_EXTERNAL, CT_CORE = 2, 3, 4, 5
 
 
 @dataclass
@@ -263,7 +265,7 @@ class Block:
     data: bytes
 
 
-def read_block(f) -> Block:
+def read_block(f, v3: bool = True) -> Block:
     head = f.read(2)
     if len(head) < 2:
         raise CramError("truncated block")
@@ -275,7 +277,8 @@ def read_block(f) -> Block:
     data = f.read(csize)
     if len(data) != csize:
         raise CramError("truncated block data")
-    f.read(4)  # CRC32 (v3)
+    if v3:
+        f.read(4)  # CRC32 (v3+ only; cram_io.c gates on major >= 3)
     if method == BLOCK_RAW:
         raw = data
     elif method == BLOCK_GZIP:
@@ -335,7 +338,7 @@ class ContainerHeader:
     landmarks: List[int]
 
 
-def read_container_header(f) -> Optional[ContainerHeader]:
+def read_container_header(f, v3: bool = True) -> Optional[ContainerHeader]:
     raw = f.read(4)
     if len(raw) < 4:
         return None
@@ -348,12 +351,14 @@ def read_container_header(f) -> Optional[ContainerHeader]:
     start = r.itf8()
     span = r.itf8()
     nrec = r.itf8()
-    counter = r.ltf8()
+    # record counter widened to LTF8 in v3 (cram_io.c version gate)
+    counter = r.ltf8() if v3 else r.itf8()
     nbases = r.ltf8()
     nblocks = r.itf8()
     nland = r.itf8()
     landmarks = [r.itf8() for _ in range(nland)]
-    f.read(4)  # CRC32
+    if v3:
+        f.read(4)  # CRC32
     return ContainerHeader(length, ref_id, start, span, nrec, counter,
                            nbases, nblocks, landmarks)
 
@@ -618,17 +623,25 @@ class SliceHeader:
     embedded_ref_id: int
 
 
-def parse_slice_header(data: bytes) -> SliceHeader:
+def parse_slice_header(data: bytes, v3: bool = True,
+                       mapped: bool = True) -> SliceHeader:
+    """Mapped slices carry ref_id/start/span and an embedded-ref block id;
+    UNMAPPED_SLICE headers (content type 3, written by v2-era encoders)
+    omit both (cram_decode.c:978-1037). The record counter is ITF8 in v2,
+    LTF8 in v3."""
     r = ByteReader(data)
-    ref_id = r.itf8()
-    start = r.itf8()
-    span = r.itf8()
+    if mapped:
+        ref_id = r.itf8()
+        start = r.itf8()
+        span = r.itf8()
+    else:
+        ref_id, start, span = -1, 0, 0
     nrec = r.itf8()
-    counter = r.ltf8()
+    counter = r.ltf8() if v3 else r.itf8()
     nblocks = r.itf8()
     nids = r.itf8()
     ids = [r.itf8() for _ in range(nids)]
-    emb = r.itf8()
+    emb = r.itf8() if mapped else -1
     r.take(16)  # MD5
     return SliceHeader(ref_id, start, span, nrec, counter, nblocks, ids, emb)
 
@@ -885,53 +898,64 @@ def _sq_names_from_header(text: str) -> List[str]:
 # ---------------------------------------------------------------------------
 
 def iter_cram_records(path: str) -> Iterator[Tuple[int, bytes]]:
-    """Yield (bam_flags, SEQ) for every record of a CRAM 3.x file."""
+    """Yield (bam_flags, SEQ) for every record of a CRAM 2.x/3.x file."""
     with open(path, "rb") as f:
         magic = f.read(4)
         if magic != b"CRAM":
             raise CramError(f"{path}: not a CRAM file")
         major, minor = f.read(1)[0], f.read(1)[0]
-        if major != 3:
+        if major not in (2, 3):
             raise CramUnsupported(f"CRAM version {major}.{minor}")
+        v3 = major >= 3
         f.read(20)  # file id
 
         # SAM header container
-        hdr = read_container_header(f)
+        hdr = read_container_header(f, v3)
         if hdr is None:
             raise CramError("missing CRAM header container")
         hdr_end = f.tell() + hdr.length
-        blk = read_block(f)
+        blk = read_block(f, v3)
         if blk.content_type != CT_FILE_HEADER:
             raise CramError("first block is not the SAM header")
         (hlen,) = struct.unpack("<i", blk.data[:4])
         sam_header = blk.data[4: 4 + hlen].decode("latin-1")
-        f.seek(hdr_end)
+        for _ in range(1, hdr.n_blocks):
+            read_block(f, v3)  # blank/pad companion blocks
+        # htslib's v2 writer computes the header container's length BEFORE
+        # padding grows the block's ITF8 size fields, so the declared
+        # length can be a couple bytes SHORT of the actual data
+        # (cram_io.c:4257-4265 vs its reader, which only skips
+        # length-consumed when positive). Mirror the reader: never seek
+        # backward from where the blocks actually ended.
+        f.seek(max(hdr_end, f.tell()))
         ref = Reference(_sq_names_from_header(sam_header))
 
         while True:
-            ch_hdr = read_container_header(f)
+            ch_hdr = read_container_header(f, v3)
             if ch_hdr is None:
-                return
+                return  # clean EOF (v2.0 files have no EOF container)
             end = f.tell() + ch_hdr.length
             if ch_hdr.n_records == 0:
                 if ch_hdr.ref_id == -1 and ch_hdr.n_blocks <= 1:
-                    return  # EOF container
+                    return  # EOF container (v2.1+)
                 f.seek(end)
                 continue
-            blk = read_block(f)
+            blk = read_block(f, v3)
             if blk.content_type != CT_COMPRESSION_HEADER:
                 raise CramError("expected compression header block")
             comp = parse_compression_header(blk.data)
             while f.tell() < end:
-                sblk = read_block(f)
-                if sblk.content_type != CT_SLICE_HEADER:
+                sblk = read_block(f, v3)
+                if sblk.content_type not in (CT_MAPPED_SLICE,
+                                             CT_UNMAPPED_SLICE):
                     raise CramError("expected slice header block")
-                sh = parse_slice_header(sblk.data)
+                sh = parse_slice_header(
+                    sblk.data, v3, sblk.content_type == CT_MAPPED_SLICE)
                 core: Optional[BitReader] = None
                 external: Dict[int, ByteReader] = {}
                 embedded = None
                 for _ in range(sh.n_blocks):
-                    b = read_block(f)
+                    b = read_block(f, v3)
                     if b.content_type == CT_CORE:
                         core = BitReader(b.data)
                     elif b.content_type == CT_EXTERNAL:

@@ -39,6 +39,14 @@ int main(int argc, char **argv)
         hts_set_opt(out, CRAM_OPT_NO_REF, 1);
       else if (strcmp(argv[i], "small_slices") == 0)
         hts_set_opt(out, CRAM_OPT_SEQS_PER_SLICE, 7);
+      else if (strcmp(argv[i], "v20") == 0)
+        { if (hts_set_opt(out, CRAM_OPT_VERSION, "2.0") != 0)
+            { fprintf(stderr, "set version 2.0 failed\n"); return 1; }
+        }
+      else if (strcmp(argv[i], "v21") == 0)
+        { if (hts_set_opt(out, CRAM_OPT_VERSION, "2.1") != 0)
+            { fprintf(stderr, "set version 2.1 failed\n"); return 1; }
+        }
     }
   if (sam_hdr_write(out, h) < 0) { fprintf(stderr, "hdr write\n"); return 1; }
   b = bam_init1();

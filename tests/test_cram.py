@@ -88,7 +88,12 @@ def world(tmp_path_factory):
 
 
 @pytest.mark.parametrize("mode", [[], ["embed_ref"], ["no_ref"],
-                                  ["small_slices"]])
+                                  ["small_slices"],
+                                  # CRAM 2.x: ITF8 counters, no CRCs, no
+                                  # rANS; 2.0 additionally ends without an
+                                  # EOF container
+                                  ["v20"], ["v21"], ["v21", "embed_ref"],
+                                  ["v21", "small_slices"]])
 def test_cram_native_decode(world, make_cram, tmp_path, monkeypatch, mode):
     from fastk_tpu.io.cram_native import iter_cram_reads_native
 
@@ -100,6 +105,35 @@ def test_cram_native_decode(world, make_cram, tmp_path, monkeypatch, mode):
     monkeypatch.setenv("FASTK_TPU_CRAM_REF", ref)
     got = [s.decode() for s in iter_cram_reads_native(cram)]
     assert got == expected
+
+
+def test_cram_header_container_short_length(world, make_cram, tmp_path,
+                                            monkeypatch):
+    """htslib's writer computes the SAM-header container's length BEFORE
+    padding grows the block's ITF8 size fields (cram_io.c:4257-4265), so
+    when the pre-pad block is <124 bytes the declared length is 2 bytes
+    SHORT of the actual data. htslib embeds the reference path in @SQ UR:,
+    so whether the stock fixtures hit this depends on the pytest tmpdir
+    path length — force it with a short ref path."""
+    import shutil
+    import tempfile
+
+    d, ref, sam, expected = world
+    short = tempfile.mkdtemp(prefix="fkc", dir="/tmp")
+    try:
+        sref = os.path.join(short, "r.fa")
+        shutil.copy(ref, sref)
+        for vers in ("v20", "v21"):
+            cram = str(tmp_path / f"short_{vers}.cram")
+            r = subprocess.run([make_cram, sam, cram, sref, vers],
+                               capture_output=True, text=True)
+            assert r.returncode == 0, r.stderr
+            monkeypatch.setenv("FASTK_TPU_CRAM_REF", sref)
+            from fastk_tpu.io.cram_native import iter_cram_reads_native
+            got = [s.decode() for s in iter_cram_reads_native(cram)]
+            assert got == expected
+    finally:
+        shutil.rmtree(short, ignore_errors=True)
 
 
 def test_cram_through_reader(world, make_cram, tmp_path, monkeypatch):

@@ -143,3 +143,17 @@ def test_oracle_fastk_same_input_matches(ours, tmp_path):
     assert len(ps1) == len(ps2)
     for a, b in zip(ps1, ps2):
         assert np.array_equal(a, b)
+
+
+def test_oracle_haplex_h_mode_matches(ours, capsys):
+    """Haplex -H (the Find_Haplo_Pairs2 site-tag listing, Haplex.c:290-461)
+    agrees byte-for-byte: on the golden k=40 table (has het sites) and on a
+    table WE wrote (oracle reads our .ktab through its Kmer_Stream)."""
+    from fastk_tpu.tools import haplex
+
+    golden = os.path.join(HERE, "golden", "small_k40", "small.ktab")
+    d, base = ours
+    for table in (golden, base + ".ktab"):
+        want = _orun("Haplex", "-H", "-g2:100", table)
+        assert haplex.main(["-H", "-g2:100", table]) == 0
+        assert capsys.readouterr().out == want

@@ -68,10 +68,11 @@ def parse_argv(argv):
         die(USAGE)
     if cfg["k"] < 5:
         die("fastk: k must be at least 5")
-    if cfg["k"] > 128:
-        # same documented ceiling as the reference (README.md:236-239);
-        # the word pipeline would run but is untested beyond this
-        die("fastk: k must be at most 128")
+    if cfg["k"] > 256:
+        # the reference breaks for k ≳ 128 (README.md:239); the W=ceil(k/16)
+        # word pipeline here is brute-force-validated through k=256
+        # (tests/test_k_range.py), gated there pending larger-k validation
+        die("fastk: k must be at most 256")
     return cfg
 
 

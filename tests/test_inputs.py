@@ -189,3 +189,42 @@ def test_htslib_bam_matches_native(tmp_path):
     p = str(tmp_path / "x.bam")
     _write_bam(p, READS)
     assert list(htslib.iter_hts_reads(p)) == READS
+
+
+def test_crlf_line_endings(tmp_path):
+    """CRLF (Windows) FASTA/FASTQ parse identically to their LF versions,
+    through both the native scanner and the Python fallback. DELIBERATE
+    divergence from the reference: its fast automaton treats '\r' as an
+    invalid base (io.c translation table), silently breaking every k-mer
+    that spans a line ending; we strip it."""
+    fa_lf = str(tmp_path / "a.fasta")
+    fa_crlf = str(tmp_path / "b.fasta")
+    with open(fa_lf, "wb") as f, open(fa_crlf, "wb") as g:
+        for i, r in enumerate(READS):
+            f.write(b">r%d\n%s\n%s\n" % (i, r[:11], r[11:]))
+            g.write(b">r%d desc\r\n%s\r\n%s\r\n" % (i, r[:11], r[11:]))
+    fq_lf = str(tmp_path / "a.fastq")
+    fq_crlf = str(tmp_path / "b.fastq")
+    with open(fq_lf, "wb") as f, open(fq_crlf, "wb") as g:
+        for i, r in enumerate(READS):
+            q = b"I" * len(r)
+            f.write(b"@r%d\n%s\n+\n%s\n" % (i, r, q))
+            g.write(b"@r%d\r\n%s\r\n+\r\n%s\r\n" % (i, r, q))
+    for lf, crlf in ((fa_lf, fa_crlf), (fq_lf, fq_crlf)):
+        assert list(iter_reads(crlf)) == list(iter_reads(lf)) == READS, lf
+
+
+def test_fasta_iupac_codes_invalid(tmp_path):
+    """Ambiguity codes inside a FASTA sequence come back as invalid bases
+    (they must split k-mer windows, matching the reference's table)."""
+    from fastk_tpu.io.reader import batched_reads
+
+    p = str(tmp_path / "x.fasta")
+    with open(p, "w") as f:
+        f.write(">r\nACGTRYACGTNacgtWSacgt\n")
+    ((batch, _),) = list(batched_reads([p], batch_bases=1 << 16))
+    codes = batch.codes[batch.boff[0]: batch.boff[0] + batch.rlen[0]]
+    import numpy as np
+    assert np.array_equal(
+        codes,
+        [0, 1, 2, 3, 4, 4, 0, 1, 2, 3, 4, 0, 1, 2, 3, 4, 4, 0, 1, 2, 3])

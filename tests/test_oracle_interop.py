@@ -145,6 +145,39 @@ def test_oracle_fastk_same_input_matches(ours, tmp_path):
         assert np.array_equal(a, b)
 
 
+def test_oracle_iupac_codes_match(tmp_path):
+    """IUPAC ambiguity codes (N R Y S W K M B D H V, either case) are
+    invalid bases that break k-mer windows exactly like the reference's
+    translation table (io.c fast automaton): .hist bytes equal on an input
+    laced with them."""
+    import filecmp
+
+    from fastk_tpu.tools import fastk
+
+    rng = np.random.default_rng(3)
+    s = list("ACGT"[c] for c in rng.integers(0, 4, 4000))
+    for i in rng.choice(len(s), 60, replace=False):
+        s[i] = str(rng.choice(list("NRYSWKMBDHVnryswkmbdhv")))
+    src = str(tmp_path / "iupac.fasta")
+    with open(src, "w") as f:
+        f.write(">r1\n")
+        for i in range(0, len(s), 70):
+            f.write("".join(s[i: i + 70]) + "\n")
+
+    assert fastk.main(["-k31", "-t1", f"-P{tmp_path}", src,
+                       f"-N{tmp_path}/ours"]) == 0
+    w = tmp_path / "orun"
+    w.mkdir()
+    shutil.copy(src, w / "iupac.fasta")
+    r = subprocess.run([os.path.join(ORACLE, "FastK"), "-k31", "-t1", "-P.",
+                        "iupac.fasta"], cwd=str(w), capture_output=True,
+                       text=True)
+    assert r.returncode == 0, r.stderr
+    assert filecmp.cmp(str(tmp_path / "ours.hist"), str(w / "iupac.hist"),
+                       shallow=False)
+    assert "OK" in _orun("Tabex", "-C", str(tmp_path / "ours.ktab"))
+
+
 def test_oracle_haplex_h_mode_matches(ours, capsys):
     """Haplex -H (the Find_Haplo_Pairs2 site-tag listing, Haplex.c:290-461)
     agrees byte-for-byte: on the golden k=40 table (has het sites) and on a

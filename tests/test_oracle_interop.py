@@ -178,6 +178,45 @@ def test_oracle_iupac_codes_match(tmp_path):
     assert "OK" in _orun("Tabex", "-C", str(tmp_path / "ours.ktab"))
 
 
+def test_oracle_homex_matches(tmp_path, capsys):
+    """Homex byte-for-byte vs the oracle on a table built from reads with
+    injected homopolymer ±1 errors (exercises the −1/+1 tallies and the
+    nested c/g finger walk, Homex.c:146-368)."""
+    from fastk_tpu.tools import homex
+
+    rng = np.random.default_rng(2)
+    g = list("ACGT"[c] for c in rng.integers(0, 4, 3000))
+    for _ in range(120):
+        p = int(rng.integers(0, len(g) - 8))
+        run = int(rng.integers(2, 7))
+        g[p: p + run] = ["ACGT"[int(rng.integers(0, 4))]] * run
+    genome = "".join(g)
+    reads = []
+    for _ in range(400):
+        p = int(rng.integers(0, len(genome) - 220))
+        r = list(genome[p: p + 200])
+        for _ in range(int(rng.integers(0, 4))):
+            q = int(rng.integers(1, len(r) - 1))
+            if r[q] == r[q - 1] and rng.random() < 0.8:
+                if rng.random() < 0.5:
+                    r.insert(q, r[q])
+                else:
+                    del r[q]
+        reads.append("".join(r))
+    with open(tmp_path / "r.fasta", "w") as f:
+        for i, r in enumerate(reads):
+            f.write(f">s{i}\n{r}\n")
+    r = subprocess.run([os.path.join(ORACLE, "FastK"), "-k40", "-t1", "-P.",
+                        "r.fasta"], cwd=str(tmp_path), capture_output=True,
+                       text=True)
+    assert r.returncode == 0, r.stderr
+    table = str(tmp_path / "r.ktab")
+    for eg in (["-e3", "-g5:200"], ["-e1", "-g2:32767"]):
+        want = _orun("Homex", *eg, table)
+        assert homex.main([*eg, table]) == 0
+        assert capsys.readouterr().out == want, eg
+
+
 def test_oracle_haplex_h_mode_matches(ours, capsys):
     """Haplex -H (the Find_Haplo_Pairs2 site-tag listing, Haplex.c:290-461)
     agrees byte-for-byte: on the golden k=40 table (has het sites) and on a

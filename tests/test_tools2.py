@@ -158,13 +158,15 @@ def test_haplex_finds_snp_pair(tmp_path):
     assert "T" * k not in out and lone not in out
 
 
-def test_homex_smoke(tmp_path):
+def test_homex_matches_golden(tmp_path):
+    """Byte-identical to the oracle's Homex report on the golden table
+    (frozen in golden/homex; the live oracle differential incl. real
+    homopolymer-error data is in test_oracle_interop.py)."""
     from fastk_tpu.tools import homex
 
-    t = read_ktab(SMALL)
     buf = io.StringIO()
     with redirect_stdout(buf):
         rc = homex.main(["-e3", "-g5:100", SMALL + ".ktab"])
     assert rc == 0
-    out = buf.getvalue()
-    assert "Len  Sym" in out and " 1 " in out or out.count("\n") > 1
+    with open(os.path.join(GOLDEN, "homex", "small_e3_g5_100.txt")) as f:
+        assert buf.getvalue() == f.read()

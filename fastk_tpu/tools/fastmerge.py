@@ -32,6 +32,20 @@ USAGE = """Usage: fastmerge [-ht] [-T<int(4)>] [#<int(1)>] [-P<dir(/tmp)>] [-S<N
                  <target> <source>[.hist|.ktab] ..."""
 
 
+def _slice_ibyte(tels: int) -> int:
+    """Stub-index byte width from total entries (Fastmerge.c:748-760 — the
+    same 1/2/3-byte IDX rule as the table writer)."""
+    return 3 if tels >= 0x8000000 else (2 if tels >= 0x80000 else 1)
+
+
+def _snap_prefix(key: bytes, ibyte: int, kb: int) -> bytes:
+    """Slice cuts land on prefix-block boundaries: the reference zeroes the
+    pivot key's suffix bytes before aligning every source at it
+    (Fastmerge.c:781-812 \"partition must be at a prefix boundary\").
+    `key` may arrive with trailing nulls stripped (numpy S-dtype)."""
+    return (key.ljust(kb, b"\x00"))[:ibyte] + b"\x00" * (kb - ibyte)
+
+
 def merge_tables(tables, slice_spec=None):
     """Sum-merge sorted tables; optionally restrict to slice (n, d)."""
     kmer = tables[0].kmer
@@ -45,11 +59,16 @@ def merge_tables(tables, slice_spec=None):
         n, d = slice_spec
         pivot = max(tables, key=len)
         nels = len(pivot)
+        ib = _slice_ibyte(sum(len(t) for t in tables))
         pv = pivot.packed.view(f"S{kb}").ravel()
         if n > 1:
-            lo_key = pv[nels * (n - 1) // d]
+            lo_key = np.frombuffer(
+                _snap_prefix(bytes(pv[nels * (n - 1) // d]), ib, kb),
+                dtype=f"S{kb}")[0]
         if n < d:
-            hi_key = pv[nels * n // d]
+            hi_key = np.frombuffer(
+                _snap_prefix(bytes(pv[nels * n // d]), ib, kb),
+                dtype=f"S{kb}")[0]
 
     allp = np.concatenate([t.packed for t in tables])
     allc = np.concatenate([t.counts.astype(np.int64) for t in tables])
@@ -136,11 +155,14 @@ def merge_streamed(sources, target, nparts, do_hist, do_table, slice_spec,
     if slice_spec is not None:
         n, d = slice_spec
         pivot = max(streams, key=lambda s: s.nels)
+        ib = _slice_ibyte(sum(s.nels for s in streams))
         if pivot.nels:
             if n > 1:
-                lo_key = key_at(pivot, pivot.nels * (n - 1) // d)
+                lo_key = _snap_prefix(
+                    key_at(pivot, pivot.nels * (n - 1) // d), ib, kb)
             if n < d:
-                hi_key = key_at(pivot, pivot.nels * n // d)
+                hi_key = _snap_prefix(
+                    key_at(pivot, pivot.nels * n // d), ib, kb)
 
     minval = min(s.minval for s in streams)
     ktw = (KtabWriter(target, kmer, minval, nparts=nparts)

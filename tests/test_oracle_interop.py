@@ -178,6 +178,69 @@ def test_oracle_iupac_codes_match(tmp_path):
     assert "OK" in _orun("Tabex", "-C", str(tmp_path / "ours.ktab"))
 
 
+def _agg_table(path):
+    from fastk_tpu.formats.ktab import read_ktab
+
+    t = read_ktab(path)
+    kb = t.packed.shape[1]
+    d = {}
+    for kk, c in zip(t.packed.view(f"S{kb}").ravel(), t.counts):
+        d[bytes(kk)] = min(d.get(bytes(kk), 0) + int(c), 32767)
+    return d
+
+
+def test_oracle_fastmerge_slices_match(tmp_path):
+    """Fastmerge/Fastcat vs the oracle on the documented multi-node plan:
+    FastK per read-subset, sliced merges, splice. The oracle's own merge
+    duplicates the first k-mer present in several sources (its Tabex -C
+    rejects its own output), so full-merge comparison is AFTER sum-merging
+    its duplicates; slice contents (prefix-snapped pivot-quantile cuts,
+    Fastmerge.c:781-812) must agree exactly."""
+    from fastk_tpu.tools import fastcat, fastmerge
+
+    rng = np.random.default_rng(4)
+    genome = "".join("ACGT"[c] for c in rng.integers(0, 4, 4000))
+    for j in range(3):
+        with open(tmp_path / f"p{j}.fasta", "w") as f:
+            for i in range(120):
+                p = int(rng.integers(0, len(genome) - 160))
+                f.write(f">r{j}_{i}\n{genome[p: p + 150]}\n")
+        r = subprocess.run(
+            [os.path.join(ORACLE, "FastK"), "-k40", "-t1", "-P.",
+             f"p{j}.fasta"], cwd=str(tmp_path), capture_output=True,
+            text=True)
+        assert r.returncode == 0, r.stderr
+    srcs = [str(tmp_path / f"p{j}") for j in range(3)]
+
+    # full merge: ours passes the oracle's sort check; oracle's own output
+    # equals ours after repairing its duplicated first entry
+    r = subprocess.run([os.path.join(ORACLE, "Fastmerge"), "-T1", "-ht",
+                        str(tmp_path / "om"), *srcs], capture_output=True,
+                       text=True)
+    assert r.returncode == 0, r.stderr
+    assert fastmerge.main(["-T1", "-ht", str(tmp_path / "um"), *srcs]) == 0
+    assert "OK" in _orun("Tabex", "-C", str(tmp_path / "um.ktab"))
+    assert _agg_table(str(tmp_path / "om")) == _agg_table(
+        str(tmp_path / "um"))
+
+    # slices agree exactly; our splice equals our full merge
+    for n in (1, 2):
+        r = subprocess.run(
+            [os.path.join(ORACLE, "Fastmerge"), "-T1", "-ht", f"-S{n}of2",
+             str(tmp_path / f"os{n}"), *srcs], capture_output=True,
+            text=True)
+        assert r.returncode == 0, r.stderr
+        assert fastmerge.main(["-T1", "-ht", f"-S{n}of2",
+                               str(tmp_path / f"us{n}"), *srcs]) == 0
+        assert _agg_table(str(tmp_path / f"os{n}")) == _agg_table(
+            str(tmp_path / f"us{n}")), n
+    assert fastcat.main(["-k", "-ht", str(tmp_path / "uc"),
+                         str(tmp_path / "us1"), str(tmp_path / "us2")]) == 0
+    assert _agg_table(str(tmp_path / "uc")) == _agg_table(
+        str(tmp_path / "um"))
+    assert "OK" in _orun("Tabex", "-C", str(tmp_path / "uc.ktab"))
+
+
 def test_oracle_homex_matches(tmp_path, capsys):
     """Homex byte-for-byte vs the oracle on a table built from reads with
     injected homopolymer ±1 errors (exercises the −1/+1 tallies and the

@@ -178,6 +178,96 @@ def test_oracle_iupac_codes_match(tmp_path):
     assert "OK" in _orun("Tabex", "-C", str(tmp_path / "ours.ktab"))
 
 
+@pytest.fixture(scope="module")
+def fuzz_world(tmp_path_factory):
+    """A genome with homopolymer runs + two read files (distinct regions)."""
+    d = tmp_path_factory.mktemp("fuzzw")
+    rng = np.random.default_rng(6)
+    g = list("ACGT"[c] for c in rng.integers(0, 4, 4000))
+    for _ in range(150):
+        p = int(rng.integers(0, len(g) - 8))
+        run = int(rng.integers(2, 7))
+        g[p: p + run] = ["ACGT"[int(rng.integers(0, 4))]] * run
+    genome = "".join(g)
+    for j in (1, 2):
+        with open(d / f"r{j}.fasta", "w") as f:
+            for i in range(250):
+                p = int(rng.integers(0, len(genome) - 220))
+                f.write(f">x{j}_{i}\n{genome[p: p + 200]}\n")
+    return d
+
+
+def test_oracle_hc_and_bc_match(fuzz_world, tmp_path):
+    """-c (homopolymer compression) and -bc (barcode trim) byte-identical
+    .hist/.ktab vs oracle FastK on fuzz reads (the goldens freeze only one
+    -c case; this is live)."""
+    import filecmp
+
+    from fastk_tpu.tools import fastk
+
+    d = fuzz_world
+    for flags, name in ((["-c"], "hc"), (["-bc10"], "bc")):
+        r = subprocess.run(
+            [os.path.join(ORACLE, "FastK"), "-k31", *flags, "-t1", "-P.",
+             "r1.fasta", f"-No_{name}"], cwd=str(d), capture_output=True,
+            text=True)
+        assert r.returncode == 0, r.stderr
+        assert fastk.main(["-k31", *flags, "-t1", f"-P{tmp_path}",
+                           str(d / "r1.fasta"),
+                           f"-N{tmp_path}/u_{name}"]) == 0
+        for ext in (".hist", ".ktab"):
+            assert filecmp.cmp(str(d / f"o_{name}{ext}"),
+                               str(tmp_path / f"u_{name}{ext}"),
+                               shallow=False), (flags, ext)
+
+
+def test_oracle_kmermap_matches(fuzz_world, tmp_path):
+    """KmerMap end-to-end on fresh data (drives the -p:table relative
+    profile pipeline): .bed byte-identical, with and without -m. The
+    oracle shells out to `FastK`, so it needs the oracle dir on PATH."""
+    from fastk_tpu.tools import fastk, kmermap
+
+    d = fuzz_world
+    assert fastk.main(["-k40", "-t1", f"-P{tmp_path}", str(d / "r1.fasta"),
+                       f"-N{tmp_path}/tab"]) == 0
+    env = dict(os.environ, PATH=ORACLE + os.pathsep + os.environ["PATH"])
+    for mflag, suffix in ((None, "kmers.bed"), ("-m", "kmers.merge.bed")):
+        args = ([mflag] if mflag else [])
+        r = subprocess.run(
+            [os.path.join(ORACLE, "KmerMap"), *args, "-T1", "-P.",
+             str(tmp_path / "tab.ktab"), str(d / "r2.fasta"), "omap"],
+            cwd=str(tmp_path), capture_output=True, text=True, env=env)
+        assert r.returncode == 0, r.stderr
+        assert kmermap.main([*args, "-T1", f"-P{tmp_path}",
+                             str(tmp_path / "tab.ktab"),
+                             str(d / "r2.fasta"),
+                             str(tmp_path / "umap")]) == 0
+        with open(tmp_path / f"omap.r2.{suffix}") as fo, \
+                open(tmp_path / f"umap.r2.{suffix}") as fu:
+            assert fo.read() == fu.read(), mflag
+
+
+def test_oracle_symmex_matches(fuzz_world, tmp_path):
+    """Live Symmex differential on a fresh table (the golden one is
+    frozen): identical symmetric tables entry-for-entry."""
+    from fastk_tpu.formats.ktab import read_ktab
+    from fastk_tpu.tools import fastk, symmex
+
+    d = fuzz_world
+    assert fastk.main(["-k31", "-t2", f"-P{tmp_path}", str(d / "r2.fasta"),
+                       f"-N{tmp_path}/st"]) == 0
+    r = subprocess.run([os.path.join(ORACLE, "Symmex"), "-T1",
+                        str(tmp_path / "st.ktab"), str(tmp_path / "osym")],
+                       capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr
+    assert symmex.main(["-T1", str(tmp_path / "st.ktab"),
+                        str(tmp_path / "usym")]) == 0
+    a = read_ktab(str(tmp_path / "osym"))
+    b = read_ktab(str(tmp_path / "usym"))
+    assert np.array_equal(a.packed, b.packed)
+    assert np.array_equal(a.counts, b.counts)
+
+
 def _agg_table(path):
     from fastk_tpu.formats.ktab import read_ktab
 

@@ -1,0 +1,104 @@
+"""Bounded-host-memory demonstration: peak RSS of the full `fastk` CLI
+(out-of-core -M path) as input size grows 10x.
+
+The reference's defining claim is bounded memory at arbitrary input scale
+(3.2 Tbp on 12 GB RAM, reference README.md:44-46). This measures our
+equivalent: the streaming ingest + spill + streamed writers keep host RSS
+~flat — dominated by one batch buffer + the runtime — while input grows.
+
+Usage:  python benchmarks/bench_rss.py [--small MB] [--big MB] [-k K]
+Runs each size in a fresh subprocess (ru_maxrss is process-lifetime max)
+and prints a JSON line per run plus a PASS/FAIL flatness verdict:
+peak_rss(big) - peak_rss(small) must be far below the naive retained cost
+(~5 B/base: 1 B codes + 4 B positions) that the pre-streaming design paid.
+"""
+
+import argparse
+import json
+import os
+import re
+import subprocess
+import sys
+import tempfile
+
+import numpy as np
+
+K = 40
+
+
+def make_fasta(path: str, nbases: int, seed: int = 0,
+               read_len: int = 20_000) -> None:
+    rng = np.random.default_rng(seed)
+    lut = np.frombuffer(b"ACGT", np.uint8)
+    with open(path, "wb") as f:
+        done = 0
+        i = 0
+        while done < nbases:
+            n = min(read_len, nbases - done)
+            seq = lut[rng.integers(0, 4, n)].tobytes()
+            f.write(b">r%d\n%s\n" % (i, seq))
+            done += n
+            i += 1
+
+
+def run_one(fasta: str, workdir: str, k: int) -> dict:
+    """Run the CLI in a subprocess (CPU platform) and parse -v RSS."""
+    code = (
+        "import jax, sys\n"
+        "jax.config.update('jax_platforms','cpu')\n"
+        "from fastk_tpu.tools.fastk import main\n"
+        "sys.exit(main(sys.argv[1:]))\n"
+    )
+    env = dict(os.environ)
+    env.setdefault("JAX_COMPILATION_CACHE_DIR",
+                   os.path.expanduser("~/.cache/fastk_tpu_xla"))
+    env.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+    # small fixed batches: both runs then stream the same-size buffers and
+    # the RSS delta isolates per-input retention (also keeps XLA:CPU sorts
+    # fast enough to run this on a 1-core box)
+    env.setdefault("FASTK_TPU_BATCH_BASES", str(4 << 20))
+    out_base = os.path.join(workdir, "out")
+    r = subprocess.run(
+        [sys.executable, "-c", code, f"-k{k}", "-t1", "-v", "-M1",
+         f"-P{workdir}", fasta, f"-N{out_base}"],
+        capture_output=True, text=True, env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    if r.returncode != 0:
+        sys.stderr.write(r.stderr[-2000:])
+        raise SystemExit(f"run failed on {fasta}")
+    m = re.search(r"([\d,]+)MB\s*$", r.stderr.strip().splitlines()[-1])
+    rss_mb = int(m.group(1).replace(",", "")) if m else -1
+    return {"input_bases": os.path.getsize(fasta),
+            "peak_rss_mb": rss_mb}
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--small", type=int, default=12, help="MB of bases")
+    ap.add_argument("--big", type=int, default=120, help="MB of bases")
+    ap.add_argument("-k", type=int, default=K)
+    args = ap.parse_args()
+
+    results = []
+    for mb in (args.small, args.big):
+        with tempfile.TemporaryDirectory(prefix="fkrss") as d:
+            fasta = os.path.join(d, "in.fasta")
+            make_fasta(fasta, mb << 20)
+            res = run_one(fasta, d, args.k)
+            res["label"] = f"{mb}MB"
+            print(json.dumps(res))
+            results.append(res)
+
+    small, big = results
+    delta = big["peak_rss_mb"] - small["peak_rss_mb"]
+    naive = 5 * (args.big - args.small)  # ~5 B/base retained pre-streaming
+    verdict = "PASS" if delta < naive / 4 else "FAIL"
+    print(json.dumps({
+        "metric": "peak-RSS delta for 10x input (ooc path)",
+        "delta_mb": delta, "naive_retained_mb": naive,
+        "verdict": verdict}))
+    return 0 if verdict == "PASS" else 1
+
+
+if __name__ == "__main__":
+    main()

@@ -122,8 +122,13 @@ def _run(cfg, out_base):
         if rel.kmer != cfg["k"]:
             cfg["k"] = rel.kmer
 
-    # memory budget -> batch size (bases); the device path needs ~24B/base
+    # memory budget -> batch size (bases); the device path needs ~24B/base.
+    # FASTK_TPU_BATCH_BASES caps it explicitly (tuning/benchmarks: smaller
+    # batches trade throughput for a lower device/host footprint)
     batch_bases = min(256 << 20, int(cfg["M"] * 1e9 / 24))
+    env_cap = os.environ.get("FASTK_TPU_BATCH_BASES")
+    if env_cap:
+        batch_bases = min(batch_bases, max(1 << 20, int(env_cap)))
 
     # out-of-core when the worst-case unique-record volume exceeds the -M
     # budget (the reference's NPARTS = ceil(est_bytes/SORT_MEMORY),

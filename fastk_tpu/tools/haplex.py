@@ -52,16 +52,9 @@ def main(argv=None):
     counts = t.counts[good]
 
     # group by flanks: zero the middle base, sort, emit groups of size >= 2
-    flank = codes.copy()
-    flank[:, mid] = 0
-    fb = np.ascontiguousarray(flank).view(f"S{k}").ravel()
-    order = np.argsort(fb, kind="stable")
-    fb = fb[order]
+    order, starts = _flank_groups(codes, k, mid)
     codes, counts = codes[order], counts[order]
-    starts = np.ones(len(fb), bool)
-    if len(fb):
-        starts[1:] = fb[1:] != fb[:-1]
-    bounds = np.flatnonzero(starts).tolist() + [len(fb)]
+    bounds = np.flatnonzero(starts).tolist() + [len(codes)]
 
     bases = "acgt"
     for i in range(len(bounds) - 1):
@@ -74,6 +67,21 @@ def main(argv=None):
             print(f"{s} {counts[j]}")
         print()
     return 0
+
+
+def _flank_groups(codes: np.ndarray, k: int, mid: int):
+    """Stable sort order over (flanks with middle base zeroed) plus the
+    group-start mask in that order — the het-site grouping both listings
+    share (Haplex.c's k-way suffix merge visits groups in this order)."""
+    flank = codes.copy()
+    flank[:, mid] = 0
+    fb = np.ascontiguousarray(flank).view(f"S{k}").ravel()
+    order = np.argsort(fb, kind="stable")
+    fb_s = fb[order]
+    starts = np.ones(len(fb_s), bool)
+    if len(fb_s):
+        starts[1:] = fb_s[1:] != fb_s[:-1]
+    return order, starts
 
 
 def _haynes_mode(codes, good, k: int, mid: int) -> int:
@@ -102,16 +110,9 @@ def _haynes_mode(codes, good, k: int, mid: int) -> int:
             np.where(new_pref, np.arange(n), 0))
         vrank = vcum - vcum[gstart]
 
-        # het sites = flank groups (middle base zeroed) with >=2 in-range
-        # members, numbered in (prefix, suffix) discovery order — the
-        # reference's k-way suffix merge visits them in exactly this order
-        flank = codes.copy()
-        flank[:, mid] = 0
-        fb = np.ascontiguousarray(flank).view(f"S{k}").ravel()
-        order = np.argsort(fb, kind="stable")
-        fb_s = fb[order]
-        starts = np.ones(n, bool)
-        starts[1:] = fb_s[1:] != fb_s[:-1]
+        # het sites = flank groups with >=2 in-range members, numbered in
+        # (prefix, suffix) discovery order
+        order, starts = _flank_groups(codes, k, mid)
         gid = np.cumsum(starts) - 1
         ngood = np.bincount(gid, weights=good[order].astype(np.float64))
         qual = ngood >= 2

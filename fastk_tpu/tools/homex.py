@@ -24,6 +24,7 @@ from fastk_tpu.tools._cli import die
 USAGE = "Usage: homex -e<int> -g<int>:<int> <source_root>[.ktab]"
 
 MAX_HOMO_LEN = 10  # Homex.c:25
+SLAB = 1 << 20  # entries unpacked per slab (snapped to block boundaries)
 
 
 def _block_stats(codes: np.ndarray, counts: np.ndarray, k: int,
@@ -49,7 +50,6 @@ def _block_stats(codes: np.ndarray, counts: np.ndarray, k: int,
     neq = span != hsym[:, None]
     # hlen = 1 + last mismatching position (or klong-1 if none): mimic the
     # C loop that breaks at the first mismatch walking LEFT from khalf-2
-    width = khalf - 1 - (klong - 1)
     rev = neq[:, ::-1]  # index 0 == position khalf-2
     any_neq = rev.any(axis=1)
     first_neq = rev.argmax(axis=1)  # offset from khalf-2 going left
@@ -176,8 +176,33 @@ def main(argv=None):
         die(f"homex: A k-mer length of at least {20 + MAX_HOMO_LEN} "
             "is needed")
 
-    codes = unpack_codes(t.packed, k)
-    profile = _block_stats(codes, t.counts, k, error, glo, ghi)
+    # stream in slabs aligned to khalf-prefix block boundaries so the n×k
+    # unpacked codes array never materializes whole (the block walk itself
+    # is per-entry Python — fine for a deprecated stats tool, but memory
+    # should not be the wall)
+    khalf = k // 2
+    pby, rem = divmod(khalf, 4)
+    packed = t.packed
+    n = len(packed)
+    new_block = np.ones(n, bool)
+    if n > 1:
+        eq = (packed[1:, :pby] == packed[:-1, :pby]).all(axis=1)
+        if rem:
+            m = (0xFF << (8 - 2 * rem)) & 0xFF
+            eq &= (packed[1:, pby] & m) == (packed[:-1, pby] & m)
+        new_block[1:] = ~eq
+    bstarts = np.flatnonzero(new_block)
+
+    profile = np.zeros((4, MAX_HOMO_LEN + 1, 3), np.int64)
+    si = 0
+    while si < len(bstarts):
+        sj = min(np.searchsorted(bstarts, bstarts[si] + SLAB, "left"),
+                 len(bstarts))
+        lo = int(bstarts[si])
+        hi = n if sj == len(bstarts) else int(bstarts[sj])
+        codes = unpack_codes(packed[lo:hi], k)
+        profile += _block_stats(codes, t.counts[lo:hi], k, error, glo, ghi)
+        si = sj
 
     # report: a/t then c/g tables, rows h=2..MAX_HOMO_LEN (Homex.c:469-488)
     print("\n              -1      Good          +1      Error Rate\n")

@@ -77,5 +77,5 @@ def test_cli_k_beyond_reference(tmp_path):
     profs = read_profiles(base)
     assert len(profs) == len(reads)
     for r, p in zip(reads, profs):
-        assert len(p) == max(len(r) - 135 + 1, 0) or len(p) == len(r) - 135 + 1
+        assert len(p) == len(r) - 135 + 1
     assert tabex.main(["-t1", base + ".ktab", "0-3"]) == 0

@@ -169,4 +169,16 @@ def test_homex_matches_golden(tmp_path):
         rc = homex.main(["-e3", "-g5:100", SMALL + ".ktab"])
     assert rc == 0
     with open(os.path.join(GOLDEN, "homex", "small_e3_g5_100.txt")) as f:
-        assert buf.getvalue() == f.read()
+        want = f.read()
+    assert buf.getvalue() == want
+
+    # slab seams at khalf-prefix block boundaries must not change output
+    from fastk_tpu.tools import homex as hx
+    old_slab, hx.SLAB = hx.SLAB, 1000
+    try:
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            assert hx.main(["-e3", "-g5:100", SMALL + ".ktab"]) == 0
+        assert buf.getvalue() == want
+    finally:
+        hx.SLAB = old_slab

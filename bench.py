@@ -66,7 +66,30 @@ def pack_codes_device(codes):
             ).astype(jnp.uint8)
 
 
+def _wait_for_device(tries: int = 4, probe_timeout: int = 300) -> None:
+    """The tunneled TPU backend flaps: init can error OR hang. Probe in a
+    subprocess (isolates both the hang and jax's cached init failure) and
+    retry a few times before letting the real run proceed/fail."""
+    import subprocess
+
+    for i in range(tries):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=probe_timeout, capture_output=True)
+            if r.returncode == 0:
+                return
+            msg = r.stderr.decode()[-200:]
+        except subprocess.TimeoutExpired:
+            msg = "probe hang"
+        if i < tries - 1:
+            sys.stderr.write(f"bench: device probe failed ({msg.strip()}); "
+                             f"retry {i + 2}/{tries} in 90s\n")
+            time.sleep(90)
+
+
 def main():
+    _wait_for_device()
     import jax
     import jax.numpy as jnp
 

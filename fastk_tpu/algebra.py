@@ -206,6 +206,14 @@ def parse_expression(s: str, ntabs: int) -> Node:
     return _Parser(s, ntabs).parse()
 
 
+def vars_referenced(s: str, ntabs: int) -> int:
+    """Bitmask of table variables an expression references (for the
+    every-argument-must-be-used check, Logex.c main)."""
+    p = _Parser(s, ntabs)
+    p.parse()
+    return p.vars_seen
+
+
 def _modulate(x: np.ndarray, y: np.ndarray, mode: Optional[str]) -> np.ndarray:
     if mode == "*":
         return (x + y) >> 1

@@ -71,6 +71,16 @@ def main(argv=None):
         parsed_assignments.append((name.strip(), expr))
 
     try:
+        # every source table must appear in some expression (Logex.c main:
+        # "There are tables not referred to by an expression")
+        from fastk_tpu.algebra import vars_referenced
+
+        seen = 0
+        for _, expr in parsed_assignments:
+            seen |= vars_referenced(expr, len(sources))
+        if seen != (1 << len(sources)) - 1:
+            die("logex: There are tables not referred to by an expression")
+
         # tables stream window-by-window; outputs stream through KtabWriter
         results = logex_apply_streamed(
             parsed_assignments, sources, hist_range,

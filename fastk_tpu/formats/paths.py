@@ -41,15 +41,24 @@ def list_parts(path: str, ext: str, nparts: int) -> List[str]:
 
 
 def hidden_files_of(path: str) -> List[str]:
-    """All hidden part files belonging to stub ``path`` (any FastK extension).
+    """Hidden part files belonging to stub ``path``.
 
-    Used by the Fastrm/Fastmv/Fastcp analogs (reference: Fastrm.c:26-167).
+    Extension-aware, matching the reference exactly (Fastrm.c:90-124):
+    ``root.ktab`` owns ``.root.ktab.*``; ``root.prof`` owns BOTH
+    ``.root.prof.*`` and ``.root.pidx.*``; ``root.hist`` owns nothing; a
+    bare ``root`` (no recognized extension) owns all of them. Used by the
+    Fastrm/Fastmv/Fastcp analogs and the Clean_Exit path.
     """
     d = os.path.dirname(path) or "."
     b = os.path.basename(path)
+    want = (".ktab.", ".prof.", ".pidx.")
     for ext in (".ktab", ".prof", ".pidx", ".hist"):
         if b.endswith(ext):
             b = b[: -len(ext)]
+            want = {".ktab": (".ktab.",),
+                    ".prof": (".prof.", ".pidx."),
+                    ".pidx": (".pidx.",),
+                    ".hist": ()}[ext]
             break
     out = []
     try:
@@ -60,7 +69,7 @@ def hidden_files_of(path: str) -> List[str]:
         if not e.startswith("." + b + "."):
             continue
         rest = e[len("." + b) :]
-        for ext in (".ktab.", ".prof.", ".pidx."):
+        for ext in want:
             if rest.startswith(ext) and rest[len(ext) :].isdigit():
                 out.append(os.path.join(d, e))
     return sorted(out)

@@ -28,16 +28,10 @@ def expand_targets(arg: str):
 
 
 def files_of_set(stub: str) -> list:
-    """Every file of a stub's file set: the stub, its hidden parts, and
-    (for .prof) the hidden .pidx parts — THE single definition of the
-    hidden-file layout for deletion."""
-    files = [stub] + hidden_files_of(stub)
-    if stub.endswith(".prof"):
-        base = stub[:-5]
-        d = os.path.dirname(base) or "."
-        b = os.path.basename(base)
-        files += sorted(glob.glob(os.path.join(d, f".{b}.pidx.*")))
-    return list(dict.fromkeys(files))
+    """Every file of a stub's file set: the stub plus its hidden parts
+    (extension-aware — .prof owns the .pidx parts; see
+    paths.hidden_files_of, matching Fastrm.c:90-124)."""
+    return list(dict.fromkeys([stub] + hidden_files_of(stub)))
 
 
 def remove_set(stub: str, force: bool = False) -> None:

@@ -64,17 +64,12 @@ def xfer_main(argv, move: bool):
             pairs = [(stub, new_stub)]
             nd = os.path.dirname(new_stub) or "."
             nroot = os.path.basename(new_stub)[: -len(ext)] if ext else os.path.basename(new_stub)
+            # hidden_files_of is extension-aware: .prof owns its .pidx
+            # parts, .ktab only its own (Fastrm.c:90-124 semantics)
             for h in hidden_files_of(stub):
                 hb = os.path.basename(h)  # .<root>.<ext2>.<i>
                 rest = hb[len("." + root):]
                 pairs.append((h, os.path.join(nd, "." + nroot + rest)))
-            if stub.endswith(".prof"):
-                import glob as _g
-
-                for h in sorted(_g.glob(os.path.join(d, f".{root}.pidx.*"))):
-                    hb = os.path.basename(h)
-                    rest = hb[len("." + root):]
-                    pairs.append((h, os.path.join(nd, "." + nroot + rest)))
             for src, dst in dict.fromkeys(pairs):
                 if move:
                     shutil.move(src, dst)

@@ -331,6 +331,53 @@ def test_oracle_fastmerge_slices_match(tmp_path):
     assert "OK" in _orun("Tabex", "-C", str(tmp_path / "uc.ktab"))
 
 
+def test_oracle_fastrm_xfer_match(ours, tmp_path):
+    """Fastrm/Fastmv/Fastcp file-set semantics step-by-step vs the oracle:
+    explicit .ktab removes only the ktab set, .prof owns the .pidx hidden
+    parts, bare root removes everything (Fastrm.c:63-124)."""
+    from fastk_tpu.tools import fastcp, fastmv, fastrm
+
+    d, base = ours
+    o = tmp_path / "o"
+    u = tmp_path / "u"
+    for w in (o, u):
+        w.mkdir()
+        for f in os.listdir(d):
+            if (f.startswith("tiny") or f.startswith(".tiny")) \
+                    and not f.endswith(".fasta"):
+                shutil.copy(os.path.join(d, f), w / f)
+
+    def listing(w):
+        return sorted(os.listdir(w))
+
+    def orun_in(w, tool, *args):
+        r = subprocess.run([os.path.join(ORACLE, tool), *args], cwd=str(w),
+                           capture_output=True, text=True,
+                           stdin=subprocess.DEVNULL)
+        assert r.returncode == 0, (tool, r.stderr)
+
+    def urun_in(w, fn, *args):
+        cwd = os.getcwd()
+        os.chdir(w)
+        try:
+            assert fn.main(list(args)) == 0
+        finally:
+            os.chdir(cwd)
+
+    orun_in(o, "Fastrm", "tiny.ktab")
+    urun_in(u, fastrm, "tiny.ktab")
+    assert listing(o) == listing(u)
+    orun_in(o, "Fastmv", "tiny", "renamed")
+    urun_in(u, fastmv, "tiny", "renamed")
+    assert listing(o) == listing(u)
+    orun_in(o, "Fastcp", "renamed.prof", "copy")
+    urun_in(u, fastcp, "renamed.prof", "copy")
+    assert listing(o) == listing(u)
+    orun_in(o, "Fastrm", "renamed", "copy.prof")
+    urun_in(u, fastrm, "renamed", "copy.prof")
+    assert listing(o) == listing(u) == []
+
+
 def test_oracle_homex_matches(tmp_path, capsys):
     """Homex byte-for-byte vs the oracle on a table built from reads with
     injected homopolymer ±1 errors (exercises the −1/+1 tallies and the

@@ -378,6 +378,42 @@ def test_oracle_fastrm_xfer_match(ours, tmp_path):
     assert listing(o) == listing(u) == []
 
 
+def test_fastcat_profile_concat_vs_whole_run(fuzz_world, tmp_path, capsys):
+    """fastcat -p of per-read-subset RELATIVE profile runs equals the
+    whole-run profiles (the documented partitioned KmerMap plan,
+    reference README.md:212-228), and the oracle's Profex reads our
+    concatenated set. (No binary differential: the reference's Fastcat
+    segfaults on -p concatenation in this environment.)"""
+    from fastk_tpu.formats.prof import read_profiles
+    from fastk_tpu.tools import fastcat, fastk, profex
+
+    d = fuzz_world
+    assert fastk.main(["-k40", "-t1", f"-P{tmp_path}", str(d / "r1.fasta"),
+                       f"-N{tmp_path}/rtab"]) == 0
+    lines = (d / "r2.fasta").read_text().strip().split("\n")
+    recs = [(lines[i], lines[i + 1]) for i in range(0, len(lines), 2)]
+    half = len(recs) // 2
+    for j, part in enumerate((recs[:half], recs[half:])):
+        with open(tmp_path / f"h{j}.fasta", "w") as f:
+            for hd, sq in part:
+                f.write(hd + "\n" + sq + "\n")
+        assert fastk.main(["-k40", f"-p:{tmp_path}/rtab.ktab",
+                           f"-P{tmp_path}", str(tmp_path / f"h{j}.fasta"),
+                           f"-N{tmp_path}/ph{j}"]) == 0
+    assert fastk.main(["-k40", f"-p:{tmp_path}/rtab.ktab", f"-P{tmp_path}",
+                       str(d / "r2.fasta"), f"-N{tmp_path}/pwhole"]) == 0
+    assert fastcat.main(["-k", "-p", str(tmp_path / "pcat"),
+                         str(tmp_path / "ph0"), str(tmp_path / "ph1")]) == 0
+    whole = read_profiles(str(tmp_path / "pwhole"))
+    cat = read_profiles(str(tmp_path / "pcat"))
+    assert len(whole) == len(cat)
+    for a, b in zip(whole, cat):
+        assert np.array_equal(a, b)
+    want = _orun("Profex", str(tmp_path / "pcat.prof"), str(half + 1))
+    assert profex.main([str(tmp_path / "pcat.prof"), str(half + 1)]) == 0
+    assert capsys.readouterr().out == want
+
+
 def test_oracle_homex_matches(tmp_path, capsys):
     """Homex byte-for-byte vs the oracle on a table built from reads with
     injected homopolymer ±1 errors (exercises the −1/+1 tallies and the

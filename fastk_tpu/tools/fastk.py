@@ -120,7 +120,17 @@ def _run(cfg, out_base):
     if cfg["ptable"]:
         rel = read_ktab(cfg["ptable"])
         if rel.kmer != cfg["k"]:
-            cfg["k"] = rel.kmer
+            # same hard error as the reference (FastK.c:328-333) — callers
+            # must pass -k matching the table, as the reference's KmerMap
+            # does when it builds its FastK command line
+            die(f"fastk: -p table k-mer size ({rel.kmer}) != k-mer "
+                f"specified ({cfg['k']})")
+        if cfg["t"] is not None:
+            # relative profiles supersede -t (FastK.c:334-336)
+            if cfg["v"]:
+                print(f"fastk: Warning: -p:{cfg['ptable']} overides -t "
+                      "option", file=sys.stderr)
+            cfg["t"] = None
 
     # memory budget -> batch size (bases); the device path needs ~24B/base.
     # FASTK_TPU_BATCH_BASES caps it explicitly (tuning/benchmarks: smaller

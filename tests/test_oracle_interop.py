@@ -414,6 +414,40 @@ def test_fastcat_profile_concat_vs_whole_run(fuzz_world, tmp_path, capsys):
     assert capsys.readouterr().out == want
 
 
+def test_oracle_dazzler_db_matches(tmp_path):
+    """The synthetic Dazzler DB fixture is real-format-valid: ORACLE FastK
+    ingests it (dazz parser, io.c:2077-2259) and produces the same .hist
+    as the FASTA of the same reads — and so do we on the same .db."""
+    import filecmp
+    import sys as _sys
+
+    _sys.path.insert(0, HERE)
+    from test_inputs import _write_dazz
+
+    from fastk_tpu.tools import fastk
+
+    rng = np.random.default_rng(12)
+    reads = ["".join("acgt"[c] for c in rng.integers(0, 4, 180)).encode()
+             for _ in range(40)]
+    stub = _write_dazz(str(tmp_path), reads, cutoff=0, all_=1)
+    with open(tmp_path / "same.fasta", "w") as f:
+        for i, r in enumerate(reads):
+            f.write(f">r{i}\n{r.decode()}\n")
+    for src, name in ((os.path.basename(stub), "odz"), ("same.fasta", "ofa")):
+        r = subprocess.run([os.path.join(ORACLE, "FastK"), "-k31", "-t1",
+                            "-P.", src, f"-N{name}"], cwd=str(tmp_path),
+                           capture_output=True, text=True)
+        assert r.returncode == 0, (src, r.stderr)
+    assert filecmp.cmp(str(tmp_path / "odz.hist"), str(tmp_path / "ofa.hist"),
+                       shallow=False)
+    assert fastk.main(["-k31", "-t1", f"-P{tmp_path}", stub,
+                       f"-N{tmp_path}/udz"]) == 0
+    assert filecmp.cmp(str(tmp_path / "udz.hist"), str(tmp_path / "odz.hist"),
+                       shallow=False)
+    assert filecmp.cmp(str(tmp_path / "udz.ktab"), str(tmp_path / "odz.ktab"),
+                       shallow=False)
+
+
 def test_oracle_homex_matches(tmp_path, capsys):
     """Homex byte-for-byte vs the oracle on a table built from reads with
     injected homopolymer ±1 errors (exercises the −1/+1 tallies and the

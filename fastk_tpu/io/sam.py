@@ -7,11 +7,13 @@ stored SEQ. BGZF is a sequence of gzip members, which Python's zlib/gzip
 layer decodes directly (the reference uses libdeflate for the same blocks,
 io.c:858-1078).
 
-Deviation from the reference, on purpose: the reference maps SAM ambiguity
-codes to concrete bases (IUPAC_2_DNA, io.c:1398-1477 — 'N' becomes 'a') but
-leaves BAM ambiguity codes as IUPAC letters that later code as invalid. We
-treat every non-ACGT symbol as invalid in both formats, which is both
-consistent and the biologically correct reading of ambiguity codes.
+The two formats deliberately differ in the reference, and we match both
+exactly: SAM text SEQ is mapped character-by-character through IUPAC_2_DNA
+(io.c:1398-1477) so every record byte becomes a concrete lowercase base —
+'N'/'R'/... become 'a', 'Y'/'S'/'B' 'c', 'K' 'g', digits '1'/'2'/'3' map to
+'c'/'g'/'t' — and no SAM base is ever invalid; BAM 4-bit codes become the
+IUPAC letters "=acmgrsvtwyhkdbn" (io.c:1313) and the non-acgt ones stay
+invalid, breaking k-mer windows downstream.
 """
 
 from __future__ import annotations
@@ -21,6 +23,24 @@ import struct
 from typing import Iterator
 
 import numpy as np
+
+
+def _iupac_2_dna() -> bytes:
+    """The reference's SAM base-normalization table (io.c:1398-1423):
+    ASCII 0-127 map to a concrete lowercase base ('a' by default), bytes
+    >= 128 to NUL (invalid downstream, like the C table's implicit zeros).
+    """
+    t = bytearray(256)
+    for i in range(128):
+        t[i] = ord("a")
+    for src, dst in ((b"1Bb", b"c"), (b"CcSsYy", b"c"), (b"2GgKk", b"g"),
+                     (b"3Tt", b"t")):
+        for c in src:
+            t[c] = dst[0]
+    return bytes(t)
+
+
+_IUPAC_2_DNA = _iupac_2_dna()
 
 # BAM 4-bit SEQ codes "=ACMGRSVTWYHKDBN" -> bytes; non-ACGT stays an
 # ambiguity letter and codes as invalid downstream (reader.CODE_TABLE)
@@ -61,7 +81,7 @@ def _iter_sam(path: str) -> Iterator[bytes]:
                 continue
             seq = fields[9]
             if seq != b"*":
-                yield seq
+                yield seq.translate(_IUPAC_2_DNA)
 
 
 def _read_exact(f, n: int, path: str) -> bytes:

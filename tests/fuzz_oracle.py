@@ -1,0 +1,349 @@
+#!/usr/bin/env python
+"""Randomized LIVE differential fuzz against the oracle FastK binary.
+
+Each trial generates a random dataset (variable-length reads, N runs, IUPAC
+codes, mixed case, short reads), renders it in a random input format
+(FASTA/FASTQ, gzip'd or not, SAM, BGZF BAM, multi-file), picks random flags
+(-k/-t/-p/-c/-bc/-T, batch-size caps to force multi-batch), runs BOTH the
+oracle binary (/tmp/fastk_oracle/FastK) and our `fastk`, and compares:
+
+  .hist  byte-identical
+  .ktab  stub + every hidden part byte-identical (same -T both sides)
+  .prof  decoded profiles identical (zero-run chunking may differ by design)
+
+Standalone:  python tests/fuzz_oracle.py --seeds 0 200
+Suite hook:  tests/test_oracle_interop.py runs a few seeds (slow marker).
+
+Reference surfaces exercised: FastK.c main flag handling, io.c format
+parsers, split/count/merge phases end to end.
+"""
+
+from __future__ import annotations
+
+import argparse
+import filecmp
+import gzip
+import os
+import shutil
+import struct
+import subprocess
+import sys
+import tempfile
+import zlib
+
+import numpy as np
+
+ORACLE = "/tmp/fastk_oracle"
+_IUPAC = b"RYSWKMBDHVN"
+
+
+# ---------------------------------------------------------------- generators
+
+def gen_reads(rng: np.random.Generator):
+    glen = int(rng.integers(200, 6000))
+    genome = rng.integers(0, 4, size=glen, dtype=np.uint8)
+    nreads = int(rng.integers(5, 120))
+    bases = np.frombuffer(b"acgt", dtype=np.uint8)
+    reads = []
+    for _ in range(nreads):
+        lo = int(rng.integers(1, 400))
+        L = min(lo, glen)
+        start = int(rng.integers(0, glen - L + 1))
+        codes = genome[start: start + L].copy()
+        if rng.random() < 0.5:
+            codes = (3 - codes)[::-1]
+        seq = bases[codes].copy()
+        if rng.random() < 0.5:  # mixed case
+            up = rng.random(L) < rng.random()
+            seq = np.where(up, seq - 32, seq).astype(np.uint8)
+        if rng.random() < 0.25:  # an N run
+            p = int(rng.integers(0, L))
+            ln = int(rng.integers(1, 8))
+            seq[p: p + ln] = ord("N")
+        if rng.random() < 0.15:  # scattered IUPAC codes
+            for _ in range(int(rng.integers(1, 4))):
+                c = _IUPAC[int(rng.integers(0, len(_IUPAC)))]
+                if rng.random() < 0.5:
+                    c += 32
+                seq[int(rng.integers(0, L))] = c
+        reads.append(seq.tobytes())
+    return reads
+
+
+def write_fasta(path, reads, rng):
+    width = int(rng.integers(10, 120))
+    with open(path, "w") as f:
+        for i, r in enumerate(reads):
+            f.write(f">read{i} extra stuff\n")
+            s = r.decode()
+            for j in range(0, len(s), width):
+                f.write(s[j: j + width] + "\n")
+
+
+def write_fastq(path, reads, rng):
+    with open(path, "w") as f:
+        for i, r in enumerate(reads):
+            q = (rng.integers(33, 74, size=len(r), dtype=np.uint8)
+                 .tobytes().decode())
+            if len(q) and rng.random() < 0.2:
+                q = "@" + q[1:]  # '@'-leading quality line: parser trap
+            f.write(f"@read{i}\n{r.decode()}\n+\n{q}\n")
+
+
+def write_sam(path, reads):
+    with open(path, "w") as f:
+        f.write("@HD\tVN:1.6\tSO:unsorted\n@SQ\tSN:chr1\tLN:9999\n")
+        for i, r in enumerate(reads):
+            f.write(f"r{i}\t4\t*\t0\t0\t*\t*\t0\t0\t{r.decode().upper()}\t*\n")
+        # secondary + supplementary must be skipped by both
+        f.write(f"rx\t{0x104}\t*\t0\t0\t*\t*\t0\t0\tACGTACGTACGT\t*\n")
+        f.write(f"rx\t{0x804}\t*\t0\t0\t*\t*\t0\t0\tACGTACGTACGT\t*\n")
+
+
+_NIBBLE = {c: i for i, c in enumerate(b"=ACMGRSVTWYHKDBN")}
+
+
+def _bam_record(name: bytes, flag: int, seq: bytes) -> bytes:
+    nib = [_NIBBLE[c] for c in seq.upper()]
+    if len(nib) % 2:
+        nib.append(0)
+    packed = bytes((nib[i] << 4) | nib[i + 1] for i in range(0, len(nib), 2))
+    body = struct.pack(
+        "<iiBBHHHiiii", -1, -1, len(name) + 1, 0, 4680, 0, flag,
+        len(seq), -1, -1, 0) + name + b"\x00" + packed + b"\xff" * len(seq)
+    return struct.pack("<i", len(body)) + body
+
+
+def bgzf_compress(data: bytes) -> bytes:
+    """Minimal BGZF writer (BC-extra gzip members <=64K + EOF block)."""
+    out = bytearray()
+    for i in range(0, len(data), 60000) or [0]:
+        blk = data[i: i + 60000]
+        co = zlib.compressobj(6, zlib.DEFLATED, -15)
+        comp = co.compress(blk) + co.flush()
+        total = 12 + 6 + len(comp) + 8
+        out += struct.pack("<BBBBIBBH", 0x1F, 0x8B, 8, 4, 0, 0, 0xFF, 6)
+        out += b"BC" + struct.pack("<HH", 2, total - 1)
+        out += comp + struct.pack("<II", zlib.crc32(blk), len(blk))
+    out += bytes.fromhex(
+        "1f8b08040000000000ff0600424302001b0003000000000000000000")
+    return bytes(out)
+
+
+def write_dazz_db(dirpath, reads):
+    """Synthesize root.db + hidden .idx/.bps (oracle-ingestable: proven by
+    tests/test_oracle_interop.py::test_oracle_dazzler_db_matches)."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from test_inputs import _write_dazz
+
+    return _write_dazz(dirpath, reads, cutoff=0, all_=1)
+
+
+def write_bam(path, reads):
+    hdr_text = b"@HD\tVN:1.6\n"
+    raw = b"BAM\x01" + struct.pack("<i", len(hdr_text)) + hdr_text
+    raw += struct.pack("<i", 1)
+    raw += struct.pack("<i", 5) + b"chr1\x00" + struct.pack("<i", 9999)
+    for i, r in enumerate(reads):
+        raw += _bam_record(b"r%d" % i, 4, r)
+    raw += _bam_record(b"sec", 0x104, b"ACGTACGT")
+    with open(path, "wb") as f:
+        f.write(bgzf_compress(raw))
+
+
+# ----------------------------------------------------------------- one trial
+
+def _run_ours(args, batch_bases: int) -> int:
+    """Run our fastk CLI in-process (keeps jax + compile caches warm across
+    trials). FASTK_TPU_BATCH_BASES is read per call (tools/fastk.py)."""
+    from fastk_tpu.tools import fastk
+
+    old = os.environ.pop("FASTK_TPU_BATCH_BASES", None)
+    if batch_bases:
+        os.environ["FASTK_TPU_BATCH_BASES"] = str(batch_bases)
+    try:
+        return fastk.main(args)
+    except SystemExit as e:
+        return int(e.code or 0)
+    finally:
+        if old is not None:
+            os.environ["FASTK_TPU_BATCH_BASES"] = old
+        else:
+            os.environ.pop("FASTK_TPU_BATCH_BASES", None)
+
+def run_trial(seed: int, workdir: str, keep: bool = False) -> str | None:
+    """Returns None on success, else a failure description."""
+    rng = np.random.default_rng(seed)
+    d = os.path.join(workdir, f"t{seed}")
+    os.makedirs(d, exist_ok=True)
+
+    fmt = ["fasta", "fastq", "fasta.gz", "fastq.gz", "sam", "bam", "db"][
+        int(rng.integers(0, 7))]
+    nfiles = 2 if fmt != "db" and rng.random() < 0.25 else 1
+    srcs = []
+    for fno in range(nfiles):
+        reads = gen_reads(rng)
+        stem = os.path.join(d, f"in{fno}")
+        if fmt in ("fasta", "fasta.gz"):
+            write_fasta(stem + ".fasta", reads, rng)
+            p = stem + ".fasta"
+        elif fmt in ("fastq", "fastq.gz"):
+            write_fastq(stem + ".fastq", reads, rng)
+            p = stem + ".fastq"
+        elif fmt == "sam":
+            write_sam(stem + ".sam", reads)
+            p = stem + ".sam"
+        elif fmt == "db":
+            # 2-bit .bps can only hold acgt: normalize like the SAM table
+            reads = [r.lower().translate(
+                bytes(c if c in b"acgt" else ord("a") for c in range(256)))
+                for r in reads]
+            p = write_dazz_db(d, reads)
+        else:
+            write_bam(stem + ".bam", reads)
+            p = stem + ".bam"
+        if fmt.endswith(".gz"):
+            with open(p, "rb") as f:
+                data = f.read()
+            with gzip.open(p + ".gz", "wb") as f:
+                f.write(data)
+            os.unlink(p)
+            p += ".gz"
+        srcs.append(p)
+
+    k = int(rng.choice([11, 12, 16, 17, 25, 31, 32, 33, 40, 48, 63, 64, 65]))
+    t = int(rng.choice([1, 1, 2, 4]))
+    T = int(rng.choice([1, 2, 3, 4]))
+    flags = [f"-k{k}", f"-t{t}", f"-T{T}"]
+    do_prof = rng.random() < 0.5
+    if do_prof:
+        flags.append("-p")
+    if rng.random() < 0.2:
+        flags.append("-c")
+    if rng.random() < 0.2:
+        flags.append(f"-bc{int(rng.integers(1, 12))}")
+
+    bb = int(rng.choice([0, 0, 4000, 20000]))
+    desc = f"seed={seed} fmt={fmt} files={nfiles} {' '.join(flags)} bb={bb}"
+
+    r = subprocess.run(
+        [os.path.join(ORACLE, "FastK"), *flags, "-P.", "-Noref",
+         *[os.path.basename(s) for s in srcs]],
+        cwd=d, capture_output=True, text=True)
+    rc2 = _run_ours([*flags, f"-P{d}", f"-N{d}/ours", *srcs], bb)
+    if r.returncode != 0:
+        # the oracle refusing an input is not a differential failure, but
+        # we must refuse it the same way
+        if rc2 == 0:
+            return (f"{desc}: oracle refused "
+                    f"({r.stderr.strip()[:200]}) but we ran")
+        return None
+    if rc2 != 0:
+        return f"{desc}: we failed (rc={rc2})"
+
+    ob, ub = os.path.join(d, "oref"), os.path.join(d, "ours")
+    try:
+        if not filecmp.cmp(ob + ".hist", ub + ".hist", shallow=False):
+            return f"{desc}: .hist differs"
+        if not filecmp.cmp(ob + ".ktab", ub + ".ktab", shallow=False):
+            return f"{desc}: .ktab stub differs"
+        # part-cut ordinals are internal layout the reference derives from
+        # its super-mer sort geometry (count.c:1560-1594) — compare the
+        # table CONTENT (all entries in order) and the stub, not the cuts
+        from fastk_tpu.formats.ktab import read_ktab
+
+        t1 = read_ktab(ob)
+        t2 = read_ktab(ub)
+        if not np.array_equal(t1.packed, t2.packed):
+            return f"{desc}: .ktab entries differ"
+        if not np.array_equal(t1.counts, t2.counts):
+            return f"{desc}: .ktab counts differ"
+        if do_prof:
+            from fastk_tpu.formats.prof import read_profiles
+
+            ps1 = read_profiles(ob)
+            ps2 = read_profiles(ub)
+            if len(ps1) != len(ps2):
+                return f"{desc}: profile count {len(ps1)} vs {len(ps2)}"
+            for i, (a, b) in enumerate(zip(ps1, ps2)):
+                if not np.array_equal(a, b):
+                    return f"{desc}: profile {i} differs"
+
+        # relative profiles against the table we just agreed on
+        if rng.random() < 0.25 and len(t1) > 0:
+            from fastk_tpu.formats.prof import read_profiles
+
+            write_fasta(os.path.join(d, "q.fasta"), gen_reads(rng), rng)
+            rr = subprocess.run(
+                [os.path.join(ORACLE, "FastK"), f"-k{k}", "-p:oref.ktab",
+                 f"-T{T}", "-P.", "-Nrelp", "q.fasta"],
+                cwd=d, capture_output=True, text=True)
+            rc3 = _run_ours([f"-k{k}", f"-p:{ob}.ktab", f"-T{T}",
+                             f"-P{d}", f"-N{d}/urel",
+                             os.path.join(d, "q.fasta")], bb)
+            if rr.returncode != 0:
+                if rc3 == 0:
+                    return (f"{desc}: oracle refused -p:table "
+                            f"({rr.stderr.strip()[:200]}) but we ran")
+            elif rc3 != 0:
+                return f"{desc}: we failed -p:table (rc={rc3})"
+            else:
+                # -p:<table> mode emits ONLY .prof (no .hist/.ktab)
+                for ext in (".hist", ".ktab"):
+                    if (os.path.exists(os.path.join(d, "relp" + ext))
+                            != os.path.exists(os.path.join(d, "urel" + ext))):
+                        return f"{desc}: -p:table {ext} existence differs"
+                qs1 = read_profiles(os.path.join(d, "relp"))
+                qs2 = read_profiles(os.path.join(d, "urel"))
+                if len(qs1) != len(qs2):
+                    return (f"{desc}: -p:table profile count "
+                            f"{len(qs1)} vs {len(qs2)}")
+                for i, (a, b) in enumerate(zip(qs1, qs2)):
+                    if not np.array_equal(a, b):
+                        return f"{desc}: -p:table profile {i} differs"
+    finally:
+        if not keep:
+            shutil.rmtree(d, ignore_errors=True)
+    if keep:
+        print(f"  kept {d}")
+    return None
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--seeds", type=int, nargs=2, default=[0, 50],
+                    metavar=("LO", "HI"))
+    ap.add_argument("--keep", action="store_true",
+                    help="keep per-trial work dirs")
+    ap.add_argument("--workdir", default=None)
+    args = ap.parse_args(argv)
+
+    if not os.path.exists(os.path.join(ORACLE, "FastK")):
+        print("oracle not built (tests/make_golden.sh); nothing to fuzz",
+              file=sys.stderr)
+        return 2
+
+    # fuzz runs on CPU: env-var alone is not enough when the TPU tunnel is
+    # wedged — the config update must land before any backend call
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    wd = args.workdir or tempfile.mkdtemp(prefix="fkfuzz")
+    fails = []
+    for seed in range(args.seeds[0], args.seeds[1]):
+        msg = run_trial(seed, wd, keep=args.keep)
+        status = "FAIL " + msg if msg else "ok"
+        print(f"[{seed}] {status}", flush=True)
+        if msg:
+            fails.append(msg)
+    if not args.keep and args.workdir is None:
+        shutil.rmtree(wd, ignore_errors=True)
+    print(f"{args.seeds[1] - args.seeds[0]} trials, {len(fails)} failures")
+    for m in fails:
+        print("  " + m)
+    return 1 if fails else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

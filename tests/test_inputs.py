@@ -95,7 +95,8 @@ def _write_dazz(dirpath, reads, cutoff=0, all_=1, best_mask=None):
 def test_sam_reader(tmp_path):
     p = str(tmp_path / "in.sam")
     _write_sam(p, READS)
-    assert list(iter_reads(p)) == READS
+    # SAM SEQ normalizes through IUPAC_2_DNA (io.c:1477): lowercase bases
+    assert list(iter_reads(p)) == [r.lower() for r in READS]
 
 
 def test_sam_gz_reader(tmp_path):
@@ -104,7 +105,17 @@ def test_sam_gz_reader(tmp_path):
     _write_sam(raw, READS)
     with open(raw, "rb") as f, gzip.open(p, "wb") as g:
         g.write(f.read())
-    assert list(iter_reads(p)) == READS
+    assert list(iter_reads(p)) == [r.lower() for r in READS]
+
+
+def test_sam_iupac_maps_to_bases(tmp_path):
+    """SAM ambiguity codes map to concrete bases via the reference's
+    IUPAC_2_DNA table (io.c:1398-1477) — 'N' is a VALID 'a' in SAM (unlike
+    FASTA/BAM, where it breaks k-mer windows)."""
+    p = str(tmp_path / "iupac.sam")
+    _write_sam(p, [b"ANRYSWKMBDHVU123Gt"])
+    (got,) = list(iter_reads(p))
+    assert got == b"aaaccagacaaaacgtgt"
 
 
 def test_bam_reader(tmp_path):

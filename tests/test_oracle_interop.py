@@ -499,3 +499,18 @@ def test_oracle_haplex_h_mode_matches(ours, capsys):
         want = _orun("Haplex", "-H", "-g2:100", table)
         assert haplex.main(["-H", "-g2:100", table]) == 0
         assert capsys.readouterr().out == want
+
+
+@pytest.mark.slow
+def test_fuzz_oracle_live(tmp_path):
+    """A slice of the randomized live differential (tests/fuzz_oracle.py):
+    random formats/flags/k, full-output comparison vs the oracle binary.
+    The standalone script runs wider seed ranges."""
+    import fuzz_oracle
+
+    fails = []
+    for seed in range(16):
+        msg = fuzz_oracle.run_trial(seed, str(tmp_path))
+        if msg:
+            fails.append(msg)
+    assert not fails, fails

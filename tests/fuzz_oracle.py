@@ -212,6 +212,85 @@ def _tool_differentials(rng, d, desc, nkmers, nprof):
     return None
 
 
+def _rand_expr(rng, nvars: int) -> str:
+    """A random Logex expression over variables A..: ops |&^- with
+    modulators, unary #, count [a-b] and GC {a-b} filters."""
+    def term(depth):
+        if depth >= 2 or rng.random() < 0.4:
+            v = "ABCD"[int(rng.integers(0, nvars))]
+            return "#" + v if rng.random() < 0.25 else v
+        op = "|&^-"[int(rng.integers(0, 4))]
+        mod = ["", "+", "-", "<", ">", "*", "."][int(rng.integers(0, 7))]
+        return f"({term(depth + 1)} {op}{mod} {term(depth + 1)})"
+
+    e = term(0)
+    if rng.random() < 0.35:
+        lo = int(rng.integers(1, 4))
+        e = f"({e})[{lo}-{lo + int(rng.integers(0, 20))}]"
+    if rng.random() < 0.2:
+        lo = int(rng.integers(0, 60))
+        e = f"({e}){{{lo}-{min(100, lo + int(rng.integers(0, 50)))}}}"
+    return e
+
+
+def _table_content(path):
+    from fastk_tpu.formats.ktab import read_ktab
+
+    t = read_ktab(path)
+    return t.packed.tobytes(), t.counts.tobytes()
+
+
+def _logex_differential(rng, d, desc, k):
+    """Oracle Logex vs our logex: random expression over the main table and
+    a second oracle-built table, BOTH sides reading the same input files."""
+    write_fasta(os.path.join(d, "l2.fasta"), gen_reads(rng), rng)
+    r = subprocess.run(
+        [os.path.join(ORACLE, "FastK"), f"-k{k}", "-t1", "-P.", "-Nodir/t2",
+         "l2.fasta"], cwd=d, capture_output=True, text=True, timeout=120)
+    if r.returncode != 0:
+        return None
+    expr = _rand_expr(rng, 2)
+    hist = ["-h1:32"] if rng.random() < 0.5 else []
+    srcs = ["odir/out.ktab", "odir/t2.ktab"]
+    ro = subprocess.run(
+        [os.path.join(ORACLE, "Logex"), *hist, f"odir/lx={expr}", *srcs],
+        cwd=d, capture_output=True, text=True, timeout=120)
+    rc, _ = _tool_out("logex", [*hist, f"{d}/udir/lx={expr}",
+                                *[os.path.join(d, s) for s in srcs]])
+    if (ro.returncode == 0) != (rc == 0):
+        return (f"{desc}: Logex '{expr}' rc {ro.returncode} vs {rc} "
+                f"({ro.stderr.strip()[:150]})")
+    if ro.returncode != 0:
+        return None
+    o_tab = os.path.join(d, "odir", "lx.ktab")
+    u_tab = os.path.join(d, "udir", "lx.ktab")
+    if os.path.exists(o_tab) != os.path.exists(u_tab):
+        return f"{desc}: Logex '{expr}' output table existence differs"
+    if os.path.exists(o_tab) and (_table_content(o_tab)
+                                  != _table_content(u_tab)):
+        return f"{desc}: Logex '{expr}' table content differs"
+    if hist:
+        oh, uh = o_tab[:-5] + ".hist", u_tab[:-5] + ".hist"
+        if os.path.exists(oh) and not filecmp.cmp(oh, uh, shallow=False):
+            return f"{desc}: Logex '{expr}' .hist differs"
+    return None
+
+
+def _symmex_differential(d, desc):
+    """Oracle Symmex vs our symmex over the same source table."""
+    ro = subprocess.run(
+        [os.path.join(ORACLE, "Symmex"), "odir/out.ktab", "odir/sx.ktab"],
+        cwd=d, capture_output=True, text=True, timeout=120)
+    rc, _ = _tool_out("symmex", [os.path.join(d, "odir", "out.ktab"),
+                                 os.path.join(d, "udir", "sx.ktab")])
+    if (ro.returncode == 0) != (rc == 0):
+        return f"{desc}: Symmex rc {ro.returncode} vs {rc}"
+    if ro.returncode == 0 and (_table_content(os.path.join(d, "odir", "sx.ktab"))
+                               != _table_content(os.path.join(d, "udir", "sx.ktab"))):
+        return f"{desc}: Symmex table content differs"
+    return None
+
+
 def _run_ours(args, batch_bases: int) -> int:
     """Run our fastk CLI in-process (keeps jax + compile caches warm across
     trials). FASTK_TPU_BATCH_BASES is read per call (tools/fastk.py)."""
@@ -382,6 +461,16 @@ def run_trial(seed: int, workdir: str, keep: bool = False) -> str | None:
                 for i, (a, b) in enumerate(zip(qs1, qs2)):
                     if not np.array_equal(a, b):
                         return f"{desc}: -p:table profile {i} differs"
+
+        # algebra-layer differentials over the same oracle-built inputs
+        if rng.random() < 0.35 and len(t1) > 0:
+            msg = _logex_differential(rng, d, desc, k)
+            if msg:
+                return msg
+        if rng.random() < 0.25 and len(t1) > 0:
+            msg = _symmex_differential(d, desc)
+            if msg:
+                return msg
     finally:
         if not keep:
             shutil.rmtree(d, ignore_errors=True)

@@ -1,0 +1,90 @@
+#!/usr/bin/env python
+"""Host-side tool throughput vs the reference C binaries, same box.
+
+Builds two multi-million-entry tables with the ORACLE (so table bytes are
+identical for both sides), then times, on identical inputs:
+
+  fastmerge  (streamed window sum-merge)    vs  oracle Fastmerge
+  logex A|+B (streamed window truth-table)  vs  oracle Logex
+  symmex     (canonical -> symmetric table) vs  oracle Symmex
+
+Prints one JSON line per tool: {"tool", "ours_s", "oracle_s", "ratio"}.
+The point: the numpy window engine must stay within a small factor of C on
+a single core (it also parallelizes across windows where C does threads).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+ORACLE = "/tmp/fastk_oracle"
+HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.dirname(HERE))
+
+
+def make_fasta(path: str, nbases: int, seed: int) -> None:
+    rng = np.random.default_rng(seed)
+    bases = np.frombuffer(b"acgt", dtype=np.uint8)
+    with open(path, "w") as f:
+        read_len = 2000
+        n = nbases // read_len
+        for i in range(n):
+            s = bases[rng.integers(0, 4, size=read_len)].tobytes().decode()
+            f.write(f">r{i}\n{s}\n")
+
+
+def run(cmd, cwd):
+    t0 = time.perf_counter()
+    r = subprocess.run(cmd, cwd=cwd, capture_output=True, text=True)
+    dt = time.perf_counter() - t0
+    assert r.returncode == 0, (cmd, r.stderr[-500:])
+    return dt
+
+
+def tool(mod, args, cwd):
+    t0 = time.perf_counter()
+    r = subprocess.run(
+        [sys.executable, "-m", f"fastk_tpu.tools.{mod}", *args],
+        cwd=cwd, capture_output=True, text=True,
+        env={**os.environ, "JAX_PLATFORMS": "cpu"})
+    dt = time.perf_counter() - t0
+    assert r.returncode == 0, (mod, args, r.stderr[-500:])
+    return dt
+
+
+def main() -> int:
+    mb = int(os.environ.get("BENCH_TOOLS_MB", "24"))
+    with tempfile.TemporaryDirectory(prefix="fkbt") as d:
+        for i in (1, 2):
+            make_fasta(os.path.join(d, f"in{i}.fasta"), mb << 20, seed=i)
+            dt = run([os.path.join(ORACLE, "FastK"), "-k40", "-t1", "-P.",
+                      f"-NA{i}", f"in{i}.fasta"], d)
+            print(f"# oracle FastK table {i}: {dt:.1f}s", file=sys.stderr)
+
+        results = []
+        jobs = [
+            ("fastmerge", ["-t", "M", "A1", "A2"],
+             ("Fastmerge", ["-t", "OM", "A1", "A2"])),
+            ("logex", ["U = A|+B", "A1", "A2"],
+             ("Logex", ["OU = A|+B", "A1", "A2"])),
+            ("symmex", ["A1", "S"], ("Symmex", ["A1", "OS"])),
+        ]
+        for mod, margs, (otool, oargs) in jobs:
+            ours = tool(mod, margs, d)
+            oracle = run([os.path.join(ORACLE, otool), *oargs], d)
+            results.append(dict(tool=mod, ours_s=round(ours, 2),
+                                oracle_s=round(oracle, 2),
+                                ratio=round(ours / oracle, 2)))
+            print(json.dumps(results[-1]), flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -222,6 +222,10 @@ class KtabWriter:
         self.n = 0
         self._tmp_path = stub_path(path, ".ktab") + ".tmp"
         self._tmp = open(self._tmp_path, "wb")
+        # 2-byte-prefix histogram accumulated as chunks arrive: lets close()
+        # build the stub index without re-reading the spool (ibyte <= 2,
+        # i.e. every table under 0x4000000 entries — the idx_bytes_for rule)
+        self._h2 = np.zeros(1 << 16, dtype=np.int64)
 
     def add(self, packed: np.ndarray, counts: np.ndarray) -> None:
         """Append a chunk of entries (must continue the global sort order)."""
@@ -233,6 +237,8 @@ class KtabWriter:
         rec[:, self.kb:] = np.ascontiguousarray(
             counts, dtype="<u2").view(np.uint8).reshape(m, 2)
         rec.tofile(self._tmp)
+        pv2 = (packed[:, 0].astype(np.int32) << 8) | packed[:, 1]
+        self._h2 += np.bincount(pv2, minlength=1 << 16).astype(np.int64)
         self.n += m
 
     def close(self) -> None:
@@ -251,15 +257,22 @@ class KtabWriter:
         pidxlen = 1 << (8 * ibyte)
         rb = kb + 2
 
-        # pass 1: prefix histogram -> cumulative index + part cuts
-        pindex = np.zeros(pidxlen, dtype=np.int64)
+        # prefix histogram -> cumulative index + part cuts. For ibyte <= 2
+        # the 2-byte histogram accumulated during add() already has it; only
+        # ibyte == 3 (tables past 0x4000000 entries) re-reads the spool.
         mm = (np.memmap(self._tmp_path, dtype=np.uint8, mode="r"
                         ).reshape(n, rb) if n else
               np.zeros((0, rb), np.uint8))
-        for lo in range(0, n, self._CHUNK):
-            hi = min(n, lo + self._CHUNK)
-            pv = _prefix_values(mm[lo:hi], ibyte)
-            pindex += np.bincount(pv, minlength=pidxlen).astype(np.int64)
+        if ibyte == 1:
+            pindex = self._h2.reshape(256, 256).sum(axis=1)
+        elif ibyte == 2:
+            pindex = self._h2.copy()
+        else:
+            pindex = np.zeros(pidxlen, dtype=np.int64)
+            for lo in range(0, n, self._CHUNK):
+                hi = min(n, lo + self._CHUNK)
+                pv = _prefix_values(mm[lo:hi], ibyte)
+                pindex += np.bincount(pv, minlength=pidxlen).astype(np.int64)
         np.cumsum(pindex, out=pindex)
         cuts = [0] + part_splits_from_pindex(pindex, self.nparts) + [n]
 

@@ -84,25 +84,48 @@ def stream_windows(
             return
 
 
+def _universe_of(chunk: Sequence[Tuple[np.ndarray, np.ndarray]], kb: int):
+    """Sorted unique keys of a window as an S{kb} view, exploiting that
+    every stream's keys are ALREADY sorted: pairwise searchsorted merges
+    (O(n log n) binary searches, no argsort — the windows come from sorted
+    .ktab parts, so a comparison sort here would redo known work)."""
+    views = [np.ascontiguousarray(p).view(f"S{kb}").ravel()
+             for p, _ in chunk if len(p)]
+    if not views:
+        return None
+    acc = views[0]
+    for v in views[1:]:
+        pa = np.arange(len(acc)) + np.searchsorted(v, acc, side="left")
+        pb = np.arange(len(v)) + np.searchsorted(acc, v, side="right")
+        out = np.empty(len(acc) + len(v), dtype=acc.dtype)
+        out[pa] = acc
+        out[pb] = v
+        acc = out
+    if len(acc) > 1:
+        keep = np.empty(len(acc), bool)
+        keep[0] = True
+        np.not_equal(acc[1:], acc[:-1], out=keep[1:])
+        acc = acc[keep]
+    return acc
+
+
 def window_union(
     chunk: Sequence[Tuple[np.ndarray, np.ndarray]], kb: int
 ) -> Tuple[np.ndarray, List[np.ndarray]]:
     """Union of one window's k-mers + per-stream aligned int64 count vectors
     (0 where absent) — merge_universe over a window, pure numpy."""
-    allp = np.concatenate([p for p, _ in chunk])
-    if len(allp) == 0:
-        return allp.reshape(0, kb), [np.zeros(0, np.int64) for _ in chunk]
-    view = np.ascontiguousarray(allp).view(f"S{kb}").ravel()
-    universe_view, inv = np.unique(view, return_inverse=True)
-    universe = universe_view.view(np.uint8).reshape(-1, kb)
+    uni = _universe_of(chunk, kb)
+    if uni is None:
+        return np.zeros((0, kb), np.uint8), [np.zeros(0, np.int64)
+                                             for _ in chunk]
     cvecs = []
-    o = 0
     for p, c in chunk:
-        vec = np.zeros(len(universe_view), np.int64)
-        vec[inv[o: o + len(c)]] = c
+        vec = np.zeros(len(uni), np.int64)
+        if len(p):
+            view = np.ascontiguousarray(p).view(f"S{kb}").ravel()
+            vec[np.searchsorted(uni, view)] = c
         cvecs.append(vec)
-        o += len(c)
-    return universe, cvecs
+    return uni.view(np.uint8).reshape(-1, kb), cvecs
 
 
 def window_sum(
@@ -110,17 +133,14 @@ def window_sum(
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Union of one window's k-mers with per-key count SUMS (the fastmerge
     combine, reference Fastmerge.c table_thread)."""
-    allp = np.concatenate([p for p, _ in chunk])
-    if len(allp) == 0:
-        return allp.reshape(0, kb), np.zeros(0, np.int64)
-    allc = np.concatenate([c for _, c in chunk]).astype(np.int64)
-    view = np.ascontiguousarray(allp).view(f"S{kb}").ravel()
-    order = np.argsort(view, kind="stable")
-    sv = view[order]
-    sc = allc[order]
-    starts = np.ones(len(sv), bool)
-    starts[1:] = sv[1:] != sv[:-1]
-    idx = np.flatnonzero(starts)
-    sums = np.add.reduceat(sc, idx)
-    rows = allp[order[idx]]
-    return rows, sums
+    uni = _universe_of(chunk, kb)
+    if uni is None:
+        return np.zeros((0, kb), np.uint8), np.zeros(0, np.int64)
+    sums = np.zeros(len(uni), np.int64)
+    for p, c in chunk:
+        if len(p):
+            view = np.ascontiguousarray(p).view(f"S{kb}").ravel()
+            slots = np.searchsorted(uni, view)
+            sums += np.bincount(slots, weights=c,
+                                minlength=len(uni)).astype(np.int64)
+    return uni.view(np.uint8).reshape(-1, kb), sums

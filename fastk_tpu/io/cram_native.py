@@ -241,6 +241,14 @@ def rans_uncompress(data: bytes, raw_size: int) -> bytes:
     usize = struct.unpack("<I", r.take(4))[0]
     if usize != raw_size:
         raise CramError("rANS size mismatch")
+    if order in (0, 1):
+        from fastk_tpu import native
+        try:
+            out = native.rans_decode(data[r.pos:], order, usize)
+        except ValueError as e:
+            raise CramError(str(e)) from None
+        if out is not None:
+            return out
     if order == 0:
         return _rans_uncompress_o0(r, usize)
     if order == 1:
@@ -546,6 +554,24 @@ class SliceDecoder:
             return self._ext(enc[1]).take(n)
         return bytes(self.read_byte(enc) for _ in range(n))
 
+    def read_byte_run(self, enc: tuple, n: int) -> bytes:
+        """n consecutive read_byte values, bulk-sliced when the series is
+        EXTERNAL (the per-base SEQ/QS path of unmapped records)."""
+        if enc[0] == "external":
+            return self._ext(enc[1]).take(n)
+        return bytes(self.read_byte(enc) for _ in range(n))
+
+    def skip_byte_run(self, enc: tuple, n: int) -> None:
+        """Consume n read_byte values whose payload is discarded."""
+        if enc[0] == "external":
+            r = self._ext(enc[1])
+            if r.pos + n > len(r.buf):
+                raise CramError("external block exhausted")
+            r.pos += n
+            return
+        for _ in range(n):
+            self.read_byte(enc)
+
 
 # ---------------------------------------------------------------------------
 # Compression header / slice header
@@ -725,12 +751,9 @@ def _decode_slice_records(ch: CompressionHeader, sh: SliceHeader,
             if cf & _CF_NO_SEQ:
                 seq = b"N" * rl
             else:
-                ba = want(b"BA")
-                seq = bytes(dec.read_byte(ba) for _ in range(rl))
+                seq = dec.read_byte_run(want(b"BA"), rl)
             if cf & _CF_QS_STORED:
-                qs = want(b"QS")
-                for _ in range(rl):
-                    dec.read_byte(qs)
+                dec.skip_byte_run(want(b"QS"), rl)
             yield bf, seq
             continue
 
@@ -806,9 +829,7 @@ def _decode_slice_records(ch: CompressionHeader, sh: SliceHeader,
         ref_fill(rl - have)
         dec.read_int(want(b"MQ"))
         if cf & _CF_QS_STORED:
-            qs = want(b"QS")
-            for _ in range(rl):
-                dec.read_byte(qs)
+            dec.skip_byte_run(want(b"QS"), rl)
         yield bf, bytes(seq)
 
 

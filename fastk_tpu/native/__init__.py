@@ -62,6 +62,10 @@ def load() -> Optional[ctypes.CDLL]:
     lib.fk_prof_decode.restype = ctypes.c_long
     lib.fk_prof_decode.argtypes = [
         ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p, ctypes.c_long]
+    lib.fk_rans_decode.restype = ctypes.c_long
+    lib.fk_rans_decode.argtypes = [
+        ctypes.c_void_p, ctypes.c_long, ctypes.c_int, ctypes.c_void_p,
+        ctypes.c_long]
     lib.fk_prof_encode_bulk.restype = ctypes.c_long
     lib.fk_prof_encode_bulk.argtypes = [
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long,
@@ -134,6 +138,22 @@ def prof_encode_bulk(cnts: np.ndarray, boff: np.ndarray, plen: np.ndarray
     if total < 0:
         return None
     return out[:total], offs[:nreads]
+
+
+def rans_decode(payload: bytes, order: int, out_sz: int) -> Optional[bytes]:
+    """Decode a CRAM rANS-4x8 payload (bytes after the order/csize/usize
+    header) -> out_sz decoded bytes, None if the native library is
+    unavailable. Raises ValueError on malformed input."""
+    lib = load()
+    if lib is None:
+        return None
+    src = np.frombuffer(payload, dtype=np.uint8)
+    out = np.empty(max(out_sz, 1), dtype=np.uint8)
+    r = lib.fk_rans_decode(src.ctypes.data, len(src), int(order),
+                           out.ctypes.data, out_sz)
+    if r < 0:
+        raise ValueError("malformed rANS stream")
+    return out[:out_sz].tobytes()
 
 
 def prof_decode(buf: np.ndarray, ocap: int) -> Optional[np.ndarray]:

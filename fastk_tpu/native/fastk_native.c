@@ -11,6 +11,7 @@
  */
 
 #include <stdint.h>
+#include <stdlib.h>
 #include <string.h>
 
 /* base codes: acgt/ACGT -> 0..3, everything else -> 4 (invalid) */
@@ -209,6 +210,189 @@ long fk_prof_encode_bulk(const uint16_t *cnts, const int64_t *boff,
       offs[r] = o;
     }
   return o;
+}
+
+/* ------------------------------------------------------------------------
+ * rANS-4x8 static decoder (the CRAM block codec, orders 0 and 1) — the
+ * native fast path behind io/cram_native.py:rans_uncompress, which keeps a
+ * pure-Python fallback with identical semantics (both mirror the CRAM 3.0
+ * spec; the reference vendors htslib's rans_static.c for this role). SEQ
+ * data series are rANS-compressed in practice, so this per-byte loop is
+ * the CRAM ingest bottleneck.
+ */
+
+#define FK_TF_SHIFT 12
+#define FK_TOTFREQ  (1u << FK_TF_SHIFT)
+#define FK_RANS_LOW (1u << 23)
+
+typedef struct
+{ uint32_t F[256];
+  uint32_t C[256];
+  uint8_t  L[FK_TOTFREQ];
+} FkRansTab;
+
+/* Parse one order-0 frequency table (symbol-RLE; cumulative starts in
+ * visit order; historical totals of 4095 repeat the last slot; in order-1
+ * context rows a frequency of 0 means the whole table). Returns the new
+ * read position or -1 on malformed input. */
+static long fk_read_freqs0(const uint8_t *buf, long n, long pos,
+                           int zero_is_total, FkRansTab *t)
+{ unsigned x = 0, j, rle = 0;
+  memset(t->F, 0, sizeof(t->F));
+  memset(t->C, 0, sizeof(t->C));
+  if (pos >= n) return -1;
+  j = buf[pos++];
+  for (;;)
+    { unsigned f;
+      if (pos >= n) return -1;
+      f = buf[pos++];
+      if (f >= 128)
+        { if (pos >= n) return -1;
+          f = ((f & 0x7f) << 8) | buf[pos++];
+        }
+      if (f == 0 && zero_is_total)
+        f = FK_TOTFREQ;
+      t->F[j] = f;
+      t->C[j] = x;
+      if (x + f > FK_TOTFREQ) return -1;
+      memset(t->L + x, (int)j, f);
+      x += f;
+      if (rle > 0)
+        { rle -= 1;
+          j = (j + 1) & 0xff;
+        }
+      else
+        { unsigned nj;
+          if (pos >= n) return -1;
+          nj = buf[pos++];
+          if (nj == j + 1)
+            { if (pos >= n) return -1;
+              rle = buf[pos++];
+            }
+          j = nj;
+        }
+      if (j == 0) break;
+    }
+  if (x < FK_TOTFREQ - 1 || x > FK_TOTFREQ) return -1;
+  if (x < FK_TOTFREQ)
+    t->L[x] = t->L[x - 1];
+  return pos;
+}
+
+/* Decode a whole rANS payload (everything after the 9-byte
+ * order/csize/usize header) into out[out_sz]. order is 0 or 1.
+ * Returns the number of payload bytes consumed, or -1 on error. */
+long fk_rans_decode(const uint8_t *buf, long n, int order,
+                    uint8_t *out, long out_sz)
+{ uint32_t states[4];
+  long pos = 0, i;
+  int j;
+
+  if (order == 0)
+    { FkRansTab *t = (FkRansTab *)malloc(sizeof(FkRansTab));
+      if (t == NULL) return -1;
+      pos = fk_read_freqs0(buf, n, 0, 0, t);
+      if (pos < 0 || pos + 16 > n)
+        { free(t); return -1; }
+      for (j = 0; j < 4; j++)
+        { states[j] = (uint32_t)buf[pos] | ((uint32_t)buf[pos+1] << 8)
+                    | ((uint32_t)buf[pos+2] << 16)
+                    | ((uint32_t)buf[pos+3] << 24);
+          pos += 4;
+        }
+      for (i = 0; i < out_sz; i++)
+        { uint32_t x = states[i & 3];
+          unsigned m = x & (FK_TOTFREQ - 1);
+          unsigned s = t->L[m];
+          out[i] = (uint8_t)s;
+          x = t->F[s] * (x >> FK_TF_SHIFT) + m - t->C[s];
+          while (x < FK_RANS_LOW && pos < n)
+            x = (x << 8) | buf[pos++];
+          states[i & 3] = x;
+        }
+      free(t);
+      return pos;
+    }
+
+  if (order == 1)
+    { FkRansTab *tabs = (FkRansTab *)malloc(256 * sizeof(FkRansTab));
+      uint8_t present[256];
+      unsigned ci, rle_i = 0, ctx[4] = {0, 0, 0, 0};
+      long isz4 = out_sz >> 2;
+      if (tabs == NULL) return -1;
+      memset(present, 0, sizeof(present));
+      if (n < 1)
+        { free(tabs); return -1; }
+      ci = buf[pos++];
+      for (;;)
+        { pos = fk_read_freqs0(buf, n, pos, 1, &tabs[ci]);
+          if (pos < 0)
+            { free(tabs); return -1; }
+          present[ci] = 1;
+          if (rle_i > 0)
+            { rle_i -= 1;
+              ci = (ci + 1) & 0xff;
+            }
+          else
+            { unsigned ni;
+              if (pos >= n)
+                { free(tabs); return -1; }
+              ni = buf[pos++];
+              if (ni == ci + 1)
+                { if (pos >= n)
+                    { free(tabs); return -1; }
+                  rle_i = buf[pos++];
+                }
+              ci = ni;
+            }
+          if (ci == 0) break;
+        }
+      if (pos + 16 > n)
+        { free(tabs); return -1; }
+      for (j = 0; j < 4; j++)
+        { states[j] = (uint32_t)buf[pos] | ((uint32_t)buf[pos+1] << 8)
+                    | ((uint32_t)buf[pos+2] << 16)
+                    | ((uint32_t)buf[pos+3] << 24);
+          pos += 4;
+        }
+      for (i = 0; i < isz4; i++)
+        for (j = 0; j < 4; j++)
+          { uint32_t x = states[j];
+            unsigned m = x & (FK_TOTFREQ - 1);
+            FkRansTab *t;
+            unsigned s;
+            if (!present[ctx[j]])
+              { free(tabs); return -1; }
+            t = &tabs[ctx[j]];
+            s = t->L[m];
+            out[(long)j * isz4 + i] = (uint8_t)s;
+            x = t->F[s] * (x >> FK_TF_SHIFT) + m - t->C[s];
+            while (x < FK_RANS_LOW && pos < n)
+              x = (x << 8) | buf[pos++];
+            states[j] = x;
+            ctx[j] = s;
+          }
+      for (i = 4 * isz4; i < out_sz; i++)   /* remainder rides state 3 */
+        { uint32_t x = states[3];
+          unsigned m = x & (FK_TOTFREQ - 1);
+          FkRansTab *t;
+          unsigned s;
+          if (!present[ctx[3]])
+            { free(tabs); return -1; }
+          t = &tabs[ctx[3]];
+          s = t->L[m];
+          out[i] = (uint8_t)s;
+          x = t->F[s] * (x >> FK_TF_SHIFT) + m - t->C[s];
+          while (x < FK_RANS_LOW && pos < n)
+            x = (x << 8) | buf[pos++];
+          states[3] = x;
+          ctx[3] = s;
+        }
+      free(tabs);
+      return pos;
+    }
+
+  return -1;
 }
 
 /* Decode one compressed profile (the .prof delta codec,

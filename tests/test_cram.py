@@ -107,6 +107,44 @@ def test_cram_native_decode(world, make_cram, tmp_path, monkeypatch, mode):
     assert got == expected
 
 
+def test_rans_native_matches_python(world, make_cram, tmp_path, monkeypatch):
+    """The C rANS-4x8 decoder and the pure-Python one produce identical
+    bytes on every rANS block of an htslib-written CRAM (the differential
+    runs at the rans_uncompress seam: same payloads, both paths)."""
+    import fastk_tpu.io.cram_native as cn
+    from fastk_tpu import native
+
+    if native.load() is None:
+        pytest.skip("native library unavailable")
+
+    d, ref, sam, expected = world
+    cram = str(tmp_path / "diff.cram")
+    r = subprocess.run([make_cram, sam, cram, ref], capture_output=True,
+                       text=True)
+    assert r.returncode == 0, r.stderr
+
+    seen = []
+    orig = cn.rans_uncompress
+
+    def both_ways(data, raw_size):
+        got = orig(data, raw_size)  # native path (lib is loaded)
+        real = native.rans_decode
+        native.rans_decode = lambda *a: None
+        try:
+            pure = orig(data, raw_size)
+        finally:
+            native.rans_decode = real
+        assert pure == got
+        seen.append(len(data))
+        return got
+
+    monkeypatch.setattr(cn, "rans_uncompress", both_ways)
+    monkeypatch.setenv("FASTK_TPU_CRAM_REF", ref)
+    got = [s.decode() for s in cn.iter_cram_reads_native(cram)]
+    assert got == expected
+    assert seen, "CRAM 3.0 fixture produced no rANS blocks"
+
+
 def test_cram_header_container_short_length(world, make_cram, tmp_path,
                                             monkeypatch):
     """htslib's writer computes the SAM-header container's length BEFORE

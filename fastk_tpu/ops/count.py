@@ -36,6 +36,8 @@ import functools
 import jax
 import jax.numpy as jnp
 
+import fastk_tpu.jaxenv  # noqa: F401  (honor JAX_PLATFORMS over plugins)
+
 from fastk_tpu.ops.kmers import canonical_kmers
 
 HIST_HIGH = 0x7FFF

@@ -39,6 +39,8 @@ import numpy as np
 
 import jax
 import jax.numpy as jnp
+
+import fastk_tpu.jaxenv  # noqa: F401  (honor JAX_PLATFORMS over plugins)
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 

@@ -24,6 +24,8 @@ import functools
 
 import jax
 import jax.numpy as jnp
+
+import fastk_tpu.jaxenv  # noqa: F401  (honor JAX_PLATFORMS over plugins)
 import numpy as np
 
 

@@ -17,6 +17,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+import fastk_tpu.jaxenv  # noqa: F401  (honor JAX_PLATFORMS over plugins)
+
 
 def pack_stream(codes: np.ndarray, cap_step: int = 1 << 12) -> Tuple[np.ndarray, np.ndarray]:
     """Pack a host code stream (values 0..4) into (packed, exceptions).

@@ -29,6 +29,8 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+
+import fastk_tpu.jaxenv  # noqa: F401  (honor JAX_PLATFORMS over plugins)
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 

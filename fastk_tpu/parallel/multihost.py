@@ -30,6 +30,8 @@ import numpy as np
 
 import jax
 import jax.numpy as jnp
+
+import fastk_tpu.jaxenv  # noqa: F401  (honor JAX_PLATFORMS over plugins)
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from fastk_tpu.ops.kmers import nwords, pad_needed

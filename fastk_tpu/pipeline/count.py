@@ -33,6 +33,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+import fastk_tpu.jaxenv  # noqa: F401  (honor JAX_PLATFORMS over plugins)
+
 from fastk_tpu.formats.hist import HIST_HIGH, Histogram
 from fastk_tpu.formats.ktab import KmerTable
 from fastk_tpu.io.reader import ReadBatch, batched_reads

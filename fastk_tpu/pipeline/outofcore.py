@@ -47,6 +47,7 @@ import numpy as np
 
 import jax.numpy as jnp
 
+import fastk_tpu.jaxenv  # noqa: F401  (honor JAX_PLATFORMS over plugins)
 from fastk_tpu.formats.hist import HIST_HIGH, Histogram
 from fastk_tpu.formats.ktab import KmerTable, KtabWriter
 from fastk_tpu.formats.prof import ProfWriter, encode_profiles_bulk

@@ -56,10 +56,13 @@ def test_multihost_single_process_matches(data):
 _WORKER = r"""
 import os, sys, json
 import numpy as np
-os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "") +
                            " --xla_force_host_platform_device_count=2")
 import jax
+# config.update, not the env var: out-of-tree PJRT plugins can override
+# JAX_PLATFORMS at registration (see fastk_tpu/jaxenv.py), and with the
+# plugin's backend unreachable the worker would hang in its init forever.
+jax.config.update("jax_platforms", "cpu")
 jax.distributed.initialize(coordinator_address=sys.argv[1],
                            num_processes=2, process_id=int(sys.argv[2]))
 from jax.sharding import Mesh

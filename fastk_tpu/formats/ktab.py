@@ -202,17 +202,19 @@ def part_splits_from_pindex(pindex: np.ndarray, nparts: int) -> List[int]:
 
 class KtabWriter:
     """Stream sorted (packed, count) chunks to a .ktab file-set in bounded
-    memory. Chunks append to a raw temp file (kb+2 bytes/record); close()
-    fixes ibyte from the exact total, accumulates the stub prefix index in
-    one streaming pass, then converts the temp into part files — so arbitrary
-    scale tables write with O(chunk) RAM, byte-identical to ``write_ktab``
-    (the reference's phase-3 table writer streams the same way,
+    memory. Chunks accumulate in RAM up to a budget (FASTK_TPU_KTAB_SPILL_MB,
+    default 1024) and spill to a raw temp file beyond it; close() fixes ibyte
+    from the exact total, builds the stub prefix index, and emits part files
+    — so arbitrary-scale tables write with O(budget) RAM, byte-identical to
+    ``write_ktab`` whether or not they spilled (the reference's phase-3
+    table writer streams under the same SORT_MEMORY budget idea,
     table.c:162-533)."""
 
     _CHUNK = 1 << 22  # records per conversion chunk
 
     def __init__(self, path: str, kmer: int, minval: int, nparts: int = 1,
-                 ibyte: Optional[int] = None):
+                 ibyte: Optional[int] = None,
+                 spill_bytes: Optional[int] = None):
         self.path = path
         self.kmer = kmer
         self.minval = minval
@@ -220,8 +222,13 @@ class KtabWriter:
         self.ibyte = ibyte
         self.kb = kbytes(kmer)
         self.n = 0
+        self._budget = (spill_bytes if spill_bytes is not None else
+                        int(os.environ.get("FASTK_TPU_KTAB_SPILL_MB",
+                                           "1024")) << 20)
+        self._mem: List[np.ndarray] = []  # (m, kb+2) uint8 chunks
+        self._mem_bytes = 0
         self._tmp_path = stub_path(path, ".ktab") + ".tmp"
-        self._tmp = open(self._tmp_path, "wb")
+        self._tmp = None  # opened on first spill
         # 2-byte-prefix histogram accumulated as chunks arrive: lets close()
         # build the stub index without re-reading the spool (ibyte <= 2,
         # i.e. every table under 0x4000000 entries — the idx_bytes_for rule)
@@ -236,42 +243,71 @@ class KtabWriter:
         rec[:, : self.kb] = packed
         rec[:, self.kb:] = np.ascontiguousarray(
             counts, dtype="<u2").view(np.uint8).reshape(m, 2)
-        rec.tofile(self._tmp)
+        if self._tmp is None and self._mem_bytes + rec.nbytes > self._budget:
+            self._tmp = open(self._tmp_path, "wb")
+            for old in self._mem:
+                old.tofile(self._tmp)
+            self._mem = []
+            self._mem_bytes = 0
+        if self._tmp is not None:
+            rec.tofile(self._tmp)
+        else:
+            self._mem.append(rec)
+            self._mem_bytes += rec.nbytes
         pv2 = (packed[:, 0].astype(np.int32) << 8) | packed[:, 1]
         self._h2 += np.bincount(pv2, minlength=1 << 16).astype(np.int64)
         self.n += m
 
     def close(self) -> None:
-        self._tmp.close()
+        if self._tmp is not None:
+            self._tmp.close()
         try:
             self._write_final()
         finally:
-            try:
-                os.unlink(self._tmp_path)
-            except OSError:
-                pass
+            self._mem = []
+            if self._tmp is not None:
+                try:
+                    os.unlink(self._tmp_path)
+                except OSError:
+                    pass
+
+    def _iter_rows(self, lo: int, hi: int):
+        """Yield contiguous (m, kb+2) row blocks covering records [lo, hi),
+        each at most _CHUNK records, from the spool or the in-RAM chunks."""
+        if self._tmp is not None:
+            rb = self.kb + 2
+            mm = np.memmap(self._tmp_path, dtype=np.uint8,
+                           mode="r").reshape(self.n, rb)
+            for c0 in range(lo, hi, self._CHUNK):
+                c1 = min(hi, c0 + self._CHUNK)
+                yield mm[c0:c1]
+            return
+        base = 0
+        for rec in self._mem:
+            m = len(rec)
+            s0, s1 = max(lo - base, 0), min(hi - base, m)
+            base += m
+            if s1 <= s0:
+                continue
+            for c0 in range(s0, s1, self._CHUNK):
+                yield rec[c0: min(s1, c0 + self._CHUNK)]
 
     def _write_final(self) -> None:
-        n, kb = self.n, self.kb
+        n = self.n
         ibyte = self.ibyte or idx_bytes_for(n, self.kmer)
         pidxlen = 1 << (8 * ibyte)
-        rb = kb + 2
 
         # prefix histogram -> cumulative index + part cuts. For ibyte <= 2
         # the 2-byte histogram accumulated during add() already has it; only
-        # ibyte == 3 (tables past 0x4000000 entries) re-reads the spool.
-        mm = (np.memmap(self._tmp_path, dtype=np.uint8, mode="r"
-                        ).reshape(n, rb) if n else
-              np.zeros((0, rb), np.uint8))
+        # ibyte == 3 (tables past 0x4000000 entries) re-reads the records.
         if ibyte == 1:
             pindex = self._h2.reshape(256, 256).sum(axis=1)
         elif ibyte == 2:
             pindex = self._h2.copy()
         else:
             pindex = np.zeros(pidxlen, dtype=np.int64)
-            for lo in range(0, n, self._CHUNK):
-                hi = min(n, lo + self._CHUNK)
-                pv = _prefix_values(mm[lo:hi], ibyte)
+            for rows in self._iter_rows(0, n):
+                pv = _prefix_values(rows, ibyte)
                 pindex += np.bincount(pv, minlength=pidxlen).astype(np.int64)
         np.cumsum(pindex, out=pindex)
         cuts = [0] + part_splits_from_pindex(pindex, self.nparts) + [n]
@@ -287,21 +323,21 @@ class KtabWriter:
             with open(part_path(self.path, ".ktab", p + 1), "wb") as f:
                 f.write(struct.pack("<i", self.kmer))
                 f.write(struct.pack("<q", hi - lo))
-                for c0 in range(lo, hi, self._CHUNK):
-                    c1 = min(hi, c0 + self._CHUNK)
-                    np.ascontiguousarray(mm[c0:c1, ibyte:]).tofile(f)
-        del mm
+                for rows in self._iter_rows(lo, hi):
+                    np.ascontiguousarray(rows[:, ibyte:]).tofile(f)
 
     def abort(self) -> None:
-        """Tear down without finalizing: close and remove the tmp spool
-        (no stub/part files have been written yet at this point)."""
-        try:
-            self._tmp.close()
-        finally:
+        """Tear down without finalizing: drop buffered chunks and remove the
+        tmp spool (no stub/part files have been written yet at this point)."""
+        self._mem = []
+        if self._tmp is not None:
             try:
-                os.unlink(self._tmp_path)
-            except OSError:
-                pass
+                self._tmp.close()
+            finally:
+                try:
+                    os.unlink(self._tmp_path)
+                except OSError:
+                    pass
 
     def __enter__(self):
         return self

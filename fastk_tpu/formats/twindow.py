@@ -128,19 +128,43 @@ def window_union(
     return uni.view(np.uint8).reshape(-1, kb), cvecs
 
 
+def _merge_sum(va, ca, vb, cb):
+    """Merge two sorted-unique (keys, counts) pairs, summing counts of
+    shared keys. Because both inputs are unique, equal-key runs in the
+    merged order have length <= 2, so the duplicate's count folds into its
+    kept predecessor with plain fancy indexing (no add.at)."""
+    pa = np.arange(len(va)) + np.searchsorted(vb, va, side="left")
+    pb = np.arange(len(vb)) + np.searchsorted(va, vb, side="right")
+    n = len(va) + len(vb)
+    mv = np.empty(n, dtype=va.dtype)
+    mc = np.empty(n, dtype=np.int64)
+    mv[pa] = va
+    mv[pb] = vb
+    mc[pa] = ca
+    mc[pb] = cb
+    keep = np.empty(n, bool)
+    keep[0] = True
+    np.not_equal(mv[1:], mv[:-1], out=keep[1:])
+    out_v = mv[keep]
+    out_c = mc[keep]
+    di = np.flatnonzero(~keep)
+    if len(di):
+        oidx = np.cumsum(keep) - 1
+        out_c[oidx[di]] += mc[di]
+    return out_v, out_c
+
+
 def window_sum(
     chunk: Sequence[Tuple[np.ndarray, np.ndarray]], kb: int
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Union of one window's k-mers with per-key count SUMS (the fastmerge
-    combine, reference Fastmerge.c table_thread)."""
-    uni = _universe_of(chunk, kb)
-    if uni is None:
+    combine, reference Fastmerge.c table_thread): a pairwise merge-sum fold
+    over the already-sorted streams."""
+    pairs = [(np.ascontiguousarray(p).view(f"S{kb}").ravel(),
+              c.astype(np.int64)) for p, c in chunk if len(p)]
+    if not pairs:
         return np.zeros((0, kb), np.uint8), np.zeros(0, np.int64)
-    sums = np.zeros(len(uni), np.int64)
-    for p, c in chunk:
-        if len(p):
-            view = np.ascontiguousarray(p).view(f"S{kb}").ravel()
-            slots = np.searchsorted(uni, view)
-            sums += np.bincount(slots, weights=c,
-                                minlength=len(uni)).astype(np.int64)
-    return uni.view(np.uint8).reshape(-1, kb), sums
+    va, ca = pairs[0]
+    for vb, cb in pairs[1:]:
+        va, ca = _merge_sum(va, ca, vb, cb)
+    return va.view(np.uint8).reshape(-1, kb), ca

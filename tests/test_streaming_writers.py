@@ -52,6 +52,28 @@ def test_ktab_writer_matches_write_ktab(tmp_path, k, n, nparts):
     assert not os.path.exists(b + ".ktab.tmp")
 
 
+@pytest.mark.parametrize("spill", [0, 6000])
+def test_ktab_writer_spill_equivalence(tmp_path, spill):
+    """The disk-spool path (forced by a tiny budget) writes bytes identical
+    to the in-RAM path, including a mid-stream RAM->spool handoff."""
+    k, nparts = 21, 3
+    t = _rand_table(4000, k, seed=5)
+    a = str(tmp_path / "ram")
+    b = str(tmp_path / "spill")
+    write_ktab(a, t, nparts=nparts)
+    w = KtabWriter(b, k, 1, nparts=nparts, spill_bytes=spill)
+    step = max(1, len(t) // 7)
+    for lo in range(0, len(t), step):
+        w.add(t.packed[lo: lo + step], t.counts[lo: lo + step])
+    assert w._tmp is not None  # the budget actually forced a spill
+    w.close()
+    assert _cmp_bytes(a + ".ktab", b + ".ktab")
+    for p in range(1, nparts + 1):
+        assert _cmp_bytes(str(tmp_path / f".ram.ktab.{p}"),
+                          str(tmp_path / f".spill.ktab.{p}"))
+    assert not os.path.exists(b + ".ktab.tmp")
+
+
 def _cmp_bytes(a, b):
     return filecmp.cmp(a, b, shallow=False)
 

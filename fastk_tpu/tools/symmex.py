@@ -1,35 +1,134 @@
 """`symmex` — canonical table -> symmetric table (reference: Symmex.c:144-544;
-README: every k-mer in both orientations, palindromes once, same count)."""
+README: every k-mer in both orientations, palindromes once, same count).
+
+Streamed, bounded-memory, the reference's own shape vectorized: pass 1
+streams the sorted table, reverse-complements each window and scatters the
+RC records into 256 first-byte bucket spools (Symmex.c Double_Up writes
+2-bit-prefix block files); pass 2 walks the buckets in key order, sorts
+each bucket (Symmex.c LSD-sorts each block) and interleave-merges it with
+the forward entries of the same first-byte range — which need no sort, the
+input table is already sorted. Forward and RC streams are provably
+disjoint (a canonical key equal to another entry's reverse complement
+would force both to be palindromes, which are excluded), so the merge is a
+pure interleave with no count combining.
+"""
 
 from __future__ import annotations
 
+import os
+import shutil
 import sys
+import tempfile
 
 import numpy as np
 
-from fastk_tpu.formats.ktab import KmerTable, read_ktab, write_ktab
+from fastk_tpu.formats.ktab import KmerStream, KtabWriter
 from fastk_tpu.ops.canonical import revcomp_packed
 from fastk_tpu.tools._cli import die, print_number
 
 USAGE = "Usage: symmex  [-v] [-T<int(4)>] [-P<dir(/tmp)] <source_root>[.ktab] <dest_root>[.ktab]"
 
+_WINDOW = 1 << 20  # entries per streaming window
 
-def symmetric_table(t: KmerTable) -> KmerTable:
-    from fastk_tpu.ops.kmers import packed_to_words, words_to_packed
-    from fastk_tpu.ops.tables import sort_counted
 
-    rc = revcomp_packed(t.packed, t.kmer)
-    pal = (rc == t.packed).all(axis=1)
-    packed = np.concatenate([t.packed, rc[~pal]])
-    counts = np.concatenate([t.counts, t.counts[~pal]])
-    sw, sc = sort_counted(packed_to_words(packed, t.kmer), counts)
-    return KmerTable(t.kmer, t.minval, words_to_packed(sw, t.kmer), sc)
+def _interleave(va, ca, vb, cb):
+    """Merge two sorted key-disjoint (keys, counts) streams."""
+    pa = np.arange(len(va)) + np.searchsorted(vb, va, side="left")
+    pb = np.arange(len(vb)) + np.searchsorted(va, vb, side="left")
+    n = len(va) + len(vb)
+    mv = np.empty(n, dtype=va.dtype)
+    mc = np.empty(n, dtype=ca.dtype)
+    mv[pa] = va
+    mv[pb] = vb
+    mc[pa] = ca
+    mc[pb] = cb
+    return mv, mc
+
+
+def symmetric_streamed(src: str, dst: str, nparts: int, tmpdir: str,
+                       verbose: bool) -> None:
+    s = KmerStream(src)
+    kmer, kb = s.kmer, s.kbyte
+    rb = kb + 2
+    d = tempfile.mkdtemp(prefix="symmex.", dir=tmpdir)
+    spools = [None] * 256  # opened on first record
+    npal = 0
+    try:
+        # pass 1: RC records into first-byte bucket spools
+        for lo in range(0, s.nels, _WINDOW):
+            hi = min(s.nels, lo + _WINDOW)
+            packed, counts = s.read_range(lo, hi)
+            rc = revcomp_packed(packed, kmer)
+            pal = (rc == packed).all(axis=1)
+            npal += int(pal.sum())
+            rc, rcc = rc[~pal], counts[~pal]
+            rec = np.empty((len(rc), rb), dtype=np.uint8)
+            rec[:, :kb] = rc
+            rec[:, kb:] = np.ascontiguousarray(
+                rcc, dtype="<u2").view(np.uint8).reshape(-1, 2)
+            order = np.argsort(rc[:, 0], kind="stable")
+            rec = rec[order]
+            ends = np.cumsum(np.bincount(rc[:, 0], minlength=256))
+            b0 = 0
+            for b in range(256):
+                b1 = int(ends[b])
+                if b1 > b0:
+                    if spools[b] is None:
+                        spools[b] = open(os.path.join(d, f"b{b:02x}"), "wb")
+                    rec[b0:b1].tofile(spools[b])
+                b0 = b1
+        for f in spools:
+            if f is not None:
+                f.close()
+
+        # pass 2: per first-byte bucket, sort the RCs and interleave with
+        # the (already sorted) forward entries of the same range
+        wr = KtabWriter(dst, kmer, s.minval, nparts=nparts)
+        try:
+            fwd_lo = 0
+            for b in range(256):
+                if b < 255:
+                    nxt = np.zeros(kb, np.uint8)
+                    nxt[0] = b + 1
+                    s.goto_kmer(nxt)
+                    fwd_hi = s.idx
+                else:
+                    fwd_hi = s.nels
+                fp, fc = s.read_range(fwd_lo, fwd_hi)
+                fwd_lo = fwd_hi
+                fv = np.ascontiguousarray(fp).view(f"S{kb}").ravel()
+                path = os.path.join(d, f"b{b:02x}")
+                if os.path.exists(path):
+                    rec = np.fromfile(path, dtype=np.uint8).reshape(-1, rb)
+                    rp = np.ascontiguousarray(rec[:, :kb])
+                    rc2 = np.ascontiguousarray(
+                        rec[:, kb:]).view("<u2").ravel()
+                    rv = rp.view(f"S{kb}").ravel()
+                    order = np.argsort(rv, kind="stable")
+                    rv, rc2 = rv[order], rc2[order]
+                    mv, mc = _interleave(fv, fc, rv, rc2)
+                else:
+                    mv, mc = fv, fc
+                if len(mv):
+                    wr.add(mv.view(np.uint8).reshape(-1, kb), mc)
+        except BaseException:
+            wr.abort()
+            raise
+        wr.close()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+    if verbose:
+        print(f"  {print_number(s.nels)} canonical entries -> "
+              f"{print_number(2 * s.nels - npal)} symmetric entries",
+              file=sys.stderr)
 
 
 def main(argv=None):
     argv = sys.argv[1:] if argv is None else argv
     verbose = False
     nthreads = 4
+    tmpdir = None
     pos = []
     for a in argv:
         if a == "-v":
@@ -37,7 +136,7 @@ def main(argv=None):
         elif a.startswith("-T"):
             nthreads = int(a[2:])
         elif a.startswith("-P"):
-            pass  # no temporary files needed
+            tmpdir = a[2:] or None  # bucket-spool directory (Symmex block files)
         elif a.startswith("-"):
             die(f"symmex: {a} is an illegal option\n{USAGE}")
         else:
@@ -46,14 +145,9 @@ def main(argv=None):
         die(USAGE)
 
     try:
-        t = read_ktab(pos[0])
+        symmetric_streamed(pos[0], pos[1], max(1, nthreads), tmpdir, verbose)
     except FileNotFoundError:
         die(f"symmex: Cannot open {pos[0]}")
-    s = symmetric_table(t)
-    if verbose:
-        print(f"  {print_number(len(t))} canonical entries -> "
-              f"{print_number(len(s))} symmetric entries", file=sys.stderr)
-    write_ktab(pos[1], s, nparts=max(1, nthreads))
     return 0
 
 

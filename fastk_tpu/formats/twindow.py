@@ -113,7 +113,20 @@ def window_union(
     chunk: Sequence[Tuple[np.ndarray, np.ndarray]], kb: int
 ) -> Tuple[np.ndarray, List[np.ndarray]]:
     """Union of one window's k-mers + per-stream aligned int64 count vectors
-    (0 where absent) — merge_universe over a window, pure numpy."""
+    (0 where absent) — merge_universe over a window. Native k-way merge
+    when available, searchsorted-merge numpy fallback."""
+    from fastk_tpu import native
+
+    res = native.union_slots([p for p, _ in chunk], kb)
+    if res is not None:
+        uni, slots = res
+        cvecs = []
+        for (_, c), sl in zip(chunk, slots):
+            vec = np.zeros(len(uni), np.int64)
+            vec[sl] = c
+            cvecs.append(vec)
+        return uni, cvecs
+
     uni = _universe_of(chunk, kb)
     if uni is None:
         return np.zeros((0, kb), np.uint8), [np.zeros(0, np.int64)
@@ -158,8 +171,18 @@ def window_sum(
     chunk: Sequence[Tuple[np.ndarray, np.ndarray]], kb: int
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Union of one window's k-mers with per-key count SUMS (the fastmerge
-    combine, reference Fastmerge.c table_thread): a pairwise merge-sum fold
-    over the already-sorted streams."""
+    combine, reference Fastmerge.c table_thread): native k-way merge when
+    available, else a pairwise merge-sum fold over the sorted streams."""
+    from fastk_tpu import native
+
+    res = native.union_slots([p for p, _ in chunk], kb)
+    if res is not None:
+        uni, slots = res
+        sums = np.zeros(len(uni), np.int64)
+        for (_, c), sl in zip(chunk, slots):
+            sums[sl] += c  # slots are unique per stream: plain fancy add
+        return uni, sums
+
     pairs = [(np.ascontiguousarray(p).view(f"S{kb}").ravel(),
               c.astype(np.int64)) for p, c in chunk if len(p)]
     if not pairs:

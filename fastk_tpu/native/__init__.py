@@ -66,6 +66,10 @@ def load() -> Optional[ctypes.CDLL]:
     lib.fk_rans_decode.argtypes = [
         ctypes.c_void_p, ctypes.c_long, ctypes.c_int, ctypes.c_void_p,
         ctypes.c_long]
+    lib.fk_union_slots.restype = ctypes.c_long
+    lib.fk_union_slots.argtypes = [
+        ctypes.c_int, ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p]
     lib.fk_prof_encode_bulk.restype = ctypes.c_long
     lib.fk_prof_encode_bulk.argtypes = [
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long,
@@ -138,6 +142,28 @@ def prof_encode_bulk(cnts: np.ndarray, boff: np.ndarray, plen: np.ndarray
     if total < 0:
         return None
     return out[:total], offs[:nreads]
+
+
+def union_slots(streams, kb: int):
+    """K-way union of sorted-unique key streams -> (universe (U, kb) uint8,
+    [slots_i int64] mapping each stream's keys to universe rows), or None if
+    the native library is unavailable. Streams are (m_i, kb) uint8 arrays."""
+    lib = load()
+    if lib is None or len(streams) > 64:
+        return None
+    ns = len(streams)
+    streams = [np.ascontiguousarray(s, dtype=np.uint8) for s in streams]
+    lens = np.array([len(s) for s in streams], dtype=np.int64)
+    total = int(lens.sum())
+    out = np.empty((total, kb), dtype=np.uint8)
+    slots = [np.empty(int(m), dtype=np.int64) for m in lens]
+    kptr = (ctypes.c_void_p * ns)(*[s.ctypes.data for s in streams])
+    sptr = (ctypes.c_void_p * ns)(*[a.ctypes.data for a in slots])
+    u = lib.fk_union_slots(kb, ns, kptr, lens.ctypes.data,
+                           out.ctypes.data, sptr)
+    if u < 0:
+        return None
+    return out[:u], slots
 
 
 def rans_decode(payload: bytes, order: int, out_sz: int) -> Optional[bytes]:

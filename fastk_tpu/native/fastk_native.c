@@ -213,6 +213,47 @@ long fk_prof_encode_bulk(const uint16_t *cnts, const int64_t *boff,
 }
 
 /* ------------------------------------------------------------------------
+ * K-way sorted-stream union (the merge engine behind the streamed table
+ * tools: logex/vennex window_union, fastmerge window_sum — the role of the
+ * reference's equality-aware heap merges, Fastmerge.c:80-450 and
+ * Logex.c:972-1215). Each stream is a contiguous (lens[i], kb) array of
+ * kb-byte keys, sorted and unique within the stream. Writes the sorted
+ * unique union to out_keys and, per stream, each input key's index in the
+ * union to slots[i]. Returns the union size.
+ *
+ * ns is small (tool arguments), so a linear min-scan beats a heap: per
+ * union entry the cost is <= 2*ns kb-byte compares.
+ */
+long fk_union_slots(int kb, int ns, const uint8_t **keys, const int64_t *lens,
+                    uint8_t *out_keys, int64_t **slots)
+{ int64_t cur[64];
+  int     i, mi;
+  long    U = 0;
+  if (ns > 64) return -1;
+  for (i = 0; i < ns; i++) cur[i] = 0;
+  for (;;)
+    { const uint8_t *m = 0;
+      mi = -1;
+      for (i = 0; i < ns; i++)
+        if (cur[i] < lens[i])
+          { const uint8_t *k = keys[i] + cur[i] * kb;
+            if (mi < 0 || memcmp(k, m, kb) < 0)
+              { m = k; mi = i; }
+          }
+      if (mi < 0) break;
+      memcpy(out_keys + U * kb, m, kb);
+      for (i = 0; i < ns; i++)
+        if (cur[i] < lens[i] &&
+            memcmp(keys[i] + cur[i] * kb, m, kb) == 0)
+          { slots[i][cur[i]] = U;
+            cur[i] += 1;
+          }
+      U += 1;
+    }
+  return U;
+}
+
+/* ------------------------------------------------------------------------
  * rANS-4x8 static decoder (the CRAM block codec, orders 0 and 1) — the
  * native fast path behind io/cram_native.py:rans_uncompress, which keeps a
  * pure-Python fallback with identical semantics (both mirror the CRAM 3.0

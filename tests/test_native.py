@@ -102,3 +102,35 @@ def test_prof_decode_matches_python(monkeypatch):
     got = native.prof_decode(np.frombuffer(blob, np.uint8), 63 * len(blob) + 2)
     monkeypatch.setenv("FASTK_TPU_NO_NATIVE", "1")
     assert np.array_equal(got, counts)
+
+
+def test_union_slots_matches_numpy(monkeypatch):
+    """The C k-way union and the numpy searchsorted-merge fallback agree on
+    window_union and window_sum over random sorted-unique streams."""
+    from fastk_tpu.formats import twindow
+
+    if native.load() is None:
+        pytest.skip("native library unavailable")
+
+    rng = np.random.default_rng(3)
+    kb = 5
+    chunk = []
+    for i in range(4):
+        m = int(rng.integers(0, 300))
+        keys = rng.integers(0, 256, (m, kb), dtype=np.int64).astype(np.uint8)
+        v = np.unique(np.ascontiguousarray(keys).view(f"S{kb}").ravel())
+        p = v.view(np.uint8).reshape(-1, kb)
+        c = rng.integers(1, 1000, len(p)).astype(np.uint16)
+        chunk.append((p, c))
+
+    uni_n, vecs_n = twindow.window_union(chunk, kb)
+    rows_n, sums_n = twindow.window_sum(chunk, kb)
+    monkeypatch.setattr(native, "union_slots", lambda *a: None)
+    uni_p, vecs_p = twindow.window_union(chunk, kb)
+    rows_p, sums_p = twindow.window_sum(chunk, kb)
+
+    assert np.array_equal(uni_n, uni_p)
+    assert np.array_equal(rows_n, rows_p)
+    assert np.array_equal(sums_n, sums_p)
+    for a, b in zip(vecs_n, vecs_p):
+        assert np.array_equal(a, b)

@@ -254,7 +254,9 @@ class KtabWriter:
         else:
             self._mem.append(rec)
             self._mem_bytes += rec.nbytes
-        pv2 = (packed[:, 0].astype(np.int32) << 8) | packed[:, 1]
+        pv2 = packed[:, 0].astype(np.int32) << 8
+        if self.kb > 1:  # k <= 4 tables have a single key byte
+            pv2 |= packed[:, 1]
         self._h2 += np.bincount(pv2, minlength=1 << 16).astype(np.int64)
         self.n += m
 

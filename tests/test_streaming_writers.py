@@ -33,7 +33,9 @@ def _rand_table(n, k, seed=0):
 
 
 @pytest.mark.parametrize("k,n,nparts", [(12, 500, 1), (21, 3000, 4),
-                                        (40, 10000, 3), (31, 1, 2)])
+                                        (40, 10000, 3), (31, 1, 2),
+                                        # k <= 4: single-byte keys
+                                        (4, 100, 2), (3, 20, 1)])
 def test_ktab_writer_matches_write_ktab(tmp_path, k, n, nparts):
     t = _rand_table(n, k, seed=k)
     a = str(tmp_path / "mem")

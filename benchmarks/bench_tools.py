@@ -50,10 +50,13 @@ def run(cmd, cwd):
 
 def tool(mod, args, cwd):
     t0 = time.perf_counter()
+    repo = os.path.dirname(HERE)
+    pp = os.environ.get("PYTHONPATH", "")
     r = subprocess.run(
         [sys.executable, "-m", f"fastk_tpu.tools.{mod}", *args],
         cwd=cwd, capture_output=True, text=True,
-        env={**os.environ, "JAX_PLATFORMS": "cpu"})
+        env={**os.environ, "JAX_PLATFORMS": "cpu",
+             "PYTHONPATH": repo + (os.pathsep + pp if pp else "")})
     dt = time.perf_counter() - t0
     assert r.returncode == 0, (mod, args, r.stderr[-500:])
     return dt

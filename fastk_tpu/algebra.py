@@ -16,6 +16,7 @@ Count 0 == absent, throughout. GC% of a k-mer is (100 * #gc) // k.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from typing import List, Optional, Sequence, Tuple
 
@@ -378,8 +379,13 @@ def logex_apply_streamed(
 
     writers = {}
     if do_table:
+        # the RAM-spool budget is per-writer: split it across the
+        # assignments so N outputs cannot buffer N x the default
+        budget = (int(os.environ.get("FASTK_TPU_KTAB_SPILL_MB", "1024"))
+                  << 20) // max(1, len(parsed))
         for name, _ in parsed:
-            writers[name] = KtabWriter(name, kmer, 1, nparts=out_nparts)
+            writers[name] = KtabWriter(name, kmer, 1, nparts=out_nparts,
+                                       spill_bytes=budget)
     hacc = None
     if hist_range is not None:
         low, high = hist_range

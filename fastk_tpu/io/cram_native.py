@@ -137,6 +137,8 @@ def _read_freqs0(r: ByteReader, zero_is_total: bool = False
         if rle > 0:
             rle -= 1
             j += 1
+            if j > 255:
+                raise CramError("rANS symbol RLE past 255")
         else:
             nj = r.u8()
             if nj == j + 1:
@@ -182,6 +184,8 @@ def _read_freqs1(r: ByteReader):
         if rle_i > 0:
             rle_i -= 1
             i += 1
+            if i > 255:
+                raise CramError("rANS context RLE past 255")
         else:
             ni = r.u8()
             if ni == i + 1:
@@ -557,9 +561,7 @@ class SliceDecoder:
     def read_byte_run(self, enc: tuple, n: int) -> bytes:
         """n consecutive read_byte values, bulk-sliced when the series is
         EXTERNAL (the per-base SEQ/QS path of unmapped records)."""
-        if enc[0] == "external":
-            return self._ext(enc[1]).take(n)
-        return bytes(self.read_byte(enc) for _ in range(n))
+        return self._read_n(enc, n)
 
     def skip_byte_run(self, enc: tuple, n: int) -> None:
         """Consume n read_byte values whose payload is discarded."""

@@ -11,6 +11,11 @@ Importing this module re-asserts the environment variable over whatever
 the plugin set. Every fastk_tpu module that imports jax imports this
 first, so ``JAX_PLATFORMS=cpu python -m fastk_tpu.tools.fastk ...`` does
 what it says on any machine.
+
+The env var is treated as the user's declared intent, so it also wins
+over a jax.config.update(...) made before fastk_tpu was imported. An
+embedding application that wants programmatic control should unset
+JAX_PLATFORMS, or set FASTK_TPU_NO_PLATFORM_FIX=1 to disable this shim.
 """
 
 from __future__ import annotations
@@ -20,5 +25,6 @@ import os
 import jax
 
 _env = os.environ.get("JAX_PLATFORMS")
-if _env and jax.config.jax_platforms != _env:
+if (_env and not os.environ.get("FASTK_TPU_NO_PLATFORM_FIX")
+        and jax.config.jax_platforms != _env):
     jax.config.update("jax_platforms", _env)

@@ -300,7 +300,8 @@ static long fk_read_freqs0(const uint8_t *buf, long n, long pos,
       x += f;
       if (rle > 0)
         { rle -= 1;
-          j = (j + 1) & 0xff;
+          j += 1;
+          if (j > 255) return -1;   /* symbol RLE past 255: malformed */
         }
       else
         { unsigned nj;
@@ -372,7 +373,9 @@ long fk_rans_decode(const uint8_t *buf, long n, int order,
           present[ci] = 1;
           if (rle_i > 0)
             { rle_i -= 1;
-              ci = (ci + 1) & 0xff;
+              ci += 1;
+              if (ci > 255)          /* context RLE past 255: malformed */
+                { free(tabs); return -1; }
             }
           else
             { unsigned ni;

@@ -32,9 +32,12 @@ _WINDOW = 1 << 20  # entries per streaming window
 
 
 def _interleave(va, ca, vb, cb):
-    """Merge two sorted key-disjoint (keys, counts) streams."""
+    """Merge two sorted key-disjoint (keys, counts) streams. The opposing
+    searchsorted sides keep positions disjoint even if a key appears in
+    both streams (non-canonical input): the duplicate is emitted twice, in
+    order, rather than colliding into one slot."""
     pa = np.arange(len(va)) + np.searchsorted(vb, va, side="left")
-    pb = np.arange(len(vb)) + np.searchsorted(va, vb, side="left")
+    pb = np.arange(len(vb)) + np.searchsorted(va, vb, side="right")
     n = len(va) + len(vb)
     mv = np.empty(n, dtype=va.dtype)
     mc = np.empty(n, dtype=ca.dtype)

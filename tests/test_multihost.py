@@ -98,6 +98,10 @@ def test_multihost_two_process_cpu(data, tmp_path):
     env = {**os.environ}
     env.pop("XLA_FLAGS", None)
     env.pop("JAX_PLATFORMS", None)
+    # the worker script lives in tmp_path, so the repo root is not on its
+    # sys.path implicitly — pass it (works installed or from a checkout)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
 
     def attempt():
         """One coordinated 2-process run; returns None on success, else a

@@ -28,3 +28,16 @@ _env = os.environ.get("JAX_PLATFORMS")
 if (_env and not os.environ.get("FASTK_TPU_NO_PLATFORM_FIX")
         and jax.config.jax_platforms != _env):
     jax.config.update("jax_platforms", _env)
+
+# Persistent compilation cache: the sort kernels (ops/bitsort.py) are large
+# unrolled Mosaic programs whose first compile runs minutes on a remote
+# compile service; cache compiled executables across processes. Respect an
+# explicit user setting; disable with FASTK_TPU_NO_COMPILE_CACHE=1.
+if (not os.environ.get("FASTK_TPU_NO_COMPILE_CACHE")
+        and jax.config.jax_compilation_cache_dir is None):
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/fastk_tpu_jax"))
+    # default min entry size (large) would skip medium kernels; cache all
+    # compiles that took real time instead
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)

@@ -123,19 +123,28 @@ def main():
         codes = unpack_words(packed_words, excs, total)
         return hist_batch(codes, K, SIZE)
 
+    def fetch_hists(outs):
+        """One stacked D2H per block of batches (per-batch fetches would pay
+        the transport's ~28ms sync latency once per batch)."""
+        return np.asarray(jnp.stack([o["hist"] for o in outs]))
+
+    step = device_step
+
     def run_once():
         """One full batch, host to host: packed H2D, device unpack + count +
         histogram, histogram D2H."""
         packed = jnp.asarray(packed_host)
         excs = jnp.asarray(exc_host)
-        out = device_step(packed, excs)
-        hist = np.asarray(out["hist"])
-        nvalid = int(out["nvalid"])
+        out = step(packed, excs)
+        hist = fetch_hists([out])[0]
+        nvalid = int(np.asarray(out["nvalid"]))
         return hist, nvalid
 
     hist, nvalid = run_once()  # warm-up / compile
     assert int(hist[1:].sum()) > 0
     assert nvalid == nreads * (READ_LEN - K + 1)
+    counts = np.arange(len(hist), dtype=np.int64)
+    assert int((counts * hist).sum()) == nvalid  # exact instance accounting
 
     # streaming throughput: batches are dispatched back-to-back so each
     # batch's H2D overlaps the previous batch's device compute (exactly how
@@ -150,11 +159,9 @@ def main():
     reps = 0
     while reps < 3 or (time.perf_counter() < t_budget and reps < 20):
         t0 = time.perf_counter()
-        outs = [device_step(jnp.asarray(packed_host), excd)
+        outs = [step(jnp.asarray(packed_host), excd)
                 for _ in range(NBATCH)]
-        # one stacked fetch: per-batch fetches would pay the transport's
-        # ~28ms sync latency NBATCH times for the same bytes
-        hists = np.asarray(jnp.stack([o["hist"] for o in outs]))
+        hists = fetch_hists(outs)
         best = min(best, (time.perf_counter() - t0) / NBATCH)
         assert all(int(h[1:].sum()) > 0 for h in hists)
         reps += 1

@@ -156,7 +156,11 @@ def segment_reduce(s_words, size: int, weights=None, carry_words: bool = False,
     carried = carried + tuple(extra_values)
 
     key = (~starts).astype(jnp.uint8)
-    out = jax.lax.sort((key, *carried), num_keys=1, is_stable=True)
+    # stability is needed (segments must stay in start order) but comes for
+    # free: carried[0] is the strictly-increasing idx, so making it the
+    # second sort key is equivalent to is_stable=True and avoids the
+    # stable sort's hidden iota tiebreak operand
+    out = jax.lax.sort((key, *carried), num_keys=2, is_stable=False)
     c_idx = out[1]
 
     slot = idx
@@ -209,7 +213,9 @@ def bincount_by_sort(values: jnp.ndarray, nbins: int) -> jnp.ndarray:
     when nbins allows, which is cheaper on the VPU)."""
     if nbins + 1 < (1 << 16):
         values = values.astype(jnp.uint16)
-    sv = jax.lax.sort((values,), num_keys=1)[0]
+    # is_stable=False matters: lax.sort defaults to stable, which costs a
+    # hidden iota tiebreak operand (~= one extra key, benchmarks/README)
+    sv = jax.lax.sort((values,), num_keys=1, is_stable=False)[0]
     edges = jnp.searchsorted(sv, jnp.arange(nbins + 1, dtype=sv.dtype))
     return (edges[1:] - edges[:-1]).astype(jnp.int32)
 
@@ -240,7 +246,8 @@ def hist_batch(codes: jnp.ndarray, k: int, size: int):
     # next start index strictly after i (size if none): reverse cummin
     nxt = jnp.where(starts, idx, size)
     nxt_after = jnp.concatenate(
-        [jax.lax.cummin(nxt[::-1])[::-1][1:], jnp.full((1,), size, jnp.int32)])
+        [jax.lax.cummin(nxt, reverse=True)[1:],
+         jnp.full((1,), size, jnp.int32)])
     seg_len = nxt_after - idx
 
     # a start element is a valid k-mer segment unless it is in the all-ones
@@ -462,7 +469,7 @@ def segmented_count(s_words, s_inv, size: int, want_elem_counts: bool = False,
         idx = jnp.arange(size, dtype=jnp.int32)
         nxt = jnp.where(starts, idx, size)
         nxt_after = jnp.concatenate([
-            jax.lax.cummin(nxt[::-1])[::-1][1:],
+            jax.lax.cummin(nxt, reverse=True)[1:],
             jnp.full((1,), size, jnp.int32)])
         start_len = jnp.minimum(nxt_after - idx, HIST_HIGH)
         elem = jnp.maximum(fill_forward(starts, start_len, size), 0)

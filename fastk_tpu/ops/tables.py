@@ -111,8 +111,11 @@ def sort_counted(words: np.ndarray, counts: np.ndarray
         ops.append(jnp.asarray(col))
     cc = np.zeros(cap, dtype=np.int32)
     cc[:n] = counts.astype(np.int32)
+    # unstable: callers' keys are distinct (a canonical table never holds
+    # both x and rc(x), so Symmex's fwd+rc rows never collide), and
+    # lax.sort's is_stable=True would cost a hidden iota tiebreak operand
     out = jax.jit(
-        lambda *o: jax.lax.sort(o, num_keys=W, is_stable=True)
+        lambda *o: jax.lax.sort(o, num_keys=W, is_stable=False)
     )(*ops, jnp.asarray(cc))
     sw = np.stack([np.asarray(w[:n]) for w in out[:W]], axis=1)
     sc = np.asarray(out[W][:n])

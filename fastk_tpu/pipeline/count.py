@@ -406,16 +406,22 @@ def count_files(
 
 def _count_single_hist(batch: ReadBatch, k: int, verbose: bool
                        ) -> CountOutput:
-    """Single-batch histogram-only job via the run-length walk kernel
-    (ops.histker) on TPU, falling back to ops.count.hist_batch — the lean
-    paths the headline benchmark measures ARE the production paths."""
+    """Single-batch histogram-only job — the lean path the headline
+    benchmark measures IS the production path. The Pallas run-length walk
+    kernel (ops.histker) is kept behind FASTK_TPU_HISTKER=1: it beat the
+    XLA bincount in round 2 but lost after a libtpu update once the
+    bincount sort ran unstable (benchmarks/README round-3 notes)."""
+    import os
+
     from fastk_tpu.ops.count import hist_batch
     from fastk_tpu.ops.histker import hist_batch_fast
 
     size = _round_size(len(batch.codes), k)
     codes = _pad_codes(batch, k, size)
     dev = _device_codes(codes)
-    res = hist_batch_fast(dev, k, size)
+    res = None
+    if os.environ.get("FASTK_TPU_HISTKER", "") == "1":
+        res = hist_batch_fast(dev, k, size)
     if res is None:
         res = hist_batch(dev, k, size)
     if verbose:

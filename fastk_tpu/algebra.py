@@ -362,9 +362,10 @@ def logex_apply_streamed(
 
     Returns a list of (name, Histogram|None); tables land on disk.
     """
+    from fastk_tpu import native
     from fastk_tpu.formats.ktab import KmerStream, KtabWriter
     from fastk_tpu.formats.twindow import (
-        DEFAULT_WINDOW, stream_windows, window_union)
+        DEFAULT_WINDOW, stream_window_ranges, stream_windows, window_union)
 
     streams = [KmerStream(p) for p in source_paths]
     ntabs = len(streams)
@@ -392,10 +393,30 @@ def logex_apply_streamed(
         hacc = {name: [np.zeros(high - low + 1, np.int64), 0, 0]
                 for name, _ in parsed}
 
+    use_native = (native.load() is not None and len(streams) <= 64
+                  and kb <= 62)
+
+    def _windows():
+        """Yield (universe (U, kb) uint8, per-source int64-safe count
+        vectors) per aligned window: the native cursor union reads part
+        memmaps directly (no full-key materialization per stream); the
+        fallback materializes windows and merges with searchsorted."""
+        if use_native:
+            for ranges in stream_window_ranges(
+                    streams, window or DEFAULT_WINDOW):
+                res = native.union_cvecs(streams, ranges, kb)
+                assert res is not None  # load() checked above
+                uni, cv = res
+                # int32: modulators sum counts (up to ns * 32767), which
+                # overflows the uint16 the kernel emits
+                yield uni, [v.astype(np.int32) for v in cv]
+        else:
+            for chunk in stream_windows(streams, window or DEFAULT_WINDOW):
+                yield window_union(chunk, kb)
+
     ok = False
     try:
-        for chunk in stream_windows(streams, window or DEFAULT_WINDOW):
-            universe, cvecs = window_union(chunk, kb)
+        for universe, cvecs in _windows():
             if len(universe) == 0:
                 continue
             gc = (gc_percent(universe, kmer) if need_gc
@@ -404,9 +425,14 @@ def logex_apply_streamed(
                 c = evaluate(node, cvecs, gc)
                 acc = c > 0
                 if do_table:
-                    writers[name].add(
-                        universe[acc],
-                        np.minimum(c[acc], 32767).astype(np.uint16))
+                    if acc.all():  # common (e.g. unions): skip compaction
+                        writers[name].add(
+                            universe,
+                            np.minimum(c, 32767).astype(np.uint16))
+                    else:
+                        writers[name].add(
+                            universe[acc],
+                            np.minimum(c[acc], 32767).astype(np.uint16))
                 if hacc is not None:
                     cp = c[acc]
                     a = hacc[name]

@@ -239,10 +239,28 @@ class KtabWriter:
         m = len(counts)
         if m == 0:
             return
-        rec = np.empty((m, self.kb + 2), dtype=np.uint8)
-        rec[:, : self.kb] = packed
-        rec[:, self.kb:] = np.ascontiguousarray(
-            counts, dtype="<u2").view(np.uint8).reshape(m, 2)
+        from fastk_tpu import native
+
+        rec = native.writer_add(packed, counts, self._h2)
+        if rec is None:
+            rec = np.empty((m, self.kb + 2), dtype=np.uint8)
+            rec[:, : self.kb] = packed
+            rec[:, self.kb:] = np.ascontiguousarray(
+                counts, dtype="<u2").view(np.uint8).reshape(m, 2)
+            pv2 = packed[:, 0].astype(np.int32) << 8
+            if self.kb > 1:  # k <= 4 tables have a single key byte
+                pv2 |= packed[:, 1]
+            self._h2 += np.bincount(pv2, minlength=1 << 16).astype(np.int64)
+        self._append_rows(rec)
+
+    def add_records(self, rec: np.ndarray) -> None:
+        """Append preassembled (m, kb+2) writer-format rows whose 2-byte
+        prefix histogram contribution was ALREADY accumulated into _h2 by
+        the producer (the native fused merge, fk_merge_windows)."""
+        if len(rec):
+            self._append_rows(rec)
+
+    def _append_rows(self, rec: np.ndarray) -> None:
         if self._tmp is None and self._mem_bytes + rec.nbytes > self._budget:
             self._tmp = open(self._tmp_path, "wb")
             for old in self._mem:
@@ -254,11 +272,7 @@ class KtabWriter:
         else:
             self._mem.append(rec)
             self._mem_bytes += rec.nbytes
-        pv2 = packed[:, 0].astype(np.int32) << 8
-        if self.kb > 1:  # k <= 4 tables have a single key byte
-            pv2 |= packed[:, 1]
-        self._h2 += np.bincount(pv2, minlength=1 << 16).astype(np.int64)
-        self.n += m
+        self.n += len(rec)
 
     def close(self) -> None:
         if self._tmp is not None:
@@ -529,6 +543,12 @@ class KmerStream:
 
     def read_range(self, lo: int, hi: int) -> tuple[np.ndarray, np.ndarray]:
         """Materialize entries [lo, hi) as (packed (m,kbyte), counts (m,))."""
+        from fastk_tpu import native
+
+        res = native.read_range(self.kbyte, self.ibyte, self._maps,
+                                self._pindex, lo, hi)
+        if res is not None:
+            return res
         m = hi - lo
         packed = np.empty((m, self.kbyte), dtype=np.uint8)
         counts = np.empty(m, dtype=np.uint16)

@@ -39,16 +39,16 @@ def _first_geq(s: KmerStream, key: bytes) -> int:
     return e
 
 
-def stream_windows(
+def stream_window_ranges(
     streams: Sequence[KmerStream],
     window: int = DEFAULT_WINDOW,
     lo_key: Optional[bytes] = None,
     hi_key: Optional[bytes] = None,
-) -> Iterator[List[Tuple[np.ndarray, np.ndarray]]]:
-    """Yield aligned windows over the streams: each item is a list with one
-    (packed (m, kbyte) uint8, counts (m,) uint16) pair per stream, covering
-    the same half-open key interval for all streams; successive windows
-    tile the keyspace in order. Restricted to [lo_key, hi_key) when given.
+) -> Iterator[List[Tuple[int, int]]]:
+    """Yield aligned windows over the streams as per-stream (lo, hi) record
+    ordinal ranges covering the same half-open key interval; successive
+    windows tile the keyspace in order. Restricted to [lo_key, hi_key)
+    when given.
 
     The window cut key is the min over streams of their key `window` entries
     ahead, so at least one stream consumes a full window per round and no
@@ -72,16 +72,29 @@ def stream_windows(
                 cands.append(key_at(s, j))
         cut = min(cands) if cands else None
 
-        chunk: List[Tuple[np.ndarray, np.ndarray]] = []
+        ranges: List[Tuple[int, int]] = []
         for s, end in zip(streams, ends):
             e = end if cut is None else max(_first_geq(s, cut), s.idx)
             e = min(e, end)
-            packed, counts = s.read_range(s.idx, e)
+            ranges.append((s.idx, e))
             s.goto_index(e)
-            chunk.append((packed, counts))
-        yield chunk
+        yield ranges
         if cut is None:
             return
+
+
+def stream_windows(
+    streams: Sequence[KmerStream],
+    window: int = DEFAULT_WINDOW,
+    lo_key: Optional[bytes] = None,
+    hi_key: Optional[bytes] = None,
+) -> Iterator[List[Tuple[np.ndarray, np.ndarray]]]:
+    """Yield aligned windows over the streams: each item is a list with one
+    (packed (m, kbyte) uint8, counts (m,) uint16) pair per stream (see
+    stream_window_ranges for the alignment rule)."""
+    for ranges in stream_window_ranges(streams, window, lo_key, hi_key):
+        yield [s.read_range(lo, hi)
+               for s, (lo, hi) in zip(streams, ranges)]
 
 
 def _universe_of(chunk: Sequence[Tuple[np.ndarray, np.ndarray]], kb: int):
@@ -175,13 +188,10 @@ def window_sum(
     available, else a pairwise merge-sum fold over the sorted streams."""
     from fastk_tpu import native
 
-    res = native.union_slots([p for p, _ in chunk], kb)
+    res = native.merge_sum_rows([p for p, _ in chunk],
+                                [c for _, c in chunk], kb)
     if res is not None:
-        uni, slots = res
-        sums = np.zeros(len(uni), np.int64)
-        for (_, c), sl in zip(chunk, slots):
-            sums[sl] += c  # slots are unique per stream: plain fancy add
-        return uni, sums
+        return res
 
     pairs = [(np.ascontiguousarray(p).view(f"S{kb}").ravel(),
               c.astype(np.int64)) for p, c in chunk if len(p)]

@@ -74,6 +74,31 @@ def load() -> Optional[ctypes.CDLL]:
     lib.fk_prof_encode_bulk.argtypes = [
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long,
         ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p]
+    lib.fk_read_range.restype = ctypes.c_long
+    lib.fk_read_range.argtypes = [
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long, ctypes.c_long,
+        ctypes.c_long, ctypes.c_void_p, ctypes.c_void_p]
+    lib.fk_merge_sum_rows.restype = ctypes.c_long
+    lib.fk_merge_sum_rows.argtypes = [
+        ctypes.c_int, ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
+    lib.fk_writer_add.restype = None
+    lib.fk_writer_add.argtypes = [
+        ctypes.c_int, ctypes.c_long, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p]
+    lib.fk_merge_windows.restype = ctypes.c_long
+    lib.fk_merge_windows.argtypes = [
+        ctypes.c_int, ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long,
+        ctypes.c_void_p, ctypes.c_void_p]
+    lib.fk_union_cvecs.restype = ctypes.c_long
+    lib.fk_union_cvecs.argtypes = [
+        ctypes.c_int, ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long,
+        ctypes.c_void_p]
     _lib = lib
     return _lib
 
@@ -164,6 +189,141 @@ def union_slots(streams, kb: int):
     if u < 0:
         return None
     return out[:u], slots
+
+
+def read_range(kb: int, ibyte: int, part_maps, pindex: np.ndarray,
+               lo: int, hi: int
+               ) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    """Materialize table records [lo, hi) as (packed (m, kb) uint8 full
+    keys, counts (m,) uint16) straight from the part memmaps + the stub's
+    cumulative prefix index, or None if the native library is unavailable.
+    part_maps are the KmerStream's (nels_p, sbyte+2) uint8 memmaps."""
+    lib = load()
+    if lib is None:
+        return None
+    m = hi - lo
+    packed = np.empty((m, kb), dtype=np.uint8)
+    counts = np.empty(m, dtype=np.uint16)
+    lens = np.array([mm.shape[0] for mm in part_maps], dtype=np.int64)
+    ptrs = (ctypes.c_void_p * len(part_maps))(
+        *[mm.ctypes.data for mm in part_maps])
+    pindex = np.ascontiguousarray(pindex, dtype=np.int64)
+    r = lib.fk_read_range(kb, ibyte, len(part_maps), ptrs,
+                          lens.ctypes.data, pindex.ctypes.data, len(pindex),
+                          lo, hi, packed.ctypes.data, counts.ctypes.data)
+    if r < 0:
+        return None
+    return packed, counts
+
+
+def merge_sum_rows(streams, counts, kb: int
+                   ) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    """K-way merge of sorted-unique (keys, uint16 counts) streams with
+    per-key count sums -> (union (U, kb) uint8, sums (U,) int32), or None
+    if the native library is unavailable."""
+    lib = load()
+    if lib is None or len(streams) > 64:
+        return None
+    ns = len(streams)
+    streams = [np.ascontiguousarray(s, dtype=np.uint8) for s in streams]
+    counts = [np.ascontiguousarray(c, dtype=np.uint16) for c in counts]
+    lens = np.array([len(s) for s in streams], dtype=np.int64)
+    total = int(lens.sum())
+    out = np.empty((total, kb), dtype=np.uint8)
+    sums = np.empty(total, dtype=np.int32)
+    kptr = (ctypes.c_void_p * ns)(*[s.ctypes.data for s in streams])
+    cptr = (ctypes.c_void_p * ns)(*[c.ctypes.data for c in counts])
+    u = lib.fk_merge_sum_rows(kb, ns, kptr, lens.ctypes.data, cptr,
+                              out.ctypes.data, sums.ctypes.data)
+    if u < 0:
+        return None
+    return out[:u], sums[:u]
+
+
+def _cursor_args(streams, ranges):
+    """Flatten KmerStream part maps + stub indexes + record ranges into the
+    ctypes argument pack shared by the cursor-based kernels. Returns
+    (args tuple, cap, keepalive list)."""
+    ns = len(streams)
+    all_parts = []
+    part_off = np.zeros(ns + 1, dtype=np.int32)
+    for i, s in enumerate(streams):
+        all_parts.extend(s._maps)
+        part_off[i + 1] = len(all_parts)
+    part_ptrs = (ctypes.c_void_p * max(len(all_parts), 1))(
+        *[mm.ctypes.data for mm in all_parts])
+    part_nels = np.array([mm.shape[0] for mm in all_parts] or [0],
+                         dtype=np.int64)
+    pindexes = [np.ascontiguousarray(s._pindex, dtype=np.int64)
+                for s in streams]
+    pptr = (ctypes.c_void_p * ns)(*[p.ctypes.data for p in pindexes])
+    plens = np.array([len(p) for p in pindexes], dtype=np.int64)
+    ibytes = np.array([s.ibyte for s in streams], dtype=np.int32)
+    lo = np.array([r[0] for r in ranges], dtype=np.int64)
+    hi = np.array([r[1] for r in ranges], dtype=np.int64)
+    cap = int((hi - lo).sum())
+    args = (part_ptrs, part_nels.ctypes.data, part_off.ctypes.data,
+            pptr, plens.ctypes.data, ibytes.ctypes.data, lo.ctypes.data,
+            hi.ctypes.data)
+    keep = (all_parts, part_off, part_nels, pindexes, plens, ibytes, lo, hi)
+    return args, cap, keep
+
+
+def merge_windows(streams, ranges, kb: int, h2: np.ndarray,
+                  chist: np.ndarray) -> Optional[np.ndarray]:
+    """Fused fastmerge window: k-way merge of KmerStream record ranges
+    straight from the part memmaps into writer-format (U, kb+2) records
+    with clipped summed counts, accumulating the writer's 2-byte-prefix
+    histogram and the 32768-bin merged-count histogram in the same pass.
+    ranges: per-stream (lo, hi) record ordinals. Returns the record rows,
+    or None if the native library is unavailable."""
+    lib = load()
+    if lib is None or len(streams) > 64 or kb > 62:
+        return None
+    args, cap, keep = _cursor_args(streams, ranges)
+    rec = np.empty((max(cap, 1), kb + 2), dtype=np.uint8)
+    u = lib.fk_merge_windows(kb, len(streams), *args, rec.ctypes.data, cap,
+                             h2.ctypes.data, chist.ctypes.data)
+    if u < 0:
+        return None
+    return rec[:u]
+
+
+def union_cvecs(streams, ranges, kb: int
+                ) -> Optional[Tuple[np.ndarray, list]]:
+    """Windowed k-way union with per-source aligned uint16 count vectors,
+    straight from the part memmaps (the logex/vennex window input).
+    Returns (universe (U, kb) uint8, [counts (U,) uint16 per source]), or
+    None if the native library is unavailable."""
+    lib = load()
+    if lib is None or len(streams) > 64 or kb > 62:
+        return None
+    args, cap, keep = _cursor_args(streams, ranges)
+    cap = max(cap, 1)
+    keys = np.empty((cap, kb), dtype=np.uint8)
+    cnts = np.empty((len(streams), cap), dtype=np.uint16)
+    u = lib.fk_union_cvecs(kb, len(streams), *args, keys.ctypes.data, cap,
+                           cnts.ctypes.data)
+    if u < 0:
+        return None
+    return keys[:u], [cnts[i, :u] for i in range(len(streams))]
+
+
+def writer_add(packed: np.ndarray, counts: np.ndarray, h2: np.ndarray
+               ) -> Optional[np.ndarray]:
+    """Assemble KtabWriter records (m, kb+2) from keys + counts and
+    accumulate the 2-byte prefix histogram in-place, or None if the native
+    library is unavailable."""
+    lib = load()
+    if lib is None:
+        return None
+    packed = np.ascontiguousarray(packed, dtype=np.uint8)
+    counts = np.ascontiguousarray(counts, dtype=np.uint16)
+    m, kb = packed.shape
+    rec = np.empty((m, kb + 2), dtype=np.uint8)
+    lib.fk_writer_add(kb, m, packed.ctypes.data, counts.ctypes.data,
+                      rec.ctypes.data, h2.ctypes.data)
+    return rec
 
 
 def rans_decode(payload: bytes, order: int, out_sz: int) -> Optional[bytes]:

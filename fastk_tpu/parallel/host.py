@@ -65,7 +65,9 @@ def train_splitters(codes: np.ndarray, k: int, mesh: Mesh,
     def w0_sorted(c):
         words, invalid = canonical_kmers(c, k, size)
         f0 = fold_invalid((words[0],), invalid)[0]
-        return jax.lax.sort((f0,), num_keys=1)[0]
+        # unstable: no payload, and the stable default costs a hidden
+        # iota tiebreak operand
+        return jax.lax.sort((f0,), num_keys=1, is_stable=False)[0]
 
     sw = np.asarray(w0_sorted(jnp.asarray(buf)))
     nvalid = int(np.searchsorted(sw, 0xFFFFFFFF))

@@ -168,17 +168,32 @@ def merge_streamed(sources, target, nparts, do_hist, do_table, slice_spec,
     ktw = (KtabWriter(target, kmer, minval, nparts=nparts)
            if do_table else None)
     bins = np.zeros(HIST_HIGH + 1, dtype=np.int64)
-    for chunk in stream_windows(streams, window or DEFAULT_WINDOW,
-                                lo_key, hi_key):
-        rows, sums = window_sum(chunk, kb)
-        if len(rows) == 0:
-            continue
-        clipped = np.minimum(sums, HIST_HIGH).astype(np.uint16)
-        if ktw is not None:
-            ktw.add(rows, clipped)
-        if do_hist:
-            bins += np.bincount(clipped, minlength=HIST_HIGH + 1
-                                ).astype(np.int64)
+    from fastk_tpu import native
+
+    if native.load() is not None and len(streams) <= 64 and kb <= 62:
+        # fused native window: part memmaps -> writer-format records with
+        # clipped sums, prefix histogram and count histogram in ONE pass
+        from fastk_tpu.formats.twindow import stream_window_ranges
+
+        h2 = ktw._h2 if ktw is not None else np.zeros(1 << 16, np.int64)
+        for ranges in stream_window_ranges(
+                streams, window or DEFAULT_WINDOW, lo_key, hi_key):
+            rec = native.merge_windows(streams, ranges, kb, h2, bins)
+            assert rec is not None  # load() checked above
+            if ktw is not None:
+                ktw.add_records(rec)
+    else:
+        for chunk in stream_windows(streams, window or DEFAULT_WINDOW,
+                                    lo_key, hi_key):
+            rows, sums = window_sum(chunk, kb)
+            if len(rows) == 0:
+                continue
+            clipped = np.minimum(sums, HIST_HIGH).astype(np.uint16)
+            if ktw is not None:
+                ktw.add(rows, clipped)
+            if do_hist:
+                bins += np.bincount(clipped, minlength=HIST_HIGH + 1
+                                    ).astype(np.int64)
     if ktw is not None:
         ktw.close()
     if do_hist:

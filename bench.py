@@ -26,8 +26,12 @@ import numpy as np
 
 BASELINE_BASES_PER_SEC = 8.3e7  # FastK: ~300GB FASTA/hour on 8 cores
 
+import os
+
 K = 40
-SIZE = 1 << 26  # positions per batch (67M; 1<<27 exhausts 16GB HBM)
+# positions per batch (67M; 1<<27 exhausts 16GB HBM). Overridable for batch
+# size sweeps (benchmarks/README round-3 notes).
+SIZE = int(os.environ.get("FASTK_BENCH_SIZE", str(1 << 26)))
 READ_LEN = 20_000
 GENOME = 2_000_000  # ~33X coverage at SIZE bases
 
@@ -152,7 +156,7 @@ def main():
     # at the end. Best of 5 blocks: host-link bandwidth on shared/tunneled
     # machines fluctuates 2-3x between runs, which measures the link, not
     # the framework.
-    NBATCH = 4
+    NBATCH = max(4, (1 << 28) // SIZE)
     excd = jnp.asarray(exc_host)
     best = float("inf")
     t_budget = time.perf_counter() + 120

@@ -205,6 +205,29 @@ def fill_forward(markers: jnp.ndarray, values: jnp.ndarray, size: int
     return jax.lax.fori_loop(0, nsteps, body, v) - 1
 
 
+def next_start_after(starts: jnp.ndarray, size: int) -> jnp.ndarray:
+    """nxt_after[i] = smallest start index strictly greater than i (size if
+    none) — the run-length primitive (seg_len = nxt_after - idx at starts).
+
+    A reverse cummin of where(starts, idx, size), shifted left by one. Runs
+    row-decomposed when the shape allows: bitonic-style scan cost tracks
+    log2(axis length), so (R, C) row scans plus an O(R) cross-row suffix-min
+    fix are ~35% cheaper than the flat scan at 2^26 (benchmarks/_r3tail2.py,
+    exact-equality checked there and in the golden suites)."""
+    idx = jnp.arange(size, dtype=jnp.int32)
+    nxt = jnp.where(starts, idx, size)
+    R = 64
+    if size % R == 0 and size // R >= R:
+        rm = jax.lax.cummin(nxt.reshape(R, size // R), axis=1, reverse=True)
+        suf = jax.lax.cummin(
+            jnp.concatenate([rm[1:, 0], jnp.full((1,), size, jnp.int32)]),
+            reverse=True)
+        scan = jnp.minimum(rm, suf[:, None]).reshape(-1)
+    else:
+        scan = jax.lax.cummin(nxt, reverse=True)
+    return jnp.concatenate([scan[1:], jnp.full((1,), size, jnp.int32)])
+
+
 def bincount_by_sort(values: jnp.ndarray, nbins: int) -> jnp.ndarray:
     """Histogram WITHOUT scatter: 1-key sort + searchsorted on bin edges.
 
@@ -243,12 +266,7 @@ def hist_batch(codes: jnp.ndarray, k: int, size: int):
     starts = starts.at[0].set(True)
 
     idx = jnp.arange(size, dtype=jnp.int32)
-    # next start index strictly after i (size if none): reverse cummin
-    nxt = jnp.where(starts, idx, size)
-    nxt_after = jnp.concatenate(
-        [jax.lax.cummin(nxt, reverse=True)[1:],
-         jnp.full((1,), size, jnp.int32)])
-    seg_len = nxt_after - idx
+    seg_len = next_start_after(starts, size) - idx
 
     # a start element is a valid k-mer segment unless it is in the all-ones
     # invalid tail (the tail starts at size - ninv)
@@ -467,11 +485,8 @@ def segmented_count(s_words, s_inv, size: int, want_elem_counts: bool = False,
             starts = starts | (w != jnp.roll(w, 1))
         starts = starts.at[0].set(True)
         idx = jnp.arange(size, dtype=jnp.int32)
-        nxt = jnp.where(starts, idx, size)
-        nxt_after = jnp.concatenate([
-            jax.lax.cummin(nxt, reverse=True)[1:],
-            jnp.full((1,), size, jnp.int32)])
-        start_len = jnp.minimum(nxt_after - idx, HIST_HIGH)
+        start_len = jnp.minimum(next_start_after(starts, size) - idx,
+                                HIST_HIGH)
         elem = jnp.maximum(fill_forward(starts, start_len, size), 0)
         out["elem_counts"] = (
             elem * (is_invalid_key(folded) == 0)).astype(jnp.int32)

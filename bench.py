@@ -29,11 +29,14 @@ BASELINE_BASES_PER_SEC = 8.3e7  # FastK: ~300GB FASTA/hour on 8 cores
 import os
 
 K = 40
-# positions per batch (67M; 1<<27 exhausts 16GB HBM). Overridable for batch
-# size sweeps (benchmarks/README round-3 notes).
-SIZE = int(os.environ.get("FASTK_BENCH_SIZE", str(1 << 26)))
+# positions per batch. 2^24 is the measured optimum on v5e (round-3 sweep,
+# benchmarks/README): per-element device cost is ~35% below 2^26 (fewer
+# bitonic stages, smaller intermediates) AND 4MB-packed uploads overlap
+# compute on this transport where 16MB ones serialize. Overridable for
+# sweeps via FASTK_BENCH_SIZE.
+SIZE = int(os.environ.get("FASTK_BENCH_SIZE", str(1 << 24)))
 READ_LEN = 20_000
-GENOME = 2_000_000  # ~33X coverage at SIZE bases
+GENOME = max(1 << 16, SIZE // 33)  # ~33X coverage at SIZE bases at any SIZE
 
 
 def synth_hifi_device(size: int, genome: int, read_len: int,

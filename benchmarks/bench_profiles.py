@@ -29,9 +29,13 @@ def main():
     from fastk_tpu.ops.count import HIST_HIGH  # noqa: F401
     from fastk_tpu.ops.kmers import pad_needed
 
-    K, SIZE = 40, 1 << 25
+    import os
+    K = 40
+    # 2^24 is the measured batch-size optimum (benchmarks/README round 3)
+    SIZE = int(os.environ.get("FASTK_BENCH_SIZE", str(1 << 24)))
     total = SIZE + pad_needed(K)
-    block, nreads, stride = B.synth_hifi_device(SIZE, 1_000_000, B.READ_LEN)
+    block, nreads, stride = B.synth_hifi_device(
+        SIZE, max(1 << 16, SIZE // 33), B.READ_LEN)
     n = int(block.shape[0])
     codes = jnp.concatenate([block, jnp.full(total - n, 4, jnp.uint8)])
 

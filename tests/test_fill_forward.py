@@ -53,3 +53,30 @@ def test_long_runs_random():
 def test_single_element():
     assert np.array_equal(_ff(np.array([True]), np.array([7])), [7])
     assert np.array_equal(_ff(np.array([False]), np.array([7])), [-1])
+
+
+# --- next_start_after (the row-decomposed reverse-cummin scan) ---
+
+def _nsa_ref(starts):
+    size = len(starts)
+    out = np.empty(size, np.int64)
+    nxt = size
+    for i in range(size - 1, -1, -1):
+        out[i] = nxt
+        if starts[i]:
+            nxt = i
+    return out
+
+
+def test_next_start_after_sizes():
+    """Exact at sizes hitting the (64, C) row path, the flat fallback
+    (size % 64 != 0 or C < 64), and degenerate start patterns."""
+    from fastk_tpu.ops.count import next_start_after
+
+    rng = np.random.default_rng(11)
+    for size in (1, 7, 63, 64, 96, 4096, 4160, 32768, 32768 + 64, 131072):
+        for p in (0.0, 1.0, 0.2):
+            starts = rng.random(size) < p
+            starts[0] = True
+            got = np.asarray(next_start_after(jnp.asarray(starts), size))
+            assert np.array_equal(got, _nsa_ref(starts)), (size, p)

@@ -392,7 +392,14 @@ def count_files_ooc(
         ktw = None
         table_entries = 0
         if stream and table_min is not None:
-            ktw = KtabWriter(out_base, k, table_min, nparts=out_nparts)
+            # cap the writer's RAM spool alongside the part budget so the
+            # whole -M path's host peak scales with -M, not the table size
+            ktw = KtabWriter(out_base, k, table_min, nparts=out_nparts,
+                             spill_bytes=min(
+                                 int(os.environ.get(
+                                     "FASTK_TPU_KTAB_SPILL_MB", "1024"))
+                                 << 20,
+                                 16 * part_cap))
 
         def _merge_range(words, counts, iw, ipos, bcol):
             nonlocal table_entries

@@ -99,6 +99,34 @@ def _clean_outputs(out_base: str) -> None:
             pass
 
 
+def _ooc_plan(est_bases: int, M: float, profiles: bool) -> tuple:
+    """(parts, part_cap) for the out-of-core decision — parts == 1 means
+    in-core. Both ceilings use measured footprints, worst case one record
+    per base (dedup only shrinks it):
+
+    - IN-CORE eligibility: the in-core path retains per-position state for
+      the whole run — unique blocks + final merge transients (~56
+      B/position worst case; ~80 with the profile instance join) — so it
+      requires est * mode_bytes to fit BOTH the device budget
+      (FASTK_TPU_HBM_GB, default 13 of a v5e's 16) and the user's -M (the
+      reference's SORT_MEMORY semantics, FastK.c:422-429).
+
+    - Otherwise out-of-core: a part's merge costs ~96 B/record in
+      sort/segment transients (measured: a 47M-record part merge drives
+      ~4.5 GB, benchmarks/bench_rss.py investigation), so part_cap =
+      M/96B records and parts = ceil(worst-case records / part_cap) —
+      peak memory then stays ~flat past the plateau however large the
+      input grows, which is the reference's defining -M property
+      (README.md:44-46).
+    """
+    part_cap = min(1 << 26, max(1 << 22, int(M * 1e9) // 96))
+    hbm = float(os.environ.get("FASTK_TPU_HBM_GB", "13")) * 1e9
+    mode_bytes = 80 if profiles else 56
+    if est_bases * mode_bytes <= min(hbm, M * 1e9):
+        return 1, part_cap
+    return max(2, math.ceil(est_bases / part_cap)), part_cap
+
+
 def _run(cfg, out_base):
     from fastk_tpu.formats.hist import write_histogram
     from fastk_tpu.formats.ktab import read_ktab, write_ktab
@@ -140,11 +168,6 @@ def _run(cfg, out_base):
     if env_cap:
         batch_bases = min(batch_bases, max(1 << 20, int(env_cap)))
 
-    # out-of-core when the worst-case unique-record volume exceeds the -M
-    # budget (the reference's NPARTS = ceil(est_bytes/SORT_MEMORY),
-    # FastK.c:422-429); dedup-before-spill makes this an upper bound
-    from fastk_tpu.ops.kmers import nwords
-
     def _est_base_bytes(f: str) -> int:
         """Estimated BASE count of an input: on-disk size corrected for
         the container (gz compresses sequence ~4x; Dazzler stubs point at
@@ -166,9 +189,8 @@ def _run(cfg, out_base):
             return sz * 6
         return sz
 
-    est_bytes = sum(_est_base_bytes(f) for f in cfg["inputs"]
-                    ) * (nwords(cfg["k"]) + 1) * 4
-    parts = max(1, math.ceil(est_bytes / (cfg["M"] * 1e9)))
+    est_bases = sum(_est_base_bytes(f) for f in cfg["inputs"])
+    parts, part_cap = _ooc_plan(est_bases, cfg["M"], profiles=cfg["p"])
 
     nparts = max(1, cfg["T"])
     try:
@@ -189,6 +211,7 @@ def _run(cfg, out_base):
                 verbose=cfg["v"],
                 out_base=out_base,
                 out_nparts=nparts,
+                part_cap=part_cap,
                 resume=cfg["R"],
             )
         else:

@@ -249,3 +249,28 @@ def test_resume_multislice_batch(tmp_path, monkeypatch):
     assert np.array_equal(want.table.packed, got.table.packed)
     for x, y in zip(want.profiles, got.profiles):
         assert np.array_equal(x, y)
+
+
+def test_ooc_plan_bounds():
+    """The -M plan: in-core only when the worst-case footprint fits both
+    HBM and -M; otherwise parts sized so a part's ~96B/record merge
+    transients stay under -M, flat as input grows."""
+    from fastk_tpu.tools.fastk import _ooc_plan
+
+    # tiny input, default -M12: in-core
+    parts, cap = _ooc_plan(10_000_000, 12, profiles=False)
+    assert parts == 1
+
+    # 84MB of bases at -M1 must go out-of-core (1GB < 84M * 56B)
+    parts1, cap1 = _ooc_plan(84_000_000, 1, profiles=False)
+    assert parts1 > 1 and cap1 * 96 <= 1e9
+
+    # 3x the input at the same -M: more parts, SAME cap (flat peak)
+    parts3, cap3 = _ooc_plan(252_000_000, 1, profiles=False)
+    assert cap3 == cap1
+    assert parts3 >= 3 * parts1 - 2
+
+    # profile jobs go out-of-core earlier (larger per-position state)
+    p_hist, _ = _ooc_plan(200_000_000, 12, profiles=False)
+    p_prof, _ = _ooc_plan(200_000_000, 12, profiles=True)
+    assert p_hist == 1 and p_prof > 1

@@ -365,6 +365,129 @@ class KtabWriter:
             self.abort()
 
 
+class KtabDirectWriter:
+    """Single-pass .ktab writer: part files stream out as records arrive.
+
+    Unlike KtabWriter (which buffers/spools because ibyte and part cuts
+    need the final totals), this takes both UP FRONT — the reference's
+    Fastmerge layout, where ibyte comes from the PRE-merge sum of source
+    sizes (tels, Fastmerge.c:748-760) and output pieces cut at pivot-table
+    quantiles snapped to prefix boundaries (Fastmerge.c:784-812) — so every
+    record byte is touched exactly once and memory stays O(chunk).
+
+    cut_keys: nparts-1 non-decreasing full-width keys (suffix past ibyte
+    zeroed); part p takes records in [cut[p-1], cut[p])."""
+
+    def __init__(self, path: str, kmer: int, minval: int, ibyte: int,
+                 cut_keys):
+        self.path = path
+        self.kmer = kmer
+        self.minval = minval
+        self.ibyte = ibyte
+        self.kb = kbytes(kmer)
+        self.cuts = [bytes(c) for c in cut_keys]
+        assert all(len(c) == self.kb for c in self.cuts)
+        self.nparts = len(self.cuts) + 1
+        self.n = 0
+        self._p = 0  # current part
+        self._f = None  # current part file
+        self._part_n = 0
+        self._pindex = np.zeros(1 << (8 * ibyte), dtype=np.int64)
+
+    def _open_part(self) -> None:
+        self._f = open(part_path(self.path, ".ktab", self._p + 1), "wb")
+        self._f.write(struct.pack("<i", self.kmer))
+        self._f.write(struct.pack("<q", 0))  # nels patched on part close
+        self._part_n = 0
+
+    def _close_part(self) -> None:
+        if self._f is None:
+            self._open_part()  # empty part still gets its header
+        self._f.seek(4)
+        self._f.write(struct.pack("<q", self._part_n))
+        self._f.close()
+        self._f = None
+        self._p += 1
+
+    def _emit(self, rec: np.ndarray) -> None:
+        if len(rec) == 0:
+            return
+        if self._f is None:
+            self._open_part()
+        np.ascontiguousarray(rec[:, self.ibyte:]).tofile(self._f)
+        self._part_n += len(rec)
+        self.n += len(rec)
+
+    def add_records(self, rec: np.ndarray) -> None:
+        """Append (m, kb+2) writer-format rows continuing the global sort
+        order (key bytes then little-endian uint16 count)."""
+        m = len(rec)
+        if m == 0:
+            return
+        ib = self.ibyte
+        pv = rec[:, 0].astype(np.int64)
+        for j in range(1, ib):
+            pv = (pv << 8) | rec[:, j]
+        # sorted-run accumulation: few distinct prefixes per chunk
+        b = np.flatnonzero(np.diff(pv)) + 1
+        starts = np.concatenate([[0], b, [m]])
+        self._pindex[pv[starts[:-1]]] += np.diff(starts)
+
+        lo = 0
+        while self._p < self.nparts - 1:
+            cut = self.cuts[self._p]
+            # common case: the whole remaining chunk stays in this part
+            if bytes(rec[m - 1, : self.kb]) < cut:
+                break
+            keys = np.ascontiguousarray(rec[lo:, : self.kb]
+                                        ).view(f"S{self.kb}").ravel()
+            split = lo + int(np.searchsorted(
+                keys, np.frombuffer(cut, dtype=f"S{self.kb}")[0]))
+            self._emit(rec[lo:split])
+            self._close_part()
+            lo = split
+        self._emit(rec[lo:])
+
+    def add(self, packed: np.ndarray, counts: np.ndarray) -> None:
+        """Convenience: assemble writer-format rows from keys + counts."""
+        m = len(counts)
+        if m == 0:
+            return
+        rec = np.empty((m, self.kb + 2), dtype=np.uint8)
+        rec[:, : self.kb] = packed
+        rec[:, self.kb:] = np.ascontiguousarray(
+            counts, dtype="<u2").view(np.uint8).reshape(m, 2)
+        self.add_records(rec)
+
+    def close(self) -> None:
+        while self._p < self.nparts:
+            self._close_part()
+        pindex = np.cumsum(self._pindex)
+        with open(stub_path(self.path, ".ktab"), "wb") as f:
+            f.write(struct.pack("<iiii", self.kmer, self.nparts,
+                                self.minval, self.ibyte))
+            pindex.astype("<i8").tofile(f)
+
+    def abort(self) -> None:
+        if self._f is not None:
+            self._f.close()
+            self._f = None
+        for p in range(self._p + 1):
+            try:
+                os.unlink(part_path(self.path, ".ktab", p + 1))
+            except OSError:
+                pass
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, et, ev, tb):
+        if et is None:
+            self.close()
+        else:
+            self.abort()
+
+
 def write_ktab(
     path: str,
     table: KmerTable,

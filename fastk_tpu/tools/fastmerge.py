@@ -131,7 +131,7 @@ def merge_streamed(sources, target, nparts, do_hist, do_table, slice_spec,
                    window=None):
     """Windowed streaming merge: O(window) memory at any table scale."""
     from fastk_tpu.formats.hist import HIST_HIGH
-    from fastk_tpu.formats.ktab import KmerStream, KtabWriter
+    from fastk_tpu.formats.ktab import KmerStream
     from fastk_tpu.formats.twindow import (
         DEFAULT_WINDOW, key_at, stream_windows, window_sum)
 
@@ -165,17 +165,37 @@ def merge_streamed(sources, target, nparts, do_hist, do_table, slice_spec,
                     key_at(pivot, pivot.nels * n // d), ib, kb)
 
     minval = min(s.minval for s in streams)
-    ktw = (KtabWriter(target, kmer, minval, nparts=nparts)
-           if do_table else None)
+    ktw = None
+    if do_table:
+        # single-pass reference layout (Fastmerge.c:748-812): the output
+        # ibyte comes from the PRE-merge sum of source sizes and part cuts
+        # from pivot quantiles snapped to prefix boundaries, both known up
+        # front — so part files stream out directly, no spool, O(window)
+        # memory. (KtabWriter's exact-total layout would need the merged
+        # count first.)
+        tels = sum(s.nels for s in streams)
+        ib_out = _slice_ibyte(tels)
+        pivot = max(streams, key=lambda s: s.nels)
+        base = ((slice_spec[0] - 1) if slice_spec else 0) * nparts
+        den = (slice_spec[1] if slice_spec else 1) * nparts
+        cut_keys = []
+        for t in range(1, nparts):
+            p = pivot.nels * (base + t) // den
+            if p >= pivot.nels:
+                cut_keys.append(b"\xff" * kb)  # trailing parts stay empty
+            else:
+                cut_keys.append(_snap_prefix(key_at(pivot, p), ib_out, kb))
+        from fastk_tpu.formats.ktab import KtabDirectWriter
+
+        ktw = KtabDirectWriter(target, kmer, minval, ib_out, cut_keys)
     bins = np.zeros(HIST_HIGH + 1, dtype=np.int64)
     from fastk_tpu import native
 
     if native.load() is not None and len(streams) <= 64 and kb <= 62:
         # fused native window: part memmaps -> writer-format records with
         # clipped sums, prefix histogram and count histogram in ONE pass
+        h2 = np.zeros(1 << 16, np.int64)  # direct writer counts prefixes
         from fastk_tpu.formats.twindow import stream_window_ranges
-
-        h2 = ktw._h2 if ktw is not None else np.zeros(1 << 16, np.int64)
         for ranges in stream_window_ranges(
                 streams, window or DEFAULT_WINDOW, lo_key, hi_key):
             rec = native.merge_windows(streams, ranges, kb, h2, bins)

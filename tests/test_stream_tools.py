@@ -44,7 +44,12 @@ def tabs(tmp_path_factory):
 @pytest.mark.parametrize("window", [64, 1 << 20])
 @pytest.mark.parametrize("slice_spec", [None, (1, 3), (2, 3), (3, 3)])
 def test_fastmerge_streamed_matches(tabs, tmp_path, window, slice_spec):
-    from fastk_tpu.tools.fastmerge import merge_streamed, merge_tables
+    """Streamed fastmerge == in-memory merge in CONTENT; its file layout is
+    the reference Fastmerge's (ibyte from the pre-merge source-size sum,
+    part cuts at pivot quantiles — Fastmerge.c:748-812), which may cut
+    parts differently than write_ktab's equal-entry splits."""
+    from fastk_tpu.tools.fastmerge import (_slice_ibyte, merge_streamed,
+                                           merge_tables)
 
     d, tables, paths = tabs
     mem = merge_tables(tables, slice_spec)
@@ -56,11 +61,19 @@ def test_fastmerge_streamed_matches(tabs, tmp_path, window, slice_spec):
     b = str(tmp_path / "st")
     assert merge_streamed(paths, b, 3, True, True, slice_spec,
                           window=window) == 0
-    assert filecmp.cmp(a + ".ktab", b + ".ktab", shallow=False)
-    for i in (1, 2, 3):
-        assert filecmp.cmp(str(tmp_path / f".mem.ktab.{i}"),
-                           str(tmp_path / f".st.ktab.{i}"), shallow=False), i
+    got = read_ktab(b)
+    assert np.array_equal(got.packed, mem.packed)
+    assert np.array_equal(got.counts, mem.counts)
     assert read_histogram(a) == read_histogram(b)
+    # stub fields: same prefix width (both sums land in the same ibyte
+    # bucket here) -> identical stub bytes even though part cuts differ
+    assert _slice_ibyte(sum(len(t) for t in tables)) == 1
+    assert filecmp.cmp(a + ".ktab", b + ".ktab", shallow=False)
+    # every part parses and the cut count matches the stub
+    from fastk_tpu.formats.ktab import KmerStream
+
+    s = KmerStream(b)
+    assert s.nels == len(mem.counts)
 
 
 @pytest.mark.parametrize("window", [64])

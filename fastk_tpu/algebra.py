@@ -380,13 +380,28 @@ def logex_apply_streamed(
 
     writers = {}
     if do_table:
-        # the RAM-spool budget is per-writer: split it across the
-        # assignments so N outputs cannot buffer N x the default
-        budget = (int(os.environ.get("FASTK_TPU_KTAB_SPILL_MB", "1024"))
-                  << 20) // max(1, len(parsed))
+        # reference Logex output layout, known up front (so parts stream
+        # out single-pass, no RAM spool): ibyte = the pivot (largest)
+        # input's (Logex.c:1427 IB_OUT = S[pivot]->ibyte), part cuts at
+        # pivot quantiles snapped to prefix boundaries (Logex.c:1447-1478),
+        # the same cuts for every assignment
+        from fastk_tpu.formats.ktab import KtabDirectWriter
+        from fastk_tpu.formats.twindow import key_at
+
+        pivot = max(streams, key=lambda s: s.nels)
+        ib_out = pivot.ibyte
+        cut_keys = []
+        for t in range(1, out_nparts):
+            p = pivot.nels * t // out_nparts
+            if p >= pivot.nels:
+                cut_keys.append(b"\xff" * kb)
+            else:
+                key = bytearray(key_at(pivot, p).ljust(kb, b"\x00"))
+                key[ib_out:] = b"\x00" * (kb - ib_out)
+                cut_keys.append(bytes(key))
         for name, _ in parsed:
-            writers[name] = KtabWriter(name, kmer, 1, nparts=out_nparts,
-                                       spill_bytes=budget)
+            writers[name] = KtabDirectWriter(name, kmer, 1, ib_out,
+                                             cut_keys)
     hacc = None
     if hist_range is not None:
         low, high = hist_range

@@ -291,12 +291,17 @@ class KtabWriter:
         """Yield contiguous (m, kb+2) row blocks covering records [lo, hi),
         each at most _CHUNK records, from the spool or the in-RAM chunks."""
         if self._tmp is not None:
+            # bounded reads, NOT a memmap: close() walks the whole spool,
+            # and memmap pages it touches stay resident — peak RSS grew
+            # with table size (found by benchmarks/bench_rss.py timelines)
             rb = self.kb + 2
-            mm = np.memmap(self._tmp_path, dtype=np.uint8,
-                           mode="r").reshape(self.n, rb)
-            for c0 in range(lo, hi, self._CHUNK):
-                c1 = min(hi, c0 + self._CHUNK)
-                yield mm[c0:c1]
+            with open(self._tmp_path, "rb") as f:
+                for c0 in range(lo, hi, self._CHUNK):
+                    c1 = min(hi, c0 + self._CHUNK)
+                    f.seek(c0 * rb)
+                    buf = np.fromfile(f, dtype=np.uint8,
+                                      count=(c1 - c0) * rb)
+                    yield buf.reshape(c1 - c0, rb)
             return
         base = 0
         for rec in self._mem:

@@ -34,6 +34,64 @@ def cat_histograms(paths):
     return Histogram(k, hs[0].low, hs[0].high, total, ilow, ihigh)
 
 
+def cat_tables_spliced(paths, target: str) -> bool:
+    """Reference Fastcat semantics (Fastcat.c:137-269): when every source
+    shares the same prefix width (ibyte), part files are position
+    independent — splice them VERBATIM (hardlink, falling back to copy)
+    and rebuild only the stub's merged prefix index. O(1) data movement.
+    Returns False when sources disagree on ibyte (caller streams instead)."""
+    import shutil
+    import struct
+
+    from fastk_tpu.formats.ktab import KmerStream
+    from fastk_tpu.formats.paths import part_path, stub_path
+
+    streams = [KmerStream(p) for p in paths]
+    k = streams[0].kmer
+    for s in streams[1:]:
+        if s.kmer != k:
+            die("fastcat: tables do not have a common k-mer size")
+    ib = streams[0].ibyte
+    if any(s.ibyte != ib for s in streams):
+        return False
+    kb = streams[0].kbyte
+    minval = min(s.minval for s in streams)
+
+    # seams: consecutive non-empty sources must be disjoint ordered slices
+    prev_last = None
+    for s in streams:
+        if s.nels == 0:
+            continue
+        first = s.read_range(0, 1)[0].view(f"S{kb}").ravel()[0]
+        if prev_last is not None and not prev_last < first:
+            die("fastcat: sources are not disjoint ordered slices")
+        prev_last = s.read_range(s.nels - 1, s.nels)[0].view(
+            f"S{kb}").ravel()[0]
+
+    pindex = np.zeros(1 << (8 * ib), dtype=np.int64)
+    for s in streams:
+        pindex += np.diff(s._pindex, prepend=0)
+    np.cumsum(pindex, out=pindex)
+
+    tot_parts = sum(s.nparts for s in streams)
+    with open(stub_path(target, ".ktab"), "wb") as f:
+        f.write(struct.pack("<iiii", k, tot_parts, minval, ib))
+        pindex.astype("<i8").tofile(f)
+    out = 0
+    for s in streams:
+        for p in range(s.nparts):
+            out += 1
+            src = part_path(s.path, ".ktab", p + 1)
+            dst = part_path(target, ".ktab", out)
+            if os.path.exists(dst):
+                os.unlink(dst)
+            try:
+                os.link(src, dst)
+            except OSError:
+                shutil.copyfile(src, dst)
+    return True
+
+
 def cat_tables_streamed(paths, target: str, nparts: int):
     """Splice keyspace table slices in O(window) memory: each source
     streams through KmerStream chunks into one KtabWriter. Sources are
@@ -139,7 +197,8 @@ def main(argv=None):
     if "h" in do:
         write_histogram(target, cat_histograms([r + ".hist" for r in roots]))
     if "t" in do:
-        cat_tables_streamed(roots, target, nparts=max(1, len(roots)))
+        if not cat_tables_spliced(roots, target):
+            cat_tables_streamed(roots, target, nparts=max(1, len(roots)))
     if "p" in do:
         cat_profiles_streamed(roots, target, nparts=max(1, len(roots)))
 

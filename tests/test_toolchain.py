@@ -69,6 +69,10 @@ def test_toolchain(world, capsys):
     tc = fk.read_ktab(c)
     assert np.array_equal(tc.packed, tm.packed)
     assert np.array_equal(tc.counts, tm.counts)
+    # slices share ibyte, so fastcat must have spliced parts VERBATIM
+    # (hardlinks to the source parts, reference Fastcat.c semantics)
+    from fastk_tpu.formats.paths import part_path
+    assert os.stat(part_path(c, ".ktab", 1)).st_nlink > 1
 
     # 6. kmermap: map table A onto read set B
     bed = str(d / "map")

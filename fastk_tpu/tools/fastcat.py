@@ -123,47 +123,44 @@ def cat_tables_streamed(paths, target: str, nparts: int):
                 f"S{kb}").ravel()[0]
 
 
-def cat_profiles_streamed(paths, target: str, nparts: int):
-    """Concatenate read-partitioned profile sets in bounded memory: the
-    already-encoded per-read blobs are copied part by part in chunks —
-    no decode/re-encode round trip (the reference also splices raw
-    blocks, Fastcat.c:330-430)."""
-    from fastk_tpu.formats.paths import part_path
-    from fastk_tpu.formats.prof import ProfWriter
+def cat_profiles_spliced(paths, target: str) -> None:
+    """Reference Fastcat semantics (Fastcat.c:330-430): .prof data parts
+    are pure concatenations of encoded per-read blobs, so splice them
+    VERBATIM (hardlink, falling back to copy). Offsets in .pidx are
+    part-local, so those copy through too — only each part's first-read
+    ordinal in the .pidx header is rebased by the preceding sources'
+    read totals."""
+    import shutil
+    import struct
+
+    from fastk_tpu.formats.paths import part_path, stub_path
 
     pis = [ProfileIndex(p) for p in paths]
     k = pis[0].kmer
     for p in pis[1:]:
         if p.kmer != k:
             die("fastcat: profiles do not have a common k-mer size")
-    total = sum(pi.nreads for pi in pis)
-    CHUNK_BYTES = 64 << 20
-    w = ProfWriter(target, k, total, nparts=nparts)
-    try:
-        for pi in pis:
-            base = 0
-            for p in range(pi.nparts):
-                offs = pi._index[p + 1]  # part-local END offsets
-                n = len(offs)
-                with open(part_path(pi.path, ".prof", p + 1), "rb") as f:
-                    i0 = 0
-                    while i0 < n:
-                        start = 0 if i0 == 0 else int(offs[i0 - 1])
-                        i1 = i0
-                        while i1 < n and int(offs[i1]) - start <= CHUNK_BYTES:
-                            i1 += 1
-                        i1 = max(i1, i0 + 1)
-                        end = int(offs[i1 - 1])
-                        f.seek(start)
-                        blob = np.frombuffer(f.read(end - start), np.uint8)
-                        w.add_block(blob,
-                                    np.asarray(offs[i0:i1]) - start)
-                        i0 = i1
-                base += n
-        w.close()
-    except BaseException:
-        w.abort()
-        raise
+    tot_parts = sum(pi.nparts for pi in pis)
+    with open(stub_path(target, ".prof"), "wb") as f:
+        f.write(struct.pack("<ii", k, tot_parts))
+    out = base = 0
+    for pi in pis:
+        for p in range(pi.nparts):
+            out += 1
+            src = part_path(pi.path, ".prof", p + 1)
+            dst = part_path(target, ".prof", out)
+            if os.path.exists(dst):
+                os.unlink(dst)
+            try:
+                os.link(src, dst)
+            except OSError:
+                shutil.copyfile(src, dst)
+            with open(part_path(pi.path, ".pidx", p + 1), "rb") as fin, \
+                    open(part_path(target, ".pidx", out), "wb") as fout:
+                k2, b, n = struct.unpack("<iqq", fin.read(20))
+                fout.write(struct.pack("<iqq", k2, b + base, n))
+                shutil.copyfileobj(fin, fout, 64 << 20)
+        base += pi.nreads
 
 
 def main(argv=None):
@@ -200,7 +197,7 @@ def main(argv=None):
         if not cat_tables_spliced(roots, target):
             cat_tables_streamed(roots, target, nparts=max(1, len(roots)))
     if "p" in do:
-        cat_profiles_streamed(roots, target, nparts=max(1, len(roots)))
+        cat_profiles_spliced(roots, target)
 
     if not keep:
         from fastk_tpu.tools.fastrm import main as fastrm_main

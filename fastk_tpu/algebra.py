@@ -430,6 +430,7 @@ def logex_apply_streamed(
                 yield window_union(chunk, kb)
 
     ok = False
+    closed = set()
     try:
         for universe, cvecs in _windows():
             if len(universe) == 0:
@@ -455,14 +456,19 @@ def logex_apply_streamed(
                                         minlength=high - low + 1)
                     a[1] += int(cp[cp <= low].sum())
                     a[2] += int(cp[cp >= high].sum())
-        for w in writers.values():
+        for name, w in writers.items():
             w.close()
+            closed.add(name)
         ok = True
     finally:
         if not ok:
             # a failure mid-stream (disk full, bad expression at runtime)
-            # must not leave open handles or partial .ktab file-sets
-            for w in writers.values():
+            # must not leave open handles or partial .ktab file-sets —
+            # but writers that finished close() are complete outputs;
+            # aborting them would unlink their parts under a live stub
+            for name, w in writers.items():
+                if name in closed:
+                    continue
                 try:
                     w.abort()
                 except Exception:

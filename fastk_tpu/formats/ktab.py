@@ -398,6 +398,7 @@ class KtabDirectWriter:
         self._f = None  # current part file
         self._part_n = 0
         self._pindex = np.zeros(1 << (8 * ibyte), dtype=np.int64)
+        self.skip_prefix = False  # caller supplies pindex via set_pindex
 
     def _open_part(self) -> None:
         self._f = open(part_path(self.path, ".ktab", self._p + 1), "wb")
@@ -430,13 +431,14 @@ class KtabDirectWriter:
         if m == 0:
             return
         ib = self.ibyte
-        pv = rec[:, 0].astype(np.int64)
-        for j in range(1, ib):
-            pv = (pv << 8) | rec[:, j]
-        # sorted-run accumulation: few distinct prefixes per chunk
-        b = np.flatnonzero(np.diff(pv)) + 1
-        starts = np.concatenate([[0], b, [m]])
-        self._pindex[pv[starts[:-1]]] += np.diff(starts)
+        if not self.skip_prefix:
+            pv = rec[:, 0].astype(np.int64)
+            for j in range(1, ib):
+                pv = (pv << 8) | rec[:, j]
+            # sorted-run accumulation: few distinct prefixes per chunk
+            b = np.flatnonzero(np.diff(pv)) + 1
+            starts = np.concatenate([[0], b, [m]])
+            self._pindex[pv[starts[:-1]]] += np.diff(starts)
 
         lo = 0
         while self._p < self.nparts - 1:
@@ -463,6 +465,14 @@ class KtabDirectWriter:
         rec[:, self.kb:] = np.ascontiguousarray(
             counts, dtype="<u2").view(np.uint8).reshape(m, 2)
         self.add_records(rec)
+
+    def set_pindex(self, pindex: np.ndarray) -> None:
+        """Adopt an externally accumulated (un-cumulated) prefix histogram
+        of width ibyte — used with skip_prefix when the record producer
+        already counts prefixes (e.g. the native fastmerge window engine's
+        2-byte histogram), so the bytes aren't walked twice."""
+        assert len(pindex) == 1 << (8 * self.ibyte)
+        self._pindex = np.asarray(pindex, dtype=np.int64)
 
     def close(self) -> None:
         while self._p < self.nparts:

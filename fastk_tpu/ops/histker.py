@@ -249,11 +249,18 @@ def hist_batch_fast(codes: jnp.ndarray, k: int, size: int):
     Returns dict(hist int64[32768] (host-assembled), nvalid int),
     or None when the side list overflowed (caller uses hist_batch)."""
     rows = size // 4096
-    if size % 4096 or rows % 8 or not available():
+    if size % 4096 or not available():
         return None
-    block_rows = 8
-    while block_rows < BLOCK_ROWS and rows % (block_rows * 2) == 0:
-        block_rows *= 2
+    if rows % 8:
+        # sub-8-row blocks are only for the interpreter-mode CI test;
+        # every real-TPU size is a multiple of 2^15 positions
+        if not _INTERPRET or rows & (rows - 1):
+            return None
+        block_rows = rows
+    else:
+        block_rows = 8
+        while block_rows < BLOCK_ROWS and rows % (block_rows * 2) == 0:
+            block_rows *= 2
     packed, nvalid = hist_device_part(codes, k, size)
     hist_lo, big, meta = _run_walk(packed, rows // block_rows, block_rows,
                                    nvalid)

@@ -34,13 +34,32 @@ def cat_histograms(paths):
     return Histogram(k, hs[0].low, hs[0].high, total, ilow, ihigh)
 
 
-def cat_tables_spliced(paths, target: str) -> bool:
+def _splice_part(src: str, dst: str, keep: bool) -> None:
+    """Move one hidden part file into place. Hardlinking is only safe in
+    the destructive path (sources are removed right after); with -k the
+    reference COPIES (Fastcat.c keep path) precisely so the two tables
+    never alias the same inode — a later in-place rewrite of one would
+    silently corrupt the other."""
+    import shutil
+
+    if os.path.exists(dst):
+        os.unlink(dst)
+    if keep:
+        shutil.copyfile(src, dst)
+        return
+    try:
+        os.link(src, dst)
+    except OSError:
+        shutil.copyfile(src, dst)
+
+
+def cat_tables_spliced(paths, target: str, keep: bool = False) -> bool:
     """Reference Fastcat semantics (Fastcat.c:137-269): when every source
     shares the same prefix width (ibyte), part files are position
-    independent — splice them VERBATIM (hardlink, falling back to copy)
-    and rebuild only the stub's merged prefix index. O(1) data movement.
-    Returns False when sources disagree on ibyte (caller streams instead)."""
-    import shutil
+    independent — splice them VERBATIM (hardlink when destructive, copy
+    with -k) and rebuild only the stub's merged prefix index. O(1) data
+    movement. Returns False when sources disagree on ibyte (caller
+    streams instead)."""
     import struct
 
     from fastk_tpu.formats.ktab import KmerStream
@@ -81,14 +100,8 @@ def cat_tables_spliced(paths, target: str) -> bool:
     for s in streams:
         for p in range(s.nparts):
             out += 1
-            src = part_path(s.path, ".ktab", p + 1)
-            dst = part_path(target, ".ktab", out)
-            if os.path.exists(dst):
-                os.unlink(dst)
-            try:
-                os.link(src, dst)
-            except OSError:
-                shutil.copyfile(src, dst)
+            _splice_part(part_path(s.path, ".ktab", p + 1),
+                         part_path(target, ".ktab", out), keep)
     return True
 
 
@@ -123,13 +136,13 @@ def cat_tables_streamed(paths, target: str, nparts: int):
                 f"S{kb}").ravel()[0]
 
 
-def cat_profiles_spliced(paths, target: str) -> None:
+def cat_profiles_spliced(paths, target: str, keep: bool = False) -> None:
     """Reference Fastcat semantics (Fastcat.c:330-430): .prof data parts
     are pure concatenations of encoded per-read blobs, so splice them
-    VERBATIM (hardlink, falling back to copy). Offsets in .pidx are
-    part-local, so those copy through too — only each part's first-read
-    ordinal in the .pidx header is rebased by the preceding sources'
-    read totals."""
+    VERBATIM (hardlink when destructive, copy with -k). Offsets in .pidx
+    are part-local, so those copy through too — only each part's
+    first-read ordinal in the .pidx header is rebased by the preceding
+    sources' read totals."""
     import shutil
     import struct
 
@@ -147,14 +160,8 @@ def cat_profiles_spliced(paths, target: str) -> None:
     for pi in pis:
         for p in range(pi.nparts):
             out += 1
-            src = part_path(pi.path, ".prof", p + 1)
-            dst = part_path(target, ".prof", out)
-            if os.path.exists(dst):
-                os.unlink(dst)
-            try:
-                os.link(src, dst)
-            except OSError:
-                shutil.copyfile(src, dst)
+            _splice_part(part_path(pi.path, ".prof", p + 1),
+                         part_path(target, ".prof", out), keep)
             with open(part_path(pi.path, ".pidx", p + 1), "rb") as fin, \
                     open(part_path(target, ".pidx", out), "wb") as fout:
                 k2, b, n = struct.unpack("<iqq", fin.read(20))
@@ -191,13 +198,23 @@ def main(argv=None):
                 r = r[: -len(ext)]
         roots.append(r)
 
+    troot = target
+    for ext in (".hist", ".ktab", ".prof"):
+        if troot.endswith(ext):
+            troot = troot[: -len(ext)]
+    treal = os.path.realpath(troot)
+    for r in roots:
+        if os.path.realpath(r) == treal:
+            die("fastcat: target must differ from every source")
+    target = troot
+
     if "h" in do:
         write_histogram(target, cat_histograms([r + ".hist" for r in roots]))
     if "t" in do:
-        if not cat_tables_spliced(roots, target):
+        if not cat_tables_spliced(roots, target, keep=keep):
             cat_tables_streamed(roots, target, nparts=max(1, len(roots)))
     if "p" in do:
-        cat_profiles_spliced(roots, target)
+        cat_profiles_spliced(roots, target, keep=keep)
 
     if not keep:
         from fastk_tpu.tools.fastrm import main as fastrm_main

@@ -193,8 +193,12 @@ def merge_streamed(sources, target, nparts, do_hist, do_table, slice_spec,
 
     if native.load() is not None and len(streams) <= 64 and kb <= 62:
         # fused native window: part memmaps -> writer-format records with
-        # clipped sums, prefix histogram and count histogram in ONE pass
-        h2 = np.zeros(1 << 16, np.int64)  # direct writer counts prefixes
+        # clipped sums, prefix histogram and count histogram in ONE pass.
+        # The native 2-byte prefix histogram feeds the direct writer's
+        # stub index when ib_out <= 2 so Python never re-counts prefixes.
+        h2 = np.zeros(1 << 16, np.int64)
+        if ktw is not None and ktw.ibyte <= 2:
+            ktw.skip_prefix = True
         from fastk_tpu.formats.twindow import stream_window_ranges
         for ranges in stream_window_ranges(
                 streams, window or DEFAULT_WINDOW, lo_key, hi_key):
@@ -202,6 +206,9 @@ def merge_streamed(sources, target, nparts, do_hist, do_table, slice_spec,
             assert rec is not None  # load() checked above
             if ktw is not None:
                 ktw.add_records(rec)
+        if ktw is not None and ktw.skip_prefix:
+            ktw.set_pindex(h2 if ktw.ibyte == 2
+                           else h2.reshape(256, 256).sum(axis=1))
     else:
         for chunk in stream_windows(streams, window or DEFAULT_WINDOW,
                                     lo_key, hi_key):

@@ -66,9 +66,31 @@ def test_fast_path_gates():
     assert hk.hist_batch_fast(codes, 8, 4100) is None
 
 
+def test_kernel_interpret_small(monkeypatch):
+    """Always-on equality of the walk kernel vs hist_batch (interpreter
+    mode, smallest block shape) so the gated TPU kernel cannot rot
+    unnoticed between libtpu bumps (VERDICT r3 weak-7)."""
+    from fastk_tpu.ops.count import hist_batch
+    from fastk_tpu.ops.kmers import pad_needed
+
+    monkeypatch.setattr(hk, "_INTERPRET", True)
+    K, S = 40, 4096
+    rng = np.random.default_rng(1)
+    c = rng.integers(0, 4, S + pad_needed(K)).astype(np.uint8)
+    c[::211] = 4
+    c[S - 40:] = 0  # a long uniform tail exercises the bulk-run paths
+    c[S:] = 4
+    codes = jnp.asarray(c)
+    got = hk.hist_batch_fast(codes, K, S)
+    want = hist_batch(codes, K, S)
+    assert np.array_equal(got["hist"][1:],
+                          np.asarray(want["hist"])[1:].astype(np.int64))
+    assert got["nvalid"] == int(want["nvalid"])
+
+
 @pytest.mark.skipif(not os.environ.get("FASTK_TPU_SLOW_TESTS"),
-                    reason="interpreter-mode kernel is slow; opt in with "
-                           "FASTK_TPU_SLOW_TESTS=1")
+                    reason="interpreter-mode kernel is slow at the real "
+                           "block shape; opt in with FASTK_TPU_SLOW_TESTS=1")
 def test_kernel_interpret_matches_hist_batch(monkeypatch):
     from fastk_tpu.ops.count import hist_batch
     from fastk_tpu.ops.kmers import pad_needed

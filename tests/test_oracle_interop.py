@@ -404,9 +404,11 @@ def test_fastcat_profile_concat_vs_whole_run(fuzz_world, tmp_path, capsys):
                        str(d / "r2.fasta"), f"-N{tmp_path}/pwhole"]) == 0
     assert fastcat.main(["-k", "-p", str(tmp_path / "pcat"),
                          str(tmp_path / "ph0"), str(tmp_path / "ph1")]) == 0
-    # data parts must have been spliced VERBATIM (hardlinked, not copied)
+    # with -k (sources kept) parts are COPIED, never hardlinked: aliasing
+    # inodes between two live tables would let an in-place rewrite of one
+    # corrupt the other (reference Fastcat copies in its keep path too)
     from fastk_tpu.formats.paths import part_path
-    assert os.stat(part_path(str(tmp_path / "pcat"), ".prof", 1)).st_nlink > 1
+    assert os.stat(part_path(str(tmp_path / "pcat"), ".prof", 1)).st_nlink == 1
     whole = read_profiles(str(tmp_path / "pwhole"))
     cat = read_profiles(str(tmp_path / "pcat"))
     assert len(whole) == len(cat)

@@ -69,10 +69,21 @@ def test_toolchain(world, capsys):
     tc = fk.read_ktab(c)
     assert np.array_equal(tc.packed, tm.packed)
     assert np.array_equal(tc.counts, tm.counts)
-    # slices share ibyte, so fastcat must have spliced parts VERBATIM
-    # (hardlinks to the source parts, reference Fastcat.c semantics)
+    # with -k the splice COPIES (hardlinking would alias live inodes:
+    # an in-place rewrite of one table would corrupt the other)
     from fastk_tpu.formats.paths import part_path
-    assert os.stat(part_path(c, ".ktab", 1)).st_nlink > 1
+    assert os.stat(part_path(c, ".ktab", 1)).st_nlink == 1
+    # destructive splice (sources removed) may hardlink: re-run without -k
+    c2 = str(d / "C2")
+    assert fastcat.main(["-t", c2, s1, s2]) == 0
+    assert not os.path.exists(s1 + ".ktab")
+    tc2 = fk.read_ktab(c2)
+    assert np.array_equal(tc2.packed, tm.packed)
+    # target colliding with a source is rejected before any unlink
+    import pytest as _pytest
+    with _pytest.raises(SystemExit):
+        fastcat.main(["-k", "-t", c2, c2, c])
+    assert fk.read_ktab(c2).check_sorted()
 
     # 6. kmermap: map table A onto read set B
     bed = str(d / "map")

@@ -50,6 +50,10 @@ def __getattr__(name):
         from fastk_tpu.parallel.host import count_files_sharded
 
         return count_files_sharded
+    if name == "count_files_mesh":
+        from fastk_tpu.parallel.meshooc import count_files_mesh
+
+        return count_files_mesh
     raise AttributeError(name)
 
 
@@ -57,6 +61,7 @@ __all__ = [
     "__version__",
     "count_files",
     "count_files_sharded",
+    "count_files_mesh",
     "Histogram",
     "read_histogram",
     "write_histogram",

@@ -112,13 +112,19 @@ def _place_by_slot_merge(flat, operands, n_slots: int, size: int):
 
 
 def _route_chip(words, invalid, pos, splitters, ndev: int, cap: int, size: int,
-                impl: str = "auto"):
+                impl: str = "auto", carry_pos: bool = False):
     """Build the [ndev, cap] send buffers for one chip's positions.
 
     Records are grouped by destination with one value-carrying sort; each
     gets slot dest*cap + rank-within-dest. Returns the send buffers plus
     (orig, flat): the original position and send slot of each routed record,
     for the inverse (profile-count) exchange.
+
+    carry_pos: also place each record's original position into a send
+    buffer (send_pos), so the OWNER chip learns where each instance came
+    from — the out-of-core mesh profile path spills (key, src, pos)
+    instance records on the owner (the TPU analog of the reference
+    carrying super-mer ordinals into its bucket files, split.c:1167-1277).
 
     impl: 'scatter' places records with .at[].set (fast on CPU test meshes,
     catastrophic on real TPU chips); 'merge' uses the sort-based placement;
@@ -152,20 +158,20 @@ def _route_chip(words, invalid, pos, splitters, ndev: int, cap: int, size: int,
         impl = "scatter" if jax.default_backend() == "cpu" else "merge"
 
     ones = jnp.ones(size, jnp.uint32)
+    vals = [*ws, *( (orig,) if carry_pos else () ), ones]
     if impl == "merge":
-        placed = _place_by_slot_merge(
-            flat, [*ws, ones], ndev * cap, size)
-        send_words = tuple(p.astype(jnp.uint32).reshape(ndev, cap)
-                           for p in placed[:-1])
-        send_valid = placed[-1].astype(jnp.uint32).reshape(ndev, cap)
+        placed = _place_by_slot_merge(flat, vals, ndev * cap, size)
     else:
-        def scatter(vals, fill):
-            buf = jnp.full(ndev * cap + 1, fill, vals.dtype)
-            return buf.at[flat].set(vals)[:-1].reshape(ndev, cap)
+        def scatter(v):
+            buf = jnp.zeros(ndev * cap + 1, v.dtype)
+            return buf.at[flat].set(v)[:-1]
 
-        send_words = tuple(scatter(w, jnp.uint32(0)) for w in ws)
-        send_valid = scatter(ones, jnp.uint32(0))
-    return send_words, send_valid, overflow, orig, flat
+        placed = [scatter(v) for v in vals]
+    placed = [p.astype(jnp.uint32).reshape(ndev, cap) for p in placed]
+    send_words = tuple(placed[: len(ws)])
+    send_pos = placed[len(ws)] if carry_pos else None
+    send_valid = placed[-1]
+    return send_words, send_valid, overflow, orig, flat, send_pos
 
 
 def _slot_counts_to_routed(flat_counts, send_valid_flat, size: int):
@@ -187,17 +193,25 @@ def _slot_counts_to_routed(flat_counts, send_valid_flat, size: int):
 
 
 def _count_received(words, valid, D_cap: int, want_rec_counts: bool,
-                    k: int = 0):
+                    k: int = 0, pos=None):
     """Sort + segment-count the received records on one chip.
 
     Records with valid==0 are padding; they sort to the end (valid is the
     most significant sort key, inverted). k enables the narrow uint16
-    last sort operand (segmented_count widens its outputs back)."""
+    last sort operand (segmented_count widens its outputs back).
+
+    pos: per-received-record source positions; when given, the key sort
+    also carries (pos, slot) and the sorted instance stream is returned
+    (inst_words folded/widened, inst_pos, inst_slot, n_inst) — padding and
+    invalid records trail, so the first n_inst entries are the instances."""
     from fastk_tpu.ops.count import (
-        positions_inverse, segmented_count, sort_records)
+        positions_inverse, segmented_count, sort_records, widen_words)
 
     inv = (valid == 0).astype(jnp.uint32)
     values = (jnp.arange(D_cap, dtype=jnp.uint32),) if want_rec_counts else ()
+    if pos is not None:
+        values = values + (pos.astype(jnp.uint32),
+                           jnp.arange(D_cap, dtype=jnp.uint32))
     s_words, s_inv, s_vals = sort_records(list(words), inv, values, k=k)
     res = segmented_count(s_words, jnp.zeros(D_cap, jnp.uint32), D_cap,
                           want_elem_counts=want_rec_counts, want_hist=True)
@@ -206,11 +220,18 @@ def _count_received(words, valid, D_cap: int, want_rec_counts: bool,
         # back to received-record order (for the inverse all_to_all);
         # a sort by position, never a scatter (ops.count module doc)
         res["rec_counts"] = positions_inverse(s_vals[0], elem)
+    if pos is not None:
+        o = 1 if want_rec_counts else 0
+        res["inst_words"] = widen_words(tuple(s_words), k)
+        res["inst_pos"] = s_vals[o]
+        res["inst_slot"] = s_vals[o + 1]
+        res["n_inst"] = jnp.sum(valid > 0).astype(jnp.int32)
     return res
 
 
 def sharded_count_fn(mesh: Mesh, k: int, shard_size: int, slack: float = 1.6,
-                     want_positions: bool = False, route_impl: str = "auto"):
+                     want_positions: bool = False, route_impl: str = "auto",
+                     want_inst: bool = False):
     """Build the jitted multi-chip counting step.
 
     Input:  codes [D * shard_size] sharded along the mesh axis; splitters
@@ -220,7 +241,11 @@ def sharded_count_fn(mesh: Mesh, k: int, shard_size: int, slack: float = 1.6,
       hist [32768] (replicated psum), overflow [] (replicated),
       route_overflow [] (replicated; must be 0 for exact results),
       pos_counts [D * shard_size] (if want_positions; count at each original
-      position of the local shard).
+      position of the local shard),
+      inst_words/inst_pos/inst_slot/n_inst (if want_inst; the owner-resident
+      sorted instance stream: each chip's valid received records in key
+      order with their source position and receive slot — slot // cap is
+      the source chip. The out-of-core mesh profile path spills these).
     """
     axis = mesh.axis_names[0]
     D = mesh.devices.size
@@ -238,19 +263,23 @@ def sharded_count_fn(mesh: Mesh, k: int, shard_size: int, slack: float = 1.6,
             # routing scatter, which is very slow on real TPU chips)
             rw, rv = words, (invalid == 0).astype(jnp.uint32)
             route_ovf = jnp.int32(0)
-            orig = flat = None
-            res = _count_received(rw, rv, D_cap, want_positions, k=k)
+            res = _count_received(rw, rv, D_cap, want_positions, k=k,
+                                  pos=pos if want_inst else None)
         else:
-            (send_words, send_valid, route_ovf, orig, flat
+            (send_words, send_valid, route_ovf, orig, flat, send_pos
              ) = _route_chip(words, invalid, pos, splitters, D, cap,
-                            shard_size, impl=route_impl)
+                            shard_size, impl=route_impl,
+                            carry_pos=want_inst)
             recv_words = tuple(
                 jax.lax.all_to_all(w, axis, 0, 0, tiled=False) for w in send_words
             )
             recv_valid = jax.lax.all_to_all(send_valid, axis, 0, 0, tiled=False)
             rw = tuple(w.reshape(D_cap) for w in recv_words)
             rv = recv_valid.reshape(D_cap)
-            res = _count_received(rw, rv, D_cap, want_positions, k=k)
+            rpos = (jax.lax.all_to_all(send_pos, axis, 0, 0, tiled=False
+                                       ).reshape(D_cap) if want_inst else None)
+            res = _count_received(rw, rv, D_cap, want_positions, k=k,
+                                  pos=rpos)
 
         hist = jax.lax.psum(res["hist"], axis) if D > 1 else res["hist"]
         overflow = jax.lax.psum(res["overflow"], axis) if D > 1 else res["overflow"]
@@ -265,6 +294,12 @@ def sharded_count_fn(mesh: Mesh, k: int, shard_size: int, slack: float = 1.6,
             overflow=overflow,
             route_overflow=route_ovf,
         )
+
+        if want_inst:
+            out["inst_words"] = tuple(w[None] for w in res["inst_words"])
+            out["inst_pos"] = res["inst_pos"][None]
+            out["inst_slot"] = res["inst_slot"][None]
+            out["n_inst"] = res["n_inst"][None]
 
         if want_positions:
             if D == 1:
@@ -297,6 +332,11 @@ def sharded_count_fn(mesh: Mesh, k: int, shard_size: int, slack: float = 1.6,
     )
     if want_positions:
         out_specs["pos_counts"] = P(axis)
+    if want_inst:
+        out_specs["inst_words"] = tuple(P(axis) for _ in range(W))
+        out_specs["inst_pos"] = P(axis)
+        out_specs["inst_slot"] = P(axis)
+        out_specs["n_inst"] = P(axis)
 
     fn = shard_map(step, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
                    check_vma=False)
@@ -342,7 +382,7 @@ def sharded_relative_fn(mesh: Mesh, k: int, shard_size: int, table_cap: int,
                         route_overflow=jnp.int32(0))
 
         pos = jnp.arange(shard_size, dtype=jnp.uint32)
-        (send_words, send_valid, route_ovf, orig, flat) = _route_chip(
+        (send_words, send_valid, route_ovf, orig, flat, _sp) = _route_chip(
             words, invalid, pos, splitters, D, cap, shard_size,
             impl=route_impl)
         recv_words = tuple(

@@ -92,75 +92,22 @@ def count_files_sharded(
     """Multi-chip version of pipeline.count.count_files.
 
     Each batch's code stream shards data-parallel across the mesh, keys
-    route by range over ICI, per-chip counts merge across batches on host
-    concatenation of the keyspace-disjoint chip outputs (chip order == key
-    order, so the result is globally sorted). Profiles for a single-batch
-    input come straight from the sharded run's per-position counts (the
-    inverse all_to_all); multi-batch profiles join each batch against the
-    merged table. Returns a CountOutput."""
-    import numpy as np
-
-    from fastk_tpu.formats.hist import Histogram
-    from fastk_tpu.io.reader import batched_reads
-    from fastk_tpu.ops.count import HIST_HIGH
-    from fastk_tpu.ops.kmers import words_to_packed
-    from fastk_tpu.ops.tables import merge_counted
-    from fastk_tpu.formats.ktab import KmerTable
-    from fastk_tpu.pipeline.count import CountOutput, _profiles_from_positions
-
+    route by range over ICI, and each chip merges ITS keyspace range
+    across batches (owner-resident, spilled out-of-core between rounds —
+    parallel.meshooc.count_files_mesh, which this delegates to). Chip
+    order == key order, so the per-chip outputs concatenate into the
+    globally sorted table. Returns a CountOutput."""
     if relative_table is not None:
         # -p:<table> mode: profiles against the given table, no counting
         return relative_profiles_sharded(
             paths, relative_table, mesh, batch_bases=batch_bases,
             verbose=verbose)
 
-    words_list, counts_list = [], []
-    batches, pos_list = [], []
-    nreads = totlen = 0
-    nshort = 0
-    splitters = None
-    reb: dict = {}
-    for batch, _ord in batched_reads(list(paths), batch_bases):
-        if splitters is None:
-            splitters = train_splitters(batch.codes, k, mesh)
-        nshort += int((np.asarray(batch.rlen) < k).sum())
-        words, counts, _hist, _ovf, pos = sharded_count(
-            batch.codes, k, mesh, splitters=splitters,
-            want_positions=profiles, rebalance_state=reb, verbose=verbose)
-        words_list.append(words)
-        counts_list.append(counts)
-        batches.append(batch)
-        pos_list.append(pos)
-        nreads += batch.nreads
-        totlen += batch.totlen
-        if verbose:
-            print(f"  sharded batch: {batch.nreads} reads", flush=True)
+    from fastk_tpu.parallel.meshooc import count_files_mesh
 
-    u_words, u_counts = merge_counted(words_list, counts_list)
-    clipped = np.minimum(u_counts, HIST_HIGH)
-    overflow = int((u_counts - clipped).sum())
-    hist = Histogram.from_clipped_counts(k, clipped, overflow)
-    table = None
-    if table_min is not None:
-        keep = clipped >= table_min
-        table = KmerTable(k, table_min, words_to_packed(u_words[keep], k),
-                          clipped[keep].astype(np.uint16))
-
-    profs = None
-    if profiles:
-        if len(batches) == 1:
-            pc = np.minimum(pos_list[0], HIST_HIGH).astype(np.int32)
-            profs = _profiles_from_positions(batches[0], pc, k)
-        else:
-            # counts span batches: join each batch against the merged table
-            from fastk_tpu.pipeline.count import _device_table, _join_profiles
-
-            full = KmerTable(k, 1, words_to_packed(u_words, k),
-                             clipped.astype(np.uint16))
-            t_words, t_counts = _device_table(full, k)
-            profs = _join_profiles(batches, k, t_words, t_counts)
-    return CountOutput(k, hist, table, profs, nreads, totlen,
-                       nshort=nshort)
+    return count_files_mesh(list(paths), k, mesh=mesh, table_min=table_min,
+                            profiles=profiles, batch_bases=batch_bases,
+                            verbose=verbose)
 
 
 def relative_profiles_sharded(

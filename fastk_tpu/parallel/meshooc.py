@@ -1,0 +1,581 @@
+"""Scale-out mesh counting with bounded per-host memory (the multi-node
+production path).
+
+The reference's multi-node story is: arbitrary input, bounded per-node
+memory, via keyspace-sliced jobs whose outputs splice together
+(README.md:245-353, Fastmerge.c:168-450, Fastcat). This module is the
+TPU-native equivalent as ONE program over a global device mesh:
+
+- Phase 1 (streamed lockstep rounds): every host reads its file shard in
+  batches; each batch's canonical k-mers route to their keyspace OWNER
+  chip over ICI/DCN (parallel.dist.sharded_count_fn — one all_to_all),
+  which sorts and per-batch-deduplicates them. Each host then spills ITS
+  OWN chips' (key, count) segments to local disk, pre-partitioned into
+  per-chip keyspace parts (edges trained on the first batch) — nothing is
+  gathered across hosts and no batch outlives its round, so host RSS stays
+  O(batch) however large the input.
+- Phase 2 (no collectives): per local chip, per part: load the spill,
+  merge across batches on device (merge_unique_blocks), accumulate the
+  histogram, and stream the table slice through KtabWriter. Chips are
+  keyspace-ordered, so each host's slice is sorted and the slices
+  concatenate (Fastcat-style) into the global table.
+- Profiles: phase 1 also spills the owner-resident INSTANCE stream
+  ((key, source-chip, source-position) — the want_inst output) to per-chip
+  parts; phase 2 joins each part's instances against that part's merged
+  table ONCE (profile_join_keys) and buckets the resulting (position,
+  count) pairs by (source host, batch); phase 3 walks batches in lockstep,
+  exchanging each batch's pairs back to the host that owns those reads,
+  which rebuilds one batch's position->count buffer and streams encoded
+  profiles (ProfWriter). Exchange volume per round is O(batch).
+
+Outputs: with ``out_base`` each host streams `.ktab`/`.prof` slice
+file-sets (named ``<out>.<pid>`` when multi-process, ``<out>`` alone when
+single-process); `fastcat` splices slices into the final result exactly as
+the reference's multi-node job plans do. Histograms are 32k-bin arrays and
+are summed across hosts (the only cross-host data besides the per-round
+routing and per-batch profile returns).
+
+Single-process use (nprocs == 1) degrades gracefully and is byte-equal to
+the single-chip out-of-core path; that is how the driver's dryrun and the
+unit tests exercise it on a virtual CPU mesh.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import shutil
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+import fastk_tpu.jaxenv  # noqa: F401  (honor JAX_PLATFORMS over plugins)
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from fastk_tpu.formats.hist import HIST_HIGH, Histogram
+from fastk_tpu.formats.ktab import KmerTable, KtabWriter
+from fastk_tpu.formats.prof import ProfWriter, encode_profiles_bulk
+from fastk_tpu.io.reader import batched_reads
+from fastk_tpu.ops.count import merge_unique_blocks, profile_join_keys
+from fastk_tpu.ops.kmers import nwords, pad_needed, words_to_packed
+from fastk_tpu.parallel.dist import (
+    prefix_histogram,
+    sharded_count_fn,
+    splitters_from_prefix_hist,
+)
+from fastk_tpu.parallel.multihost import (
+    _allgather_ragged,
+    _local_shard_rows,
+    shard_files,
+)
+from fastk_tpu.pipeline.count import CountOutput, _profiles_from_meta
+from fastk_tpu.pipeline.outofcore import _BatchMeta, _PosSpill, _Spill, _train_edges
+
+
+def default_mesh() -> Mesh:
+    """One global 1-D mesh over all devices, PROCESS-MAJOR: each host's
+    chips are contiguous on the axis, so each host owns a contiguous
+    keyspace range and per-host table slices concatenate in key order."""
+    devs = sorted(jax.devices(), key=lambda d: (d.process_index, d.id))
+    return Mesh(np.array(devs), ("d",))
+
+
+def _chip_maps(mesh: Mesh) -> Tuple[np.ndarray, np.ndarray, List[int]]:
+    """(proc_of[chip], rank_of[chip], my_chips): the process of each global
+    chip, its feeding rank within that process (the row order of
+    _local_shard_rows), and this process's chips in global (keyspace)
+    order."""
+    pid = jax.process_index()
+    flat = list(mesh.devices.flat)
+    proc_of = np.array([d.process_index for d in flat], np.int32)
+    rank_of = np.zeros(len(flat), np.int32)
+    seen: dict = {}
+    my_chips = []
+    for i, d in enumerate(flat):
+        rank_of[i] = seen.get(d.process_index, 0)
+        seen[d.process_index] = rank_of[i] + 1
+        if d.process_index == pid:
+            my_chips.append(i)
+    return proc_of, rank_of, my_chips
+
+
+def _gather_sum(arr: np.ndarray) -> np.ndarray:
+    """Sum a fixed-shape per-host array across hosts (identity when
+    single-process)."""
+    from jax.experimental import multihost_utils
+
+    if jax.process_count() == 1:
+        return arr
+    g = np.asarray(multihost_utils.process_allgather(arr))
+    return g.sum(axis=0)
+
+
+def _train_mesh_splitters(codes: np.ndarray, k: int, D: int,
+                          bits: int = 10) -> np.ndarray:
+    """Keyspace splitters from a CROSS-HOST sample: every host contributes
+    its first batch's prefix histogram (a 2^bits array — tiny), the sum is
+    identical everywhere, and quantile edges follow. Replaces training on
+    host 0's batch alone (which mis-balances when hosts hold differently
+    composed inputs)."""
+    if D == 1:
+        return np.zeros(0, dtype=np.uint32)
+    n = min(len(codes), 1 << 20)
+    size = 1 << max(15, int(np.ceil(np.log2(max(n, 2)))))
+    buf = np.full(size + pad_needed(k), 4, dtype=np.uint8)
+    buf[:n] = codes[:n]
+    ph = np.asarray(prefix_histogram(jnp.asarray(buf), k, size, bits)
+                    ).astype(np.int64)
+    ph = _gather_sum(ph)
+    if ph.sum() == 0:
+        ph = np.ones_like(ph)
+    return splitters_from_prefix_hist(ph, D)
+
+
+def _retrain_exact(codes: np.ndarray, k: int, D: int,
+                   sample: int = 1 << 18) -> np.ndarray:
+    """Exact-quantile splitters from a cross-host word0 sample of the
+    CURRENT batch — the route-overflow recovery (the reference refines its
+    trie on skew the same way, split.c:437-472). Every host computes the
+    same result from the gathered sample."""
+    from fastk_tpu.ops.count import fold_invalid
+    from fastk_tpu.ops.kmers import canonical_kmers
+
+    n = min(len(codes), sample)
+    size = 1 << max(15, int(np.ceil(np.log2(max(n, 2)))))
+    buf = np.full(size + pad_needed(k), 4, dtype=np.uint8)
+    buf[:n] = codes[:n]
+
+    @jax.jit
+    def w0(c):
+        words, invalid = canonical_kmers(c, k, size)
+        return fold_invalid((words[0],), invalid)[0]
+
+    mine = np.asarray(w0(jnp.asarray(buf)))
+    mine = mine[mine != 0xFFFFFFFF]
+    allw = np.concatenate(_allgather_ragged(mine.astype(np.uint32)))
+    allw.sort()
+    nv = len(allw)
+    if nv == 0:
+        return ((np.arange(1, D) * (1 << 32)) // D).astype(np.uint32)
+    return allw[[min(nv - 1, nv * t // D)
+                 for t in range(1, D)]].astype(np.uint32)
+
+
+def count_files_mesh(
+    paths: Sequence[str],
+    k: int,
+    mesh: Optional[Mesh] = None,
+    table_min: Optional[int] = None,
+    profiles: bool = False,
+    batch_bases: int = 64 << 20,
+    slack: float = 1.8,
+    sort_path: str = "/tmp",
+    parts_per_chip: int = 1,
+    part_cap: int = 1 << 26,
+    out_base: Optional[str] = None,
+    out_nparts: int = 4,
+    hc: bool = False,
+    bc: int = 0,
+    verbose: bool = False,
+) -> CountOutput:
+    """Count across the global mesh with bounded per-host memory (see
+    module doc). Returns a CountOutput whose hist/nreads/totlen are GLOBAL
+    on every host; the table/profiles are either streamed to `out_base`
+    slices (table=None, table_entries set to the global total) or, without
+    out_base, returned as THIS HOST's keyspace slice (table) and THIS
+    HOST's reads' profiles — callers wanting the whole result in RAM
+    concatenate slices (count_files_multihost does exactly that)."""
+    from jax.experimental import multihost_utils
+
+    pid, nprocs = jax.process_index(), jax.process_count()
+    if mesh is None:
+        mesh = default_mesh()
+    D = mesh.devices.size
+    W = nwords(k)
+    proc_of, rank_of, my_chips = _chip_maps(mesh)
+    n_local = len(my_chips)
+    if n_local == 0:
+        raise ValueError("this process addresses no devices of the mesh")
+    my_paths = shard_files(paths, pid, nprocs) if nprocs > 1 else list(paths)
+
+    # shard geometry is set by the first round's cross-host agreement and
+    # grows (pow2-stepped) when a later batch outgrows it
+    shard_size = 0
+    step = 1 << 14
+
+    gen = (b for b in batched_reads(my_paths, batch_bases, hc=hc, bc=bc))
+    first = next(gen, None)
+    first_codes = (first[0].codes if first is not None
+                   else np.full(1024, 4, np.uint8))
+    splitters = _train_mesh_splitters(first_codes, k, D)
+
+    def put_spl(s):
+        return jax.device_put(jnp.asarray(s, dtype=jnp.uint32),
+                              NamedSharding(mesh, P()))
+
+    spl = put_spl(splitters)
+
+    cur_slack = slack
+
+    def build_fn():
+        # cap must mirror sharded_count_fn's internal slot geometry: the
+        # host decodes inst_slot // cap as the source chip
+        c = int(shard_size // D * cur_slack) if D > 1 else shard_size
+        return sharded_count_fn(mesh, k, shard_size, slack=cur_slack,
+                                want_inst=profiles), c
+
+    fn, cap = None, 0
+
+    base = os.path.join(sort_path, f"fastk_tpu_mesh.{pid}.{os.getpid()}")
+    for d in (base, base + ".inst", base + ".pos"):
+        if os.path.isdir(d):
+            shutil.rmtree(d, ignore_errors=True)
+    nparts_local = n_local * parts_per_chip
+    spill = _Spill(base, nparts_local, W)
+    # instance records: (W key words, position, source-host) per row —
+    # reuse _Spill with W+1 "word" columns and the count column = src host
+    ispill = _Spill(base + ".inst", nparts_local, W + 1) if profiles else None
+    pspill = _PosSpill(base + ".pos") if profiles else None
+    imeta: List[List[Tuple[int, int]]] = [[] for _ in range(nparts_local)]
+    # per-chip part edges, trained on the first batch's uniques per chip
+    edges: List[Optional[np.ndarray]] = [None] * n_local
+
+    metas: List[_BatchMeta] = []
+    nvalid_local = 0
+    nshort = 0
+    stats = dict(max_round_records=0, total_spilled=0, retrains=0,
+                 slack_escalations=0)
+    _order = {d: i for i, d in enumerate(mesh.devices.flat)}
+
+    def _rows_of(arr):
+        """This host's shards of a [D, ...] mesh output as flat numpy
+        arrays, in global chip (= keyspace) order == my_chips order."""
+        rows = sorted(((_order[s.device], np.asarray(s.data).reshape(-1))
+                       for s in arr.addressable_shards), key=lambda t: t[0])
+        assert [r[0] for r in rows] == my_chips
+        return [r[1] for r in rows]
+
+    try:
+        # ---- phase 1: lockstep rounds, spill owner-resident segments ----
+        batch = first[0] if first is not None else None
+        bidx = 0
+        while True:
+            have = 0 if batch is None else 1
+            # a batch can overshoot batch_bases (reads are never split):
+            # agree on a shard size that fits EVERY host's batch this round
+            # (pow2-stepped growth bounds recompiles; SPMD requires all
+            # hosts to rebuild the program together)
+            need = (0 if batch is None
+                    else -(-len(batch.codes) // n_local))
+            if nprocs > 1:
+                flags = np.asarray(multihost_utils.process_allgather(
+                    np.array([have, need], np.int64)))
+                if int(flags[:, 0].max()) == 0:
+                    break
+                need = int(flags[:, 1].max())
+            elif batch is None:
+                break
+            if need > shard_size:
+                shard_size = max(((need + step - 1) // step) * step,
+                                 2 * shard_size)
+                fn, cap = build_fn()
+                if verbose and pid == 0:
+                    print(f"  mesh: shard geometry grown to {shard_size}",
+                          flush=True)
+            codes = (batch.codes if batch is not None
+                     else np.full(16, 4, np.uint8))
+            if batch is not None:
+                metas.append(_BatchMeta(np.asarray(batch.boff),
+                                        np.asarray(batch.rlen),
+                                        len(batch.codes)))
+                nshort += int((np.asarray(batch.rlen) < k).sum())
+
+            out = fn(_local_shard_rows(codes, k, mesh, shard_size), spl)
+            if int(out["route_overflow"]) > 0 and D > 1 and bidx == 0:
+                # cross-host exact retrain — ONLY before anything spilled
+                # (round 0): splitters define chip ownership and the spill
+                # is partitioned per chip, so moving boundaries after a
+                # spill would split a key's counts across two merged
+                # parts. route_overflow is replicated, so every host takes
+                # the same branch.
+                splitters = _retrain_exact(codes, k, D)
+                spl = put_spl(splitters)
+                stats["retrains"] += 1
+                if verbose and pid == 0:
+                    print("  mesh: route overflow, splitters retrained",
+                          flush=True)
+                out = fn(_local_shard_rows(codes, k, mesh, shard_size), spl)
+            while int(out["route_overflow"]) > 0 and D > 1 and cur_slack < D:
+                # capacity escalation: at slack == D every chip can hold
+                # EVERY source's full shard (cap == shard_size), so this
+                # always terminates without moving keyspace boundaries
+                cur_slack = min(2 * cur_slack, D)
+                fn, cap = build_fn()
+                stats["slack_escalations"] += 1
+                if verbose and pid == 0:
+                    print(f"  mesh: route overflow, slack -> {cur_slack}",
+                          flush=True)
+                out = fn(_local_shard_rows(codes, k, mesh, shard_size), spl)
+            if int(out["route_overflow"]) > 0:
+                raise RuntimeError("bucket capacity exceeded; raise slack")
+
+            # extract THIS host's chips and spill
+            nseg = _rows_of(out["nseg"])
+            segv = _rows_of(out["seg_valid"])
+            segc = _rows_of(out["seg_counts"])
+            segw = [_rows_of(out["seg_words"][j]) for j in range(W)]
+            if profiles:
+                ninst = _rows_of(out["n_inst"])
+                ipos = _rows_of(out["inst_pos"])
+                islot = _rows_of(out["inst_slot"])
+                iwords = [_rows_of(out["inst_words"][j]) for j in range(W)]
+            round_rec = 0
+            for li in range(n_local):
+                ns = int(nseg[li][0])
+                v = segv[li][:ns].astype(bool)
+                cw = (np.stack([segw[j][li][:ns][v] for j in range(W)],
+                               axis=1) if v.any()
+                      else np.zeros((0, W), np.uint32))
+                cc = segc[li][:ns][v].astype(np.uint32)
+                nvalid_local += int(cc.astype(np.int64).sum())
+                if edges[li] is None:
+                    if len(cw) == 0 and parts_per_chip > 1:
+                        continue  # nothing spilled yet: train on real keys
+                    edges[li] = _train_edges(
+                        cw[:, 0] if len(cw) else np.zeros(0, np.uint32),
+                        parts_per_chip)
+                cuts = ([0] + [int(np.searchsorted(cw[:, 0], e))
+                               for e in edges[li]] + [len(cc)])
+                for sp in range(parts_per_chip):
+                    spill.append(li * parts_per_chip + sp,
+                                 cw[cuts[sp]: cuts[sp + 1]],
+                                 cc[cuts[sp]: cuts[sp + 1]])
+                round_rec += len(cc)
+                if profiles:
+                    ni = int(ninst[li][0])
+                    iw = np.stack([iwords[j][li][:ni] for j in range(W)],
+                                  axis=1) if ni else np.zeros((0, W),
+                                                              np.uint32)
+                    src_chip = (islot[li][:ni] // cap).astype(np.int64)
+                    # batch-local position on the SOURCE host: feeding rank
+                    # of the source chip times shard_size plus local pos
+                    bpos = (rank_of[src_chip].astype(np.uint32) * shard_size
+                            + ipos[li][:ni])
+                    shost = proc_of[src_chip].astype(np.uint32)
+                    icuts = ([0] + [int(np.searchsorted(iw[:, 0], e))
+                                    for e in edges[li]] + [ni])
+                    for sp in range(parts_per_chip):
+                        lo, hi = icuts[sp], icuts[sp + 1]
+                        if hi > lo:
+                            p = li * parts_per_chip + sp
+                            ispill.append(
+                                p, np.concatenate(
+                                    [iw[lo:hi], bpos[lo:hi, None]], axis=1),
+                                shost[lo:hi])
+                            imeta[p].append((bidx, hi - lo))
+                    round_rec += ni
+            stats["max_round_records"] = max(stats["max_round_records"],
+                                             round_rec)
+            stats["total_spilled"] += round_rec
+            if verbose and pid == 0:
+                print(f"  mesh round {bidx + 1}: {round_rec} records "
+                      "spilled", flush=True)
+            del batch, out
+            nxt = next(gen, None)
+            batch = nxt[0] if nxt is not None else None
+            bidx += 1
+
+        nreads = sum(m.nreads for m in metas)
+        totlen = sum(m.totlen for m in metas)
+
+        # ---- phase 2: per-chip-part device merge, stream table slice ----
+        hist_arr = np.zeros(HIST_HIGH + 1, dtype=np.int64)
+        packed_parts: List[np.ndarray] = []
+        count_parts: List[np.ndarray] = []
+        table_entries = 0
+        stream = out_base is not None
+        slice_base = (out_base if (out_base is None or nprocs == 1)
+                      else f"{out_base}.{pid}")
+        ktw = (KtabWriter(slice_base, k, table_min, nparts=out_nparts)
+               if stream and table_min is not None else None)
+
+        def _merge_range(words, counts, iw, ipos, isrc, bcol):
+            nonlocal table_entries
+            from fastk_tpu.ops.tables import pad_counted_pow2
+
+            m_words, m_counts, capm = pad_counted_pow2(words, counts, W)
+            merged = merge_unique_blocks(m_words, m_counts, capm, k)
+            hist_arr[:] += np.asarray(merged["hist"]).astype(np.int64)
+            nuniq = int(merged["nuniq"])
+            if table_min is not None:
+                u_words = np.stack(
+                    [np.asarray(w[:nuniq]) for w in merged["seg_words"]],
+                    axis=1)
+                u_counts = np.minimum(
+                    np.asarray(merged["seg_counts"][:nuniq]), HIST_HIGH
+                ).astype(np.uint16)
+                keep = u_counts >= table_min
+                table_entries += int(keep.sum())
+                if ktw is not None:
+                    ktw.add(words_to_packed(u_words[keep], k),
+                            u_counts[keep])
+                else:
+                    packed_parts.append(words_to_packed(u_words[keep], k))
+                    count_parts.append(u_counts[keep])
+            if profiles and len(ipos):
+                from fastk_tpu.ops.pack import fetch_u16
+
+                capt = 1 << max(15, math.ceil(math.log2(max(nuniq, 2))))
+                t_words = tuple(w[:capt] for w in merged["seg_words"])
+                t_counts = jnp.minimum(merged["seg_counts"][:capt],
+                                       HIST_HIGH)
+                q_words, _qc, _cq = pad_counted_pow2(iw, None, W)
+                cnts = fetch_u16(
+                    profile_join_keys(t_words, t_counts, q_words))[: len(ipos)]
+                # bucket by (source host, batch): the _PosSpill key is
+                # src * 2^32 + batch; one stable sort groups the records
+                keyv = isrc.astype(np.int64) * (1 << 32) + bcol
+                order = np.argsort(keyv, kind="stable")
+                sk = keyv[order]
+                bounds = np.concatenate(
+                    [[0], np.flatnonzero(sk[1:] != sk[:-1]) + 1, [len(sk)]])
+                for g in range(len(bounds) - 1):
+                    lo, hi = int(bounds[g]), int(bounds[g + 1])
+                    sel = order[lo:hi]
+                    pspill.append(int(sk[lo]), ipos[sel], cnts[sel])
+
+        for li in range(n_local):
+            for sp in range(parts_per_chip):
+                p = li * parts_per_chip + sp
+                words, counts = spill.load(p)
+                if profiles:
+                    irec, isrc = ispill.load(p)
+                    iw, ipos = irec[:, :W], irec[:, W].astype(np.int64)
+                    bcol = np.repeat(
+                        np.array([b for b, _ in imeta[p]], np.int64),
+                        [n for _, n in imeta[p]])
+                else:
+                    iw = ipos = isrc = bcol = None
+                n = len(counts)
+                if n <= part_cap:
+                    _merge_range(words, counts, iw, ipos, isrc, bcol)
+                    continue
+                # sub-split at word0 quantiles (skew backstop; identical
+                # keys share word0 so sub-ranges still partition)
+                nsub = math.ceil(n / part_cap)
+                rng = np.random.default_rng(0)
+                sample = words[rng.integers(0, n, min(n, 1 << 20)), 0]
+                sample.sort()
+                vals = np.unique(np.array(
+                    [sample[len(sample) * t // nsub]
+                     for t in range(1, nsub)], dtype=np.uint32))
+                if verbose:
+                    print(f"  mesh part {p}: {n} records, sub-split into "
+                          f"{len(vals) + 1} ranges", flush=True)
+                bounds = [None, *vals.tolist(), None]
+                for lo, hi in zip(bounds[:-1], bounds[1:]):
+                    m = np.ones(n, dtype=bool)
+                    if lo is not None:
+                        m &= words[:, 0] >= lo
+                    if hi is not None:
+                        m &= words[:, 0] < hi
+                    if profiles:
+                        mi = np.ones(len(ipos), dtype=bool)
+                        if lo is not None:
+                            mi &= iw[:, 0] >= lo
+                        if hi is not None:
+                            mi &= iw[:, 0] < hi
+                        _merge_range(words[m], counts[m], iw[mi], ipos[mi],
+                                     isrc[mi], bcol[mi])
+                    else:
+                        _merge_range(words[m], counts[m], None, None, None,
+                                     None)
+                del words, counts, iw, ipos, isrc, bcol
+
+        if ktw is not None:
+            ktw.close()
+            ktw = None
+
+        # global histogram + totals: the ONLY cross-host reductions
+        hist_arr = _gather_sum(hist_arr)
+        tot = _gather_sum(np.array(
+            [nvalid_local, nreads, totlen, nshort, table_entries], np.int64))
+        nvalid_g, nreads_g, totlen_g, nshort_g, entries_g = (
+            int(x) for x in tot)
+        overflow = nvalid_g - int(
+            (hist_arr[1:] * np.arange(1, HIST_HIGH + 1, dtype=np.int64)).sum())
+        hist = Histogram.from_bins(k, hist_arr, overflow)
+
+        table = None
+        if table_min is not None and not stream:
+            table = KmerTable(
+                k, table_min,
+                np.concatenate(packed_parts) if packed_parts
+                else np.zeros((0, (k + 3) // 4), np.uint8),
+                np.concatenate(count_parts) if count_parts
+                else np.zeros(0, np.uint16))
+
+        # ---- phase 3: profiles back to their reads, per batch ------------
+        profs = None
+        pw = None
+        if profiles:
+            nb = len(metas)
+            if nprocs > 1:
+                nb = int(np.asarray(multihost_utils.process_allgather(
+                    np.array([nb], np.int64))).max())
+            if stream:
+                pw = ProfWriter(slice_base, k, nreads,
+                                nparts=min(out_nparts, max(1, nreads)))
+            else:
+                profs = []
+            for b in range(nb):
+                # rows destined for each host, from MY chips' joins
+                outs = []
+                for dst in range(nprocs):
+                    pos, cnt = pspill.load(dst * (1 << 32) + b)
+                    if len(pos):
+                        outs.append(np.concatenate([
+                            np.full((len(pos), 1), dst, np.uint32),
+                            pos.astype(np.uint32)[:, None],
+                            cnt.astype(np.uint32)[:, None]], axis=1))
+                rows = (np.concatenate(outs) if outs
+                        else np.zeros((0, 3), np.uint32))
+                if nprocs > 1:
+                    rows = np.concatenate(_allgather_ragged(rows))
+                if b < len(metas):
+                    meta = metas[b]
+                    mine = rows[rows[:, 0] == pid]
+                    buf = np.zeros(meta.codes_len, dtype=np.uint16)
+                    buf[mine[:, 1]] = mine[:, 2].astype(np.uint16)
+                    if pw is not None:
+                        plen = np.maximum(meta.rlen - k + 1, 0)
+                        blob, offs = encode_profiles_bulk(
+                            buf, meta.boff[:-1], plen)
+                        pw.add_block(blob, offs)
+                    else:
+                        profs.extend(_profiles_from_meta(
+                            meta.boff, meta.rlen, buf, k))
+            if pw is not None:
+                pw.close()
+                pw = None
+
+        out = CountOutput(k, hist, table, profs, nreads_g, totlen_g,
+                          nshort=nshort_g)
+        out.table_entries = entries_g if table_min is not None else None
+        out.slice_base = slice_base
+        out.mesh_stats = stats
+        return out
+    finally:
+        spill.close()
+        if ispill is not None:
+            ispill.close()
+        if pspill is not None:
+            pspill.close()
+        for d in (base, base + ".inst", base + ".pos"):
+            try:
+                os.rmdir(d)
+            except OSError:
+                pass

@@ -9,16 +9,17 @@ multi-node → multi-host pjit over DCN):
 - input files shard across hosts deterministically (shard_files), reads
   keep a global order (process-major, then file, then read);
 - every host feeds only its ADDRESSABLE devices of the global mesh
-  (jax.make_array_from_process_local_data), and the existing shard_map
-  counting program (parallel.dist.sharded_count_fn) runs unchanged — its
+  (jax.make_array_from_process_local_data), and the shard_map counting
+  program (parallel.dist.sharded_count_fn) runs unchanged — its
   all_to_all keyspace routing rides ICI within a host and DCN across
-  hosts, inserted by XLA from the same code;
-- hosts stay in LOCKSTEP: the global batch count is the max over hosts
-  (short hosts feed sentinel-filled shards), and keyspace splitters are
-  trained once on host 0's first batch and broadcast.
+  hosts, inserted by XLA from the same code.
 
-Single-process use degrades gracefully (process_count == 1), which is how
-the driver's dryrun exercises this path without real multi-host hardware.
+The production counting path lives in parallel.meshooc (owner-resident
+cross-batch merges, per-chip keyspace spill, streamed per-host output
+slices — bounded host memory at any input size); count_files_multihost
+here is the in-RAM convenience wrapper over it. Single-process use
+degrades gracefully (process_count == 1), which is how the driver's
+dryrun exercises this path without real multi-host hardware.
 """
 
 from __future__ import annotations
@@ -29,12 +30,10 @@ from typing import List, Optional, Sequence, Tuple
 import numpy as np
 
 import jax
-import jax.numpy as jnp
-
 import fastk_tpu.jaxenv  # noqa: F401  (honor JAX_PLATFORMS over plugins)
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from fastk_tpu.ops.kmers import nwords, pad_needed
+from fastk_tpu.ops.kmers import pad_needed
 
 
 def init_from_env() -> Tuple[int, int]:
@@ -122,151 +121,53 @@ def count_files_multihost(
     k: int,
     mesh: Optional[Mesh] = None,
     table_min: Optional[int] = None,
+    profiles: bool = False,
     batch_bases: int = 64 << 20,
     slack: float = 1.8,
     verbose: bool = False,
 ):
-    """Global-mesh counting across hosts: histogram + sorted table, every
-    host returning the complete result (CountOutput). Profiles follow the
-    reference's per-block model and are produced per host with
-    count_files_sharded on the host's own shard when needed."""
-    from jax.experimental import multihost_utils
+    """Convenience wrapper over the scale-out mesh path
+    (parallel.meshooc.count_files_mesh) returning the COMPLETE result in
+    RAM on every host.
 
-    from fastk_tpu.formats.hist import Histogram
+    The mesh path keeps uniques owner-resident and spills out-of-core —
+    nothing is gathered across hosts per round; only the FINAL per-host
+    table slices (already merged and keyspace-disjoint) and profile lists
+    are exchanged, once. For results too large for a single host's RAM,
+    call count_files_mesh with ``out_base`` and splice the slice file-sets
+    with fastcat instead (the reference's multi-node job plan,
+    README.md:245-353)."""
     from fastk_tpu.formats.ktab import KmerTable
-    from fastk_tpu.io.reader import batched_reads
-    from fastk_tpu.ops.count import HIST_HIGH
-    from fastk_tpu.ops.kmers import words_to_packed
-    from fastk_tpu.ops.tables import merge_counted
-    from fastk_tpu.parallel.dist import sharded_count_fn
-    from fastk_tpu.parallel.host import train_splitters
-    from fastk_tpu.pipeline.count import CountOutput
+    from fastk_tpu.parallel.meshooc import count_files_mesh, default_mesh
 
-    pid, nprocs = jax.process_index(), jax.process_count()
     if mesh is None:
-        dev = np.array(jax.devices())
-        mesh = Mesh(dev, ("d",))
-    D = mesh.devices.size
-    W = nwords(k)
-    my_paths = shard_files(paths, pid, nprocs) if nprocs > 1 else list(paths)
-
-    # STREAMED lockstep: batches are never materialized up front (host RAM
-    # stays O(batch)); each round every host contributes "do I still have
-    # data" to a tiny allgather, and rounds continue while ANY host does —
-    # short hosts feed sentinel-filled shards to keep the collectives
-    # aligned.
-    gen = (b for b, _ in batched_reads(my_paths, batch_bases))
-
-    # shared shard geometry + splitters (host 0 trains, everyone agrees):
-    # each host's ~batch_bases batch shards over its LOCAL devices, with
-    # headroom for the final read of a batch overshooting the target
-    n_local = sum(1 for d in mesh.devices.flat
-                  if d.process_index == pid)
-    shard_size = (3 * batch_bases // 2 + n_local - 1) // max(n_local, 1)
-    step = 1 << 14
-    shard_size = ((shard_size + step - 1) // step) * step
-    first_batch = next(gen, None)
-    first_codes = (first_batch.codes if first_batch is not None
-                   else np.full(1024, 4, np.uint8))
-    splitters = train_splitters(first_codes, k, mesh)
-    if nprocs > 1:
-        splitters = np.asarray(multihost_utils.broadcast_one_to_all(
-            splitters.astype(np.uint32)))
-    spl = jax.device_put(jnp.asarray(splitters, dtype=jnp.uint32),
-                         NamedSharding(mesh, P()))
-    fn = sharded_count_fn(mesh, k, shard_size, slack=slack,
-                          want_positions=False)
-
-    words_list, counts_list = [], []
-    nvalid = 0
-    nreads = totlen = 0
-    empty = np.full(16, 4, dtype=np.uint8)
-    i = 0
-    batch = first_batch
-    while True:
-        if nprocs > 1:
-            flags = np.asarray(multihost_utils.process_allgather(
-                np.array([0 if batch is None else 1], np.int64))).reshape(-1)
-            if int(flags.max()) == 0:
-                break
-        elif batch is None:
-            break
-        codes = batch.codes if batch is not None else empty
-        if len(codes) > n_local * shard_size:
-            raise ValueError("batch exceeds this host's shard capacity; "
-                             "lower batch_bases")
-        out = fn(_local_shard_rows(codes, k, mesh, shard_size), spl)
-        if int(out["route_overflow"]) > 0:
-            raise RuntimeError("bucket capacity exceeded; raise slack")
-        if batch is not None:
-            nreads += batch.nreads
-            totlen += batch.totlen
-        # this host's keyspace slices live on its local devices; gather the
-        # compacted segments host-locally, then exchange across hosts
-        local_words, local_counts, chip_ids = _local_segments(out, mesh, W)
-        for g in _allgather_ragged(np.concatenate([
-                chip_ids[:, None].astype(np.uint32),
-                local_words.astype(np.uint32),
-                local_counts[:, None].astype(np.uint32)], axis=1)
-                if len(chip_ids) else np.zeros((0, W + 2), np.uint32)):
-            if len(g):
-                words_list.append(g[:, 1: 1 + W])
-                counts_list.append(g[:, 1 + W].astype(np.int64))
-        if verbose and pid == 0:
-            print(f"  multihost round {i + 1}", flush=True)
-        del batch
-        batch = next(gen, None)
-        i += 1
-
-    if not words_list:
-        words_list = [np.zeros((0, W), np.uint32)]
-        counts_list = [np.zeros(0, np.int64)]
-    u_words, u_counts = merge_counted(words_list, counts_list)
-    clipped = np.minimum(u_counts, HIST_HIGH)
-    overflow = int((u_counts - clipped).sum())
-    hist = Histogram.from_clipped_counts(k, clipped, overflow)
-    table = None
+        mesh = default_mesh()
+    out = count_files_mesh(paths, k, mesh=mesh, table_min=table_min,
+                           profiles=profiles, batch_bases=batch_bases,
+                           slack=slack, verbose=verbose)
+    if jax.process_count() == 1:
+        return out
     if table_min is not None:
-        keep = clipped >= table_min
-        table = KmerTable(k, table_min, words_to_packed(u_words[keep], k),
-                          clipped[keep].astype(np.uint16))
-    if nprocs > 1:
-        tot = np.asarray(multihost_utils.process_allgather(
-            np.array([nreads, totlen], np.int64)))
-        nreads, totlen = int(tot[:, 0].sum()), int(tot[:, 1].sum())
-    return CountOutput(k, hist, table, None, nreads, totlen)
-
-
-def _local_segments(out, mesh: Mesh, W: int):
-    """Extract the compacted (words, counts) of the chips THIS process
-    addresses, tagged with their global chip index (= keyspace order).
-    seg_valid alone delimits real segments (False beyond nseg and at the
-    invalid tail, segmented_count)."""
-    dev_order = {d: i for i, d in enumerate(mesh.devices.flat)}
-
-    def rows_of(arr):
-        rows = [(dev_order[s.device], np.asarray(s.data))
-                for s in arr.addressable_shards]
-        rows.sort(key=lambda t: t[0])
-        return rows
-
-    rows_c = rows_of(out["seg_counts"])
-    rows_v = rows_of(out["seg_valid"])
-    rows_w = [rows_of(out["seg_words"][j]) for j in range(W)]
-
-    words_out, counts_out, chips_out = [], [], []
-    for idx in range(len(rows_c)):
-        d, cvals = rows_c[idx]
-        v = rows_v[idx][1].reshape(-1).astype(bool)
-        cv = cvals.reshape(-1)[v]
-        wv = (np.stack([rows_w[j][idx][1].reshape(-1)[v]
-                        for j in range(W)], axis=1)
-              if v.any() else np.zeros((0, W), np.uint32))
-        words_out.append(wv)
-        counts_out.append(np.minimum(cv, 0x7FFFFFFF))
-        chips_out.append(np.full(len(cv), d, np.int64))
-    if words_out:
-        return (np.concatenate(words_out), np.concatenate(counts_out),
-                np.concatenate(chips_out))
-    return (np.zeros((0, W), np.uint32), np.zeros(0, np.int64),
-            np.zeros(0, np.int64))
+        kb = (k + 3) // 4
+        rec = np.concatenate(
+            [out.table.packed,
+             np.ascontiguousarray(out.table.counts, dtype="<u2"
+                                  ).view(np.uint8).reshape(-1, 2)], axis=1)
+        allrec = np.concatenate(_allgather_ragged(rec))  # pid order
+        out.table = KmerTable(
+            k, table_min, allrec[:, :kb],
+            np.ascontiguousarray(allrec[:, kb:]).view("<u2").ravel())
+    if profiles:
+        lens = np.array([len(p) for p in out.profiles], np.int64)
+        vals = (np.concatenate(out.profiles).astype(np.uint32)
+                if out.profiles else np.zeros(0, np.uint32))
+        glens = _allgather_ragged(lens)
+        gvals = _allgather_ragged(vals)
+        profs = []
+        for ls, vs in zip(glens, gvals):
+            off = 0
+            for L in ls:
+                profs.append(vs[off: off + int(L)].astype(np.uint16))
+                off += int(L)
+        out.profiles = profs
+    return out

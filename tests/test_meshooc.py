@@ -1,0 +1,257 @@
+"""The scale-out mesh path (parallel.meshooc): owner-resident cross-batch
+merges, per-chip keyspace spill, streamed per-host output slices, mesh
+profiles, and the 2-process slice-splice flow — all equal to the
+single-chip paths (reference's multi-node property: arbitrary input on
+bounded memory, README.md:44-46, 245-353)."""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+
+
+def _write_fasta(path, reads):
+    with open(path, "w") as f:
+        for i, r in enumerate(reads):
+            f.write(f">r{i}\n{r}\n")
+
+
+def _rand_reads(rng, genome, n, L, nfrac=0.0):
+    out = []
+    for _ in range(n):
+        s = int(rng.integers(0, len(genome) - L))
+        r = genome[s: s + L].copy()
+        if nfrac and rng.random() < nfrac:
+            j = int(rng.integers(0, L - 3))
+            r[j: j + 3] = 99
+        out.append("".join("acgt"[c] if c < 4 else "n" for c in r))
+    return out
+
+
+@pytest.fixture(scope="module")
+def data(tmp_path_factory):
+    rng = np.random.default_rng(7)
+    d = tmp_path_factory.mktemp("meshooc")
+    genome = rng.integers(0, 4, size=3000)
+    paths = []
+    for fno in range(2):
+        p = d / f"f{fno}.fasta"
+        _write_fasta(p, _rand_reads(rng, genome, 40, 100, nfrac=0.15))
+        paths.append(str(p))
+    return paths
+
+
+def test_mesh_matches_incore_multibatch(data):
+    """Multi-batch mesh run (table + profiles + Ns) equals the single-chip
+    in-core pipeline exactly."""
+    from fastk_tpu.parallel.meshooc import count_files_mesh
+    from fastk_tpu.pipeline.count import count_files
+
+    want = count_files(data, 17, table_min=1, profiles=True,
+                       batch_bases=4000)
+    got = count_files_mesh(data, 17, table_min=1, profiles=True,
+                           batch_bases=4000, parts_per_chip=2)
+    assert want.hist == got.hist
+    assert np.array_equal(want.table.packed, got.table.packed)
+    assert np.array_equal(want.table.counts, got.table.counts)
+    assert (want.nreads, want.totlen) == (got.nreads, got.totlen)
+    assert len(want.profiles) == len(got.profiles)
+    for a, b in zip(want.profiles, got.profiles):
+        assert np.array_equal(a, b)
+    # the structural bound: no round held more than its own batch's records
+    st = got.mesh_stats
+    assert st["max_round_records"] < st["total_spilled"]
+
+
+def test_mesh_streamed_filesets_equal_ooc_k40(data, tmp_path):
+    """Streamed .ktab/.prof slice file-sets are byte-identical to the
+    single-chip out-of-core writer's, at a multi-word k (k=40)."""
+    from fastk_tpu.parallel.meshooc import count_files_mesh
+    from fastk_tpu.pipeline.outofcore import count_files_ooc
+
+    oa, ob = str(tmp_path / "ref"), str(tmp_path / "mesh")
+    wa = count_files_ooc(data, 40, parts=3, sort_path=str(tmp_path),
+                         table_min=1, profiles=True, batch_bases=5000,
+                         out_base=oa, out_nparts=3)
+    wb = count_files_mesh(data, 40, table_min=1, profiles=True,
+                          batch_bases=5000, sort_path=str(tmp_path),
+                          parts_per_chip=2, out_base=ob, out_nparts=3)
+    assert wa.hist == wb.hist
+    assert wa.table_entries == wb.table_entries
+
+    def fset(base):
+        dd, bb = os.path.dirname(base), os.path.basename(base)
+        out = {}
+        for f in sorted(os.listdir(dd)):
+            if f.startswith((bb + ".", "." + bb + ".")):
+                with open(os.path.join(dd, f), "rb") as fh:
+                    out[f.replace(bb, "X")] = fh.read()
+        return out
+
+    fa, fb = fset(oa), fset(ob)
+    assert fa.keys() == fb.keys()
+    for kk in fa:
+        assert fa[kk] == fb[kk], f"fileset member {kk} differs"
+
+
+def test_mesh_bounded_rounds_disjoint_batches(tmp_path):
+    """Many batches of (nearly) disjoint k-mers: the spill grows with the
+    input but no single round's host-resident records do — the bounded-
+    memory property that the old per-round allgather design lacked."""
+    from fastk_tpu.parallel.meshooc import count_files_mesh
+    from fastk_tpu.pipeline.count import count_files
+
+    rng = np.random.default_rng(3)
+    reads = []
+    for b in range(6):  # fresh genome per "batch" worth of reads
+        g = rng.integers(0, 4, size=4000)
+        reads += _rand_reads(rng, g, 25, 120)
+    p = tmp_path / "big.fasta"
+    _write_fasta(p, reads)
+
+    want = count_files([str(p)], 40, table_min=1, batch_bases=3000)
+    got = count_files_mesh([str(p)], 40, table_min=1, batch_bases=3000,
+                           sort_path=str(tmp_path))
+    assert want.hist == got.hist
+    assert np.array_equal(want.table.packed, got.table.packed)
+    st = got.mesh_stats
+    # ~6 rounds of ~equal unique volume: a round held < half the total
+    assert st["max_round_records"] * 2 < st["total_spilled"]
+
+
+def test_mesh_skewed_batch_recovers(tmp_path):
+    """Batches dominated by a single k-mer (every instance must route to
+    ONE chip — no splitter can spread them) overflow the routing capacity
+    and recover by retrain + slack escalation, never by moving keyspace
+    boundaries after a spill. Results stay exact."""
+    from fastk_tpu.parallel.meshooc import count_files_mesh
+    from fastk_tpu.pipeline.count import count_files
+
+    rng = np.random.default_rng(5)
+    g = rng.integers(0, 4, size=3000)
+    diverse = _rand_reads(rng, g, 30, 100)
+    skewed = ["a" * 100] * 600  # one canonical 17-mer, ~50k instances
+    p = tmp_path / "skew.fasta"
+    _write_fasta(p, diverse + skewed)
+
+    want = count_files([str(p)], 17, table_min=1, profiles=True,
+                       batch_bases=60000)
+    got = count_files_mesh([str(p)], 17, table_min=1, profiles=True,
+                           batch_bases=60000, sort_path=str(tmp_path))
+    assert want.hist == got.hist
+    assert np.array_equal(want.table.packed, got.table.packed)
+    assert np.array_equal(want.table.counts, got.table.counts)
+    for a, b in zip(want.profiles, got.profiles):
+        assert np.array_equal(a, b)
+    # the recovery path must actually have fired
+    assert got.mesh_stats["slack_escalations"] >= 1
+
+
+_WORKER = r"""
+import os, sys, json
+import numpy as np
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "") +
+                           " --xla_force_host_platform_device_count=2")
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(coordinator_address=sys.argv[1],
+                           num_processes=2, process_id=int(sys.argv[2]))
+from fastk_tpu.parallel.meshooc import count_files_mesh, default_mesh
+from fastk_tpu.formats.hist import write_histogram
+
+paths = json.loads(sys.argv[3])
+out_base = sys.argv[4]
+out = count_files_mesh(paths, 17, mesh=default_mesh(), table_min=1,
+                       profiles=True, batch_bases=3000, out_base=out_base,
+                       out_nparts=2, sort_path=os.path.dirname(out_base))
+write_histogram(out.slice_base + ".h", out.hist)
+with open(sys.argv[5], "w") as f:
+    json.dump(dict(nreads=out.nreads, totlen=out.totlen,
+                   entries=out.table_entries,
+                   slice_base=out.slice_base), f)
+"""
+
+
+@pytest.mark.slow
+def test_mesh_two_process_slices_splice(data, tmp_path):
+    """Two REAL processes (jax.distributed over a localhost coordinator),
+    each streaming its keyspace slice; fastcat splices the slices into the
+    final table/profile sets, equal to a single-chip out-of-core run over
+    the same global read order."""
+    from fastk_tpu.formats.hist import read_histogram
+    from fastk_tpu.formats.ktab import read_ktab
+    from fastk_tpu.formats.prof import read_profiles
+    from fastk_tpu.parallel.multihost import shard_files
+    from fastk_tpu.pipeline.outofcore import count_files_ooc
+    from fastk_tpu.tools.fastcat import (
+        cat_profiles_spliced,
+        cat_tables_spliced,
+        cat_tables_streamed,
+    )
+
+    worker = tmp_path / "worker.py"
+    worker.write_text(_WORKER)
+    out_base = str(tmp_path / "mh")
+    outs = [str(tmp_path / f"o{i}.json") for i in range(2)]
+    env = {**os.environ}
+    env.pop("XLA_FLAGS", None)
+    env.pop("JAX_PLATFORMS", None)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+
+    def attempt():
+        with socket.socket() as s:
+            s.bind(("127.0.0.1", 0))
+            port = s.getsockname()[1]
+        coord = f"127.0.0.1:{port}"
+        procs = [subprocess.Popen(
+            [sys.executable, str(worker), coord, str(i), json.dumps(data),
+             out_base, outs[i]], env=env, stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE) for i in range(2)]
+        for p in procs:
+            try:
+                p.wait(timeout=900)
+            except subprocess.TimeoutExpired:
+                for q in procs:
+                    q.kill()
+                    q.wait()
+                return "mesh worker timed out"
+        for p in procs:
+            if p.returncode != 0:
+                return "worker failed: " + p.stderr.read().decode()[-2000:]
+        return None
+
+    fail = attempt()
+    if fail is not None:
+        fail = attempt()
+    if fail is not None:
+        pytest.fail(fail)
+
+    # global read order is per-host file shards in pid order
+    order = shard_files(data, 0, 2) + shard_files(data, 1, 2)
+    want = count_files_ooc(order, 17, parts=2, sort_path=str(tmp_path),
+                           table_min=1, profiles=True, batch_bases=3000,
+                           out_base=str(tmp_path / "ref"), out_nparts=2)
+
+    slices = [out_base + ".0", out_base + ".1"]
+    tgt = str(tmp_path / "spliced")
+    if not cat_tables_spliced(slices, tgt, keep=True):
+        cat_tables_streamed(slices, tgt, 2)
+    cat_profiles_spliced(slices, tgt, keep=True)
+
+    h0 = read_histogram(out_base + ".0.h")
+    h1 = read_histogram(out_base + ".1.h")
+    assert h0 == h1 == want.hist  # every host computed the GLOBAL hist
+    ta, tb = read_ktab(tgt), read_ktab(str(tmp_path / "ref"))
+    assert np.array_equal(ta.packed, tb.packed)
+    assert np.array_equal(ta.counts, tb.counts)
+    pa, pb = read_profiles(tgt), read_profiles(str(tmp_path / "ref"))
+    assert len(pa) == len(pb)
+    for a, b in zip(pa, pb):
+        assert np.array_equal(a, b)

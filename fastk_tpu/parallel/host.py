@@ -118,25 +118,45 @@ def relative_profiles_sharded(
     slack: float = 1.8,
     route_impl: str = "auto",
     verbose: bool = False,
+    out_base: Optional[str] = None,
+    out_nparts: int = 4,
 ):
-    """Multi-chip `-p:<table>`: profiles of the input reads RELATIVE to a
-    reference table (count = table count, or 0 if absent).
+    """Multi-chip/multi-host `-p:<table>`: profiles of the input reads
+    RELATIVE to a reference table (count = table count, or 0 if absent).
 
     The table is range-partitioned across chips at its own word0 quantiles
     (it is sorted, so the quantiles are exact) and stays chip-resident for
-    every batch; each batch's queries route to their owner chip over ICI.
-    Returns a CountOutput with profiles only (like the single-chip
-    -p:<table> path, which writes no .hist/.ktab)."""
+    every batch; each batch's queries route to their owner chip over
+    ICI/DCN. Multi-process runs shard the input files across hosts
+    (process-major read order) and proceed in lockstep rounds; each host
+    only materializes ITS chips' table rows. With ``out_base`` profiles
+    stream per batch through ProfWriter (per-host slice file-sets when
+    multi-process, spliced by fastcat); otherwise the host's own reads'
+    profiles return in the CountOutput."""
+    import jax
+
     from fastk_tpu.formats.ktab import KmerTable  # noqa: F401 (doc types)
+    from fastk_tpu.formats.prof import ProfWriter, encode_profiles_bulk
     from fastk_tpu.io.reader import batched_reads
     from fastk_tpu.ops.count import HIST_HIGH
     from fastk_tpu.ops.kmers import packed_to_words
     from fastk_tpu.parallel.dist import sharded_relative_fn
+    from fastk_tpu.parallel.multihost import (
+        _allgather_ragged,
+        _local_shard_rows,
+        shard_files,
+    )
     from fastk_tpu.pipeline.count import CountOutput, _profiles_from_positions
 
     k = table.kmer
     D = mesh.devices.size
     W = nwords(k)
+    pid, nprocs = jax.process_index(), jax.process_count()
+    my_paths = (shard_files(list(paths), pid, nprocs) if nprocs > 1
+                else list(paths))
+    local_devices = [d for d in mesh.devices.flat
+                     if d.process_index == pid]
+    n_local = len(local_devices)
     words = packed_to_words(table.packed, k)
     n = words.shape[0]
 
@@ -154,48 +174,147 @@ def relative_profiles_sharded(
                   for s in splitters] + [n]
     table_cap = 1 << max(15, int(np.ceil(np.log2(max(
         max(cuts[d + 1] - cuts[d] for d in range(D)), 2)))))
-    tw = np.full((D, table_cap, W), 0xFFFFFFFF, dtype=np.uint32)
-    tc = np.zeros((D, table_cap), dtype=np.int32)
-    for d in range(D):
+    # each host materializes only ITS chips' table rows (every host reads
+    # the same table file, so the cuts agree)
+    chip_ids = {d: i for i, d in enumerate(mesh.devices.flat)}
+    my_chips = sorted(chip_ids[d] for d in local_devices)
+    twl = np.full((n_local, table_cap, W), 0xFFFFFFFF, dtype=np.uint32)
+    tcl = np.zeros((n_local, table_cap), dtype=np.int32)
+    for r, d in enumerate(my_chips):
         lo, hi = cuts[d], cuts[d + 1]
-        tw[d, : hi - lo] = words[lo:hi]
-        tc[d, : hi - lo] = np.minimum(table.counts[lo:hi], HIST_HIGH)
+        twl[r, : hi - lo] = words[lo:hi]
+        tcl[r, : hi - lo] = np.minimum(table.counts[lo:hi], HIST_HIGH)
     axis_sharding = NamedSharding(mesh, P(mesh.axis_names[0]))
-    t_words = tuple(jax.device_put(np.ascontiguousarray(tw[:, :, j]),
-                                   axis_sharding) for j in range(W))
-    t_counts = jax.device_put(tc, axis_sharding)
+    t_words = tuple(jax.make_array_from_process_local_data(
+        axis_sharding, np.ascontiguousarray(twl[:, :, j]), (D, table_cap))
+        for j in range(W))
+    t_counts = jax.make_array_from_process_local_data(
+        axis_sharding, tcl, (D, table_cap))
     spl = jax.device_put(jnp.asarray(splitters), NamedSharding(mesh, P()))
 
     fn = None
     shard_size = 0
-    profs = []
+    cur_slack = slack
+    profs: Optional[list] = None
+    stream = out_base is not None
+    slice_base = (out_base if (out_base is None or nprocs == 1)
+                  else f"{out_base}.{pid}")
+    if not stream:
+        profs = []
+    # streamed: encoded blocks spool to DISK until the read count is known
+    # (ProfWriter fixes its part cuts from the total up front), then replay
+    # in bounded chunks — host RAM stays O(batch)
+    spool_d = spool_l = None
+    if stream:
+        spool_d = open(slice_base + ".profspool", "w+b")
+        spool_l = open(slice_base + ".lenspool", "w+b")
     nreads = totlen = 0
-    for batch, _ord in batched_reads(list(paths), batch_bases):
-        codes = batch.codes
-        # batches can exceed batch_bases (a read is never split), so size
-        # shards per batch and rebuild the program only when a batch
-        # outgrows the current geometry (pow2-stepped to bound recompiles)
-        need = (max(len(codes), D) + D - 1) // D
-        step = 1 << 14
+    step = 1 << 14
+
+    def _spool_cleanup():
+        for f, suff in ((spool_d, ".profspool"), (spool_l, ".lenspool")):
+            try:
+                f.close()
+            except OSError:
+                pass
+            try:
+                import os
+
+                os.unlink(slice_base + suff)
+            except OSError:
+                pass
+
+    def _my_pos_counts(out, nlocal_codes):
+        rows = sorted(((chip_ids[s.device], np.asarray(s.data).reshape(-1))
+                       for s in out["pos_counts"].addressable_shards),
+                      key=lambda t: t[0])
+        pc = np.concatenate([r[1] for r in rows])
+        return pc[:nlocal_codes].astype(np.int32)
+
+    gen = (b for b, _ in batched_reads(my_paths, batch_bases))
+    batch = next(gen, None)
+    while True:
+        have = 0 if batch is None else 1
+        need = (0 if batch is None
+                else ((max(len(batch.codes), D) + n_local - 1) // n_local))
+        if nprocs > 1:
+            from jax.experimental import multihost_utils
+
+            flags = np.asarray(multihost_utils.process_allgather(
+                np.array([have, need], np.int64)))
+            if int(flags[:, 0].max()) == 0:
+                break
+            need = int(flags[:, 1].max())
+        elif batch is None:
+            break
         need = ((need + step - 1) // step) * step
         if fn is None or need > shard_size:
             shard_size = max(need, 2 * shard_size)
             fn = sharded_relative_fn(mesh, k, shard_size, table_cap,
-                                     slack=slack, route_impl=route_impl)
-        out = fn(_shard_codes(codes, k, mesh, shard_size), spl,
+                                     slack=cur_slack, route_impl=route_impl)
+        codes = (batch.codes if batch is not None
+                 else np.full(16, 4, np.uint8))
+        out = fn(_local_shard_rows(codes, k, mesh, shard_size), spl,
                  t_words, t_counts)
+        while int(out["route_overflow"]) > 0 and D > 1 and cur_slack < D:
+            # capacity escalation (table ownership is fixed by its own
+            # quantiles, so boundaries never move; slack == D always fits)
+            cur_slack = min(2 * cur_slack, D)
+            fn = sharded_relative_fn(mesh, k, shard_size, table_cap,
+                                     slack=cur_slack, route_impl=route_impl)
+            out = fn(_local_shard_rows(codes, k, mesh, shard_size), spl,
+                     t_words, t_counts)
         if int(out["route_overflow"]) > 0:
             raise RuntimeError("bucket capacity exceeded; raise slack")
-        pc = np.asarray(out["pos_counts"]).reshape(-1)[
-            : len(codes)].astype(np.int32)
-        profs.extend(_profiles_from_positions(
-            batch, np.minimum(pc, HIST_HIGH), k))
-        nreads += batch.nreads
-        totlen += batch.totlen
-        if verbose:
-            print(f"  sharded relative batch: {batch.nreads} reads",
-                  flush=True)
-    return CountOutput(k, None, None, profs, nreads, totlen)
+        if batch is not None:
+            pc = np.minimum(_my_pos_counts(out, len(codes)), HIST_HIGH)
+            if stream:
+                plen = np.maximum(np.asarray(batch.rlen) - k + 1, 0)
+                blob, offs = encode_profiles_bulk(
+                    pc.astype(np.uint16), np.asarray(batch.boff)[:-1], plen)
+                np.ascontiguousarray(blob, np.uint8).tofile(spool_d)
+                np.diff(offs, prepend=0).astype("<i8").tofile(spool_l)
+            else:
+                profs.extend(_profiles_from_positions(batch, pc, k))
+            nreads += batch.nreads
+            totlen += batch.totlen
+            if verbose:
+                print(f"  sharded relative batch: {batch.nreads} reads",
+                      flush=True)
+        del batch
+        batch = next(gen, None)
+
+    if stream:
+        pw = ProfWriter(slice_base, k, nreads,
+                        nparts=min(out_nparts, max(1, nreads)))
+        spool_d.flush()
+        spool_l.flush()
+        spool_d.seek(0)
+        spool_l.seek(0)
+        chunk = 1 << 16  # reads per replay block
+        done = 0
+        while done < nreads:
+            lens = np.fromfile(spool_l, dtype="<i8",
+                               count=min(chunk, nreads - done))
+            offs = np.cumsum(lens)
+            blob = np.fromfile(spool_d, dtype=np.uint8,
+                               count=int(offs[-1]) if len(offs) else 0)
+            pw.add_block(blob, offs)
+            done += len(lens)
+        pw.close()
+        _spool_cleanup()
+    if nprocs > 1:
+        from jax.experimental import multihost_utils
+
+        tot = np.asarray(multihost_utils.process_allgather(
+            np.array([nreads, totlen], np.int64)))
+        nreads_g, totlen_g = int(tot[:, 0].sum()), int(tot[:, 1].sum())
+    else:
+        nreads_g, totlen_g = nreads, totlen
+    res = CountOutput(k, None, None, profs, nreads_g, totlen_g)
+    res.slice_base = slice_base
+    res.slice_nreads = nreads
+    return res
 
 
 def sharded_count(

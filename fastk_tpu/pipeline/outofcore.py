@@ -231,7 +231,7 @@ def _load_manifest(base: str) -> Optional[dict]:
 def count_files_ooc(
     paths: Sequence[str],
     k: int,
-    parts: int,
+    parts: Optional[int],
     sort_path: str = "/tmp",
     table_min: Optional[int] = None,
     profiles: bool = False,
@@ -243,12 +243,22 @@ def count_files_ooc(
     out_nparts: int = 4,
     part_cap: int = 1 << 26,
     resume: bool = False,
+    est_bases: Optional[int] = None,
 ) -> CountOutput:
     """Bounded-memory counting via `parts` disk buckets (the -M path).
 
     With ``out_base`` the .ktab (if table_min) and .prof (if profiles)
     file-sets are STREAMED to disk as they are produced; the returned
     CountOutput then has table=None/profiles=None and table_entries set.
+
+    parts=None sizes the plan from MEASURED data: the first batch's device
+    dedup ratio (uniques/valid — the reference's `ratio` extrapolation,
+    FastK.c:417-429) times est_bases estimates the total spilled records,
+    and parts = ceil(est / part_cap). At coverage C this plans ~C-fold
+    fewer parts than the worst case. Whatever the plan, phase 2
+    CONSOLIDATES consecutive near-empty parts into one device merge (so
+    over-provisioning costs file handles, not device calls) and sub-splits
+    overflowing ones.
 
     part_cap: max records merged in one device call; a part whose spill
     exceeds it is sub-split at word0 quantiles (skew recovery).
@@ -260,12 +270,14 @@ def count_files_ooc(
     already spilled is never redone.
     """
     W = nwords(k)
-    sig = _run_signature(paths, k, parts, table_min, profiles, hc, bc,
-                         batch_bases)
+    sig = _run_signature(paths, k, "auto" if parts is None else parts,
+                         table_min, profiles, hc, bc, batch_bases)
     base = os.path.join(sort_path, f"fastk_tpu_ooc.{sig}")
     state = _load_manifest(base) if resume else None
     if state is not None and state.get("sig") != sig:
         state = None
+    if state is not None and parts is None:
+        parts = state.get("parts")  # resolved by the interrupted run
     # phase-2 .pos state is never resumable: clear it even when resuming,
     # or stale batch*.pos from a hard-killed phase 2 would be appended to
     if os.path.isdir(base + ".pos"):
@@ -278,17 +290,22 @@ def count_files_ooc(
     if verbose and bdone:
         print(f"  resume: phase 1 re-enters after batch {bdone}",
               flush=True)
-    spill = _Spill(base, parts, W,
-                   resume_nrec=state["nrec"] if state else None)
-    # instance spill: value column = batch-local position; per-part append
-    # metadata (batch idx, n) rebuilds the batch column on load
-    ispill = (_Spill(base + ".inst", parts, W,
-                     resume_nrec=state["inrec"] if state else None)
-              if profiles else None)
+    # with parts=None the spills are created on the first batch, once the
+    # measured ratio fixes the plan
+    spill: Optional[_Spill] = None
+    ispill: Optional[_Spill] = None
+    imeta: List[List[Tuple[int, int]]] = []
+    if parts is not None:
+        spill = _Spill(base, parts, W,
+                       resume_nrec=state["nrec"] if state else None)
+        # instance spill: value column = batch-local position; per-part
+        # append metadata (batch idx, n) rebuilds the batch column on load
+        ispill = (_Spill(base + ".inst", parts, W,
+                         resume_nrec=state["inrec"] if state else None)
+                  if profiles else None)
+        imeta = ([[tuple(x) for x in lst] for lst in state["imeta"]]
+                 if state else [[] for _ in range(parts)])
     pspill = _PosSpill(base + ".pos") if profiles else None
-    imeta: List[List[Tuple[int, int]]] = (
-        [[tuple(x) for x in lst] for lst in state["imeta"]] if state
-        else [[] for _ in range(parts)])
     edges: Optional[np.ndarray] = (
         np.array(state["edges"], dtype=np.uint32) if state else None)
     metas: List[_BatchMeta] = []
@@ -299,7 +316,7 @@ def count_files_ooc(
     try:
         # ---- phase 1: per-batch device dedup, spill by key range ----------
         def _spill_one(res, label, batch_complete: bool):
-            nonlocal nvalid_total, edges
+            nonlocal nvalid_total, edges, parts, spill, ispill, imeta
             bidx, nreads, off = label
             nu = int(res["nuniq"])
             nval = int(res["nvalid"])
@@ -307,6 +324,23 @@ def count_files_ooc(
             words = np.stack(
                 [np.asarray(w[:nu]) for w in res["seg_words"]], axis=1)
             counts = np.asarray(res["seg_counts"][:nu]).astype(np.uint32)
+            if parts is None:
+                # measured-coverage plan: extrapolate total spilled records
+                # as est_bases x (first-slice uniques / valid instances),
+                # with 25% headroom for cross-batch novelty; sub-split and
+                # consolidation absorb estimation error in either direction
+                ratio = nu / max(nval, 1)
+                est = max(est_bases or 0, nval)
+                parts = max(2, min(4096,
+                                   math.ceil(est * ratio * 1.25 / part_cap)))
+                if verbose:
+                    print(f"  measured dedup ratio {ratio:.3f}: planning "
+                          f"{parts} parts", flush=True)
+            if spill is None:
+                spill = _Spill(base, parts, W)
+                if profiles:
+                    ispill = _Spill(base + ".inst", parts, W)
+                imeta = [[] for _ in range(parts)]
             if edges is None:
                 edges = _train_edges(words[:, 0] if nu else
                                      np.zeros(0, np.uint32), parts)
@@ -342,7 +376,7 @@ def count_files_ooc(
                 _save_manifest(base, dict(
                     sig=sig, batches_done=bidx + 1, nrec=spill.nrec,
                     inrec=ispill.nrec if ispill is not None else None,
-                    imeta=imeta, nvalid=nvalid_total,
+                    imeta=imeta, nvalid=nvalid_total, parts=parts,
                     edges=[int(x) for x in edges]))
 
         # one-batch lookahead so the next batch's parse/pack/H2D overlaps
@@ -370,6 +404,12 @@ def count_files_ooc(
             del batch  # codes must not outlive phase 1 (bounded RSS)
         if pending is not None:
             _spill_one(*pending, batch_complete=True)
+        if spill is None:  # empty input: no batch ever resolved the plan
+            parts = parts or 2
+            spill = _Spill(base, parts, W)
+            if profiles:
+                ispill = _Spill(base + ".inst", parts, W)
+            imeta = [[] for _ in range(parts)]
 
         nreads = sum(m.nreads for m in metas)
         totlen = sum(m.totlen for m in metas)
@@ -445,20 +485,43 @@ def count_files_ooc(
                         m = bcol == b
                         pspill.append(int(b), ipos[m], cnts[m])
 
+        # consolidate consecutive near-empty parts into one device merge:
+        # parts are keyspace-ordered, so a group is just a wider range and
+        # its merged output still concatenates in order (the inverse of
+        # sub-splitting; heals over-provisioned plans)
+        groups: List[List[int]] = []
         for p in range(parts):
-            words, counts = spill.load(p)
+            if groups and (sum(spill.nrec[q] for q in groups[-1])
+                           + spill.nrec[p] <= part_cap):
+                groups[-1].append(p)
+            else:
+                groups.append([p])
+        if verbose and len(groups) < parts:
+            print(f"  {parts} parts consolidated into {len(groups)} "
+                  "merges", flush=True)
+
+        for grp in groups:
+            loads = [spill.load(p) for p in grp]
+            words = np.concatenate([w for w, _ in loads])
+            counts = np.concatenate([c for _, c in loads])
+            del loads
             if profiles:
-                iw, ipos = ispill.load(p)
-                bcol = np.repeat(
+                iloads = [ispill.load(p) for p in grp]
+                iw = np.concatenate([w for w, _ in iloads])
+                ipos = np.concatenate([c for _, c in iloads])
+                del iloads
+                bcol = np.concatenate([np.repeat(
                     np.array([b for b, _ in imeta[p]], np.int64),
-                    [cnt_n for _, cnt_n in imeta[p]])
+                    [cnt_n for _, cnt_n in imeta[p]]) for p in grp])
             else:
                 iw = ipos = bcol = None
             n = len(counts)
+            p = grp[0]
             if n <= part_cap:
                 if verbose:
-                    print(f"  part {p + 1}/{parts}: {n} records",
-                          flush=True)
+                    print(f"  part {p + 1}/{parts}"
+                          + (f" (+{len(grp) - 1})" if len(grp) > 1 else "")
+                          + f": {n} records", flush=True)
                 _merge_range(words, counts, iw, ipos, bcol)
                 continue
             # part overflow recovery: sub-split the part at word0 quantile
@@ -543,7 +606,8 @@ def count_files_ooc(
         keep_spill = resume
         raise
     finally:
-        spill.close(remove=not keep_spill)
+        if spill is not None:
+            spill.close(remove=not keep_spill)
         if ispill is not None:
             ispill.close(remove=not keep_spill)
         if pspill is not None:

@@ -193,15 +193,38 @@ def _run(cfg, out_base):
     parts, part_cap = _ooc_plan(est_bases, cfg["M"], profiles=cfg["p"])
 
     nparts = max(1, cfg["T"])
+
+    # multi-host mode: launched with FASTK_TPU_COORD/_NPROCS/_PROC set on
+    # every host (the reference's multi-node job plans, README.md:245-353,
+    # as ONE lockstep mesh program). Each host streams its keyspace slice;
+    # host 0 splices them into the final file-sets with the fastcat
+    # machinery and writes the histogram.
+    from fastk_tpu.parallel.multihost import init_from_env
+
+    pid, nprocs = init_from_env()
+    if nprocs > 1:
+        try:
+            return _run_mesh(cfg, out_base, rel, batch_bases, nparts,
+                             part_cap, pid, nprocs)
+        except BaseException:
+            _clean_outputs(out_base if pid == 0
+                           else f"{out_base}.{pid}")
+            raise
+
     try:
         if parts > 1 and rel is None:
             from fastk_tpu.pipeline.outofcore import count_files_ooc
 
             if cfg["v"]:
-                print(f"  out-of-core: {parts} keyspace parts under "
-                      f"{cfg['M']}GB budget", file=sys.stderr)
+                print(f"  out-of-core: <= {parts} keyspace parts under "
+                      f"{cfg['M']}GB budget (measured plan follows)",
+                      file=sys.stderr)
+            # parts=None: the plan is sized INSIDE from the first batch's
+            # measured dedup ratio x est_bases (the reference's `ratio`
+            # extrapolation, FastK.c:417-429) instead of the worst case
             out = count_files_ooc(
-                cfg["inputs"], cfg["k"], parts,
+                cfg["inputs"], cfg["k"], None,
+                est_bases=est_bases,
                 sort_path=cfg["P"],
                 table_min=cfg["t"],
                 profiles=cfg["p"],
@@ -258,6 +281,65 @@ def _run(cfg, out_base):
         import jax
 
         jax.profiler.stop_trace()
+    return 0
+
+
+def _run_mesh(cfg, out_base, rel, batch_bases, nparts, part_cap, pid,
+              nprocs):
+    """Multi-host job body: every host runs the same lockstep mesh program
+    over its file shard and streams `<out>.<pid>` slice file-sets; host 0
+    splices them (fastcat) into `<out>` and writes the histogram."""
+    from jax.experimental import multihost_utils
+
+    from fastk_tpu.formats.hist import write_histogram
+    from fastk_tpu.parallel.meshooc import count_files_mesh, default_mesh
+
+    mesh = default_mesh()
+    if cfg["v"] and pid == 0:
+        print(f"  multi-host: {nprocs} processes, "
+              f"{mesh.devices.size} chips", file=sys.stderr)
+    if rel is not None:
+        from fastk_tpu.parallel.host import relative_profiles_sharded
+
+        out = relative_profiles_sharded(
+            cfg["inputs"], rel, mesh, batch_bases=batch_bases,
+            verbose=cfg["v"], out_base=out_base, out_nparts=nparts)
+    else:
+        out = count_files_mesh(
+            cfg["inputs"], cfg["k"], mesh=mesh, table_min=cfg["t"],
+            profiles=cfg["p"], batch_bases=batch_bases,
+            sort_path=cfg["P"], out_base=out_base, out_nparts=nparts,
+            part_cap=part_cap, hc=cfg["c"], bc=cfg["bc"],
+            verbose=cfg["v"])
+    multihost_utils.sync_global_devices("fastk_mesh_slices_done")
+    if pid == 0:
+        from fastk_tpu.tools.fastcat import (
+            cat_profiles_spliced,
+            cat_tables_spliced,
+            cat_tables_streamed,
+        )
+        from fastk_tpu.tools.fastrm import remove_set
+
+        slices = [f"{out_base}.{q}" for q in range(nprocs)]
+        if rel is None:
+            write_histogram(out_base, out.hist)
+            if cfg["t"] is not None:
+                # destructive splice: O(1) hardlink of slice parts
+                if not cat_tables_spliced(slices, out_base, keep=False):
+                    cat_tables_streamed(slices, out_base, nparts)
+        if cfg["p"]:
+            cat_profiles_spliced(slices, out_base, keep=False)
+        for s in slices:
+            for ext in (".ktab", ".prof"):
+                try:
+                    remove_set(s + ext, force=True)
+                except Exception:
+                    pass
+        if cfg["v"]:
+            print(f"  spliced {nprocs} host slices into {out_base}",
+                  file=sys.stderr)
+    # hosts leave together so slice files outlive every reader
+    multihost_utils.sync_global_devices("fastk_mesh_spliced")
     return 0
 
 

@@ -255,3 +255,97 @@ def test_mesh_two_process_slices_splice(data, tmp_path):
     assert len(pa) == len(pb)
     for a, b in zip(pa, pb):
         assert np.array_equal(a, b)
+
+
+def test_relative_sharded_streamed(data, tmp_path):
+    """Multi-chip -p:<table> with streamed ProfWriter output (disk spool,
+    bounded RAM) equals the single-chip relative run."""
+    from fastk_tpu.formats.prof import read_profiles
+    from fastk_tpu.parallel.dist import make_mesh
+    from fastk_tpu.parallel.host import relative_profiles_sharded
+    from fastk_tpu.pipeline.count import count_files
+
+    base = count_files([data[0]], 17, table_min=1, batch_bases=100000)
+    want = count_files([data[1]], 17, profiles=True,
+                       relative_table=base.table, batch_bases=3000)
+    out = relative_profiles_sharded([data[1]], base.table, make_mesh(8),
+                                    batch_bases=3000,
+                                    out_base=str(tmp_path / "rel"))
+    ps = read_profiles(str(tmp_path / "rel"))
+    assert len(ps) == len(want.profiles)
+    for a, b in zip(ps, want.profiles):
+        assert np.array_equal(a, b)
+    assert not any(f.endswith(("profspool", "lenspool"))
+                   for f in os.listdir(tmp_path))
+
+
+@pytest.mark.slow
+def test_cli_multihost_two_process(data, tmp_path):
+    """The fastk CLI in multi-host mode (FASTK_TPU_COORD env on 2
+    processes): spliced .hist/.ktab/.prof equal a single-process run over
+    the same global read order; slice file-sets are cleaned up. A second
+    2-process run does -p:<table> (relative) against the spliced table."""
+    import fastk_tpu as fk
+    from fastk_tpu.parallel.multihost import shard_files
+    from fastk_tpu.pipeline.count import count_files
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    env = {**os.environ}
+    env.pop("XLA_FLAGS", None)
+    env.pop("JAX_PLATFORMS", None)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    env["FASTK_TPU_NPROCS"] = "2"
+    env["FASTK_TPU_BATCH_BASES"] = "3000"
+    out = str(tmp_path / "mh")
+
+    def run2(args, port):
+        e0 = {**env, "FASTK_TPU_COORD": f"127.0.0.1:{port}"}
+        procs = [subprocess.Popen(
+            [sys.executable, "-m", "fastk_tpu.tools.fastk", *args],
+            env={**e0, "FASTK_TPU_PROC": str(i)}, cwd=repo,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE)
+            for i in range(2)]
+        for p in procs:
+            try:
+                p.wait(timeout=900)
+            except subprocess.TimeoutExpired:
+                for q in procs:
+                    q.kill()
+                    q.wait()
+                pytest.fail("multihost CLI timed out")
+        for p in procs:
+            assert p.returncode == 0, p.stderr.read().decode()[-2000:]
+
+    run2(["-k17", "-t1", "-p", f"-P{tmp_path}", *data, f"-N{out}"], port)
+
+    order = shard_files(data, 0, 2) + shard_files(data, 1, 2)
+    want = count_files(order, 17, table_min=1, profiles=True,
+                       batch_bases=3000)
+    assert fk.read_histogram(out) == want.hist
+    t = fk.read_ktab(out)
+    assert np.array_equal(t.packed, want.table.packed)
+    assert np.array_equal(t.counts, want.table.counts)
+    ps = fk.read_profiles(out)
+    assert len(ps) == len(want.profiles)
+    for a, b in zip(ps, want.profiles):
+        assert np.array_equal(a, b)
+    assert not any("mh.0" in f or "mh.1" in f for f in os.listdir(tmp_path))
+
+    # relative profiles (-p:<table>) across 2 processes
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port2 = s.getsockname()[1]
+    rout = str(tmp_path / "rel")
+    run2(["-k17", f"-p:{out}.ktab", f"-P{tmp_path}", data[0],
+          f"-N{rout}"], port2)
+    rwant = count_files([data[0]], 17, profiles=True,
+                        relative_table=want.table, batch_bases=3000)
+    rps = fk.read_profiles(rout)
+    assert len(rps) == len(rwant.profiles)
+    for a, b in zip(rps, rwant.profiles):
+        assert np.array_equal(a, b)

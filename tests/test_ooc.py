@@ -1,5 +1,7 @@
 """Out-of-core (bounded-memory) counting equals the in-core pipeline."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -274,3 +276,71 @@ def test_ooc_plan_bounds():
     p_hist, _ = _ooc_plan(200_000_000, 12, profiles=False)
     p_prof, _ = _ooc_plan(200_000_000, 12, profiles=True)
     assert p_hist == 1 and p_prof > 1
+
+
+def test_measured_plan_coverage_aware(tmp_path):
+    """parts=None sizes the plan from the first batch's measured dedup
+    ratio (FastK.c:417-429's `ratio` trick): high-coverage input plans
+    ~coverage-fold fewer parts than the worst case, outputs identical."""
+    import io as _io
+    from contextlib import redirect_stdout
+
+    from fastk_tpu.pipeline.count import count_files
+    from fastk_tpu.pipeline.outofcore import count_files_ooc
+
+    rng = np.random.default_rng(9)
+    genome = rng.integers(0, 4, size=400)  # tiny genome -> ~20X coverage
+    p = tmp_path / "hi.fasta"
+    with open(p, "w") as f:
+        for i in range(80):
+            s = int(rng.integers(0, len(genome) - 100))
+            r = "".join("acgt"[c] for c in genome[s: s + 100])
+            f.write(f">r{i}\n{r}\n")
+    est = os.path.getsize(p)  # ~8000 bases
+
+    want = count_files([str(p)], 17, table_min=1, profiles=True,
+                       batch_bases=2000)
+    buf = _io.StringIO()
+    with redirect_stdout(buf):
+        got = count_files_ooc([str(p)], 17, None, sort_path=str(tmp_path),
+                              table_min=1, profiles=True, batch_bases=2000,
+                              part_cap=400, est_bases=est, verbose=True)
+    log = buf.getvalue()
+    assert "measured dedup ratio" in log
+    import re
+
+    m = re.search(r"planning (\d+) parts", log)
+    measured_parts = int(m.group(1))
+    # worst case would be ceil(est/part_cap) = ~20 parts; ~20X coverage
+    # dedups the batch ~5x (batch 2000 vs genome 400), so the measured
+    # plan must be several-fold smaller
+    worst = -(-est // 400)
+    assert measured_parts <= worst // 3
+    assert want.hist == got.hist
+    assert np.array_equal(want.table.packed, got.table.packed)
+    assert np.array_equal(want.table.counts, got.table.counts)
+    for x, y in zip(want.profiles, got.profiles):
+        assert np.array_equal(x, y)
+
+
+def test_part_consolidation(data, tmp_path):
+    """An over-provisioned plan (many near-empty parts) consolidates into
+    few device merges with identical outputs."""
+    import io as _io
+    from contextlib import redirect_stdout
+
+    from fastk_tpu.pipeline.count import count_files
+    from fastk_tpu.pipeline.outofcore import count_files_ooc
+
+    want = count_files([data], 17, table_min=1, profiles=True,
+                       batch_bases=4000)
+    buf = _io.StringIO()
+    with redirect_stdout(buf):
+        got = count_files_ooc([data], 17, 16, sort_path=str(tmp_path),
+                              table_min=1, profiles=True, batch_bases=4000,
+                              verbose=True)
+    assert "consolidated into" in buf.getvalue()
+    assert want.hist == got.hist
+    assert np.array_equal(want.table.packed, got.table.packed)
+    for x, y in zip(want.profiles, got.profiles):
+        assert np.array_equal(x, y)

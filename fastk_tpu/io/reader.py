@@ -233,13 +233,45 @@ def _ingest_threads() -> int:
     return n()
 
 
+def _pooled(chunks, parse_one):
+    """Parse an iterator of record chunks with a bounded worker pool,
+    yielding results in file order; at most (workers + 1) raw chunks are
+    in flight, so host memory stays O(workers * chunk) regardless of file
+    size. Native parsers release the GIL (ctypes), so workers run truly
+    in parallel — the reference's ITHREADS input data-parallelism
+    (io.c:2280-2600) with the boundary snap done once at chunk seams."""
+    nw = _ingest_threads()
+    if nw <= 1:
+        def gen_serial():
+            for buf in chunks:
+                yield parse_one(buf)
+
+        return gen_serial()
+
+    def gen():
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=nw) as pool:
+            pending = deque()
+            for buf in chunks:
+                pending.append(pool.submit(parse_one, buf))
+                del buf
+                while len(pending) > nw:
+                    yield pending.popleft().result()
+            while pending:
+                yield pending.popleft().result()
+
+    return gen()
+
+
 def _scan_stream_native(path: str, fmt: str, hc: bool, bc: int):
     """Streamed native parse: yields (codes, boff, rlen) per record chunk,
-    or None when unavailable (caller falls back to the Python parser).
+    or None when unavailable (caller falls back to the Python parser)."""
+    if fmt in ("bam", "sam"):
+        from fastk_tpu.io.sam import scan_stream_native
 
-    Chunks are parsed by a bounded pool of worker threads and yielded in
-    file order; at most (workers + 1) raw chunks are in flight, so host
-    memory stays O(workers * INGEST_CHUNK) regardless of file size."""
+        return scan_stream_native(path, fmt, hc, bc)
     if fmt not in ("fasta", "fastq"):
         return None
     from fastk_tpu import native
@@ -255,29 +287,7 @@ def _scan_stream_native(path: str, fmt: str, hc: bool, bc: int):
             piece = (b.codes, b.boff, b.rlen)
         return piece
 
-    nw = _ingest_threads()
-    if nw <= 1:
-        def gen_serial():
-            for buf in _record_chunks(path, fmt):
-                yield parse_one(buf)
-
-        return gen_serial()
-
-    def gen():
-        from collections import deque
-        from concurrent.futures import ThreadPoolExecutor
-
-        with ThreadPoolExecutor(max_workers=nw) as pool:
-            pending = deque()
-            for buf in _record_chunks(path, fmt):
-                pending.append(pool.submit(parse_one, buf))
-                del buf
-                while len(pending) > nw:
-                    yield pending.popleft().result()
-            while pending:
-                yield pending.popleft().result()
-
-    return gen()
+    return _pooled(_record_chunks(path, fmt), parse_one)
 
 
 def _iter_buffer(buf: bytes, fmt: str) -> Iterator[bytes]:

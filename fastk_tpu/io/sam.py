@@ -91,6 +91,122 @@ def _read_exact(f, n: int, path: str) -> bytes:
     return b
 
 
+def _bam_header_len(buf: bytes) -> int:
+    """Byte length of the BAM header (magic + text + refs) or -1 when buf
+    is too short to hold it all."""
+    if len(buf) < 12:
+        return -1
+    if buf[:4] != b"BAM\x01":
+        raise ValueError("not a BAM file (bad magic)")
+    (l_text,) = struct.unpack_from("<i", buf, 4)
+    off = 8 + l_text
+    if len(buf) < off + 4:
+        return -1
+    (n_ref,) = struct.unpack_from("<i", buf, off)
+    off += 4
+    for _ in range(n_ref):
+        if len(buf) < off + 4:
+            return -1
+        (l_name,) = struct.unpack_from("<i", buf, off)
+        off += 4 + l_name + 4
+        if len(buf) < off:
+            return -1
+    return off
+
+
+def _bam_record_chunks(path: str) -> Iterator[bytes]:
+    """Buffers of WHOLE BAM alignment records (header stripped): inflated
+    BGZF chunks accumulate and cut at record boundaries via the native
+    size-hop (fk_bam_cut) — no per-record Python."""
+    from fastk_tpu import native
+    from fastk_tpu.io.bgzf import iter_bgzf_chunks, is_bgzf
+
+    chunks = (iter_bgzf_chunks(path) if is_bgzf(path)
+              else _raw_gz_chunks(path))
+    carry = b""
+    hdr_done = False
+    for c in chunks:
+        buf = carry + c if carry else c
+        if not hdr_done:
+            hlen = _bam_header_len(buf)
+            if hlen < 0:
+                carry = buf
+                continue
+            buf = buf[hlen:]
+            hdr_done = True
+        cut = native.bam_cut(buf)
+        if cut:
+            yield buf[:cut]
+        carry = buf[cut:]
+    if not hdr_done:
+        if _bam_header_len(carry) != len(carry):
+            raise ValueError(f"{path}: truncated BAM file")
+        return
+    if carry:
+        raise ValueError(f"{path}: truncated BAM file")
+
+
+def _raw_gz_chunks(path: str, chunk: int = 8 << 20) -> Iterator[bytes]:
+    with _open(path) as f:
+        while True:
+            b = f.read(chunk)
+            if not b:
+                return
+            yield b
+
+
+def _sam_line_chunks(path: str, chunk: int = 16 << 20) -> Iterator[bytes]:
+    """Buffers of whole SAM lines (the record-boundary snap at chunk
+    seams; the final buffer may lack a trailing newline)."""
+    carry = b""
+    with _open(path) as f:
+        while True:
+            raw = f.read(chunk)
+            if not raw:
+                break
+            buf = carry + raw if carry else raw
+            cut = buf.rfind(b"\n") + 1
+            if cut == 0:
+                carry = buf
+                continue
+            yield buf[:cut]
+            carry = buf[cut:]
+    if carry:
+        yield carry
+
+
+def scan_stream_native(path: str, fmt: str, hc: bool, bc: int):
+    """Streamed native BAM/SAM parse: a generator of (codes, boff, rlen)
+    pieces, or None when the native library is unavailable (callers fall
+    back to the per-record Python iterators). Chunks are parsed by the
+    shared bounded worker pool — the reference scans both formats with
+    threaded C the same way (io.c:1317-1654)."""
+    from fastk_tpu import native
+
+    if native.load() is None:
+        return None
+
+    if fmt == "bam":
+        chunks = _bam_record_chunks(path)
+
+        def parse_one(buf: bytes):
+            codes, boff, rlen, consumed = native.scan_bam(buf, hc=hc, bc=bc)
+            assert consumed == len(buf)  # producer cut at record bounds
+            return codes, boff, rlen
+    else:
+        chunks = _sam_line_chunks(path)
+
+        def parse_one(buf: bytes):
+            codes, boff, rlen, consumed = native.scan_sam(
+                buf, hc=hc, bc=bc, final=True)
+            assert consumed == len(buf)
+            return codes, boff, rlen
+
+    from fastk_tpu.io.reader import _pooled
+
+    return _pooled(chunks, parse_one)
+
+
 def _iter_bam(path: str) -> Iterator[bytes]:
     with _open(path) as f:
         magic = _read_exact(f, 4, path)

@@ -55,6 +55,18 @@ def load() -> Optional[ctypes.CDLL]:
         ctypes.c_void_p, ctypes.c_long, ctypes.c_int, ctypes.c_int,
         ctypes.c_int, ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p,
         ctypes.c_void_p, ctypes.c_long]
+    lib.fk_scan_bam.restype = ctypes.c_long
+    lib.fk_scan_bam.argtypes = [
+        ctypes.c_void_p, ctypes.c_long, ctypes.c_int, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_long, ctypes.c_void_p]
+    lib.fk_scan_sam.restype = ctypes.c_long
+    lib.fk_scan_sam.argtypes = [
+        ctypes.c_void_p, ctypes.c_long, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p]
+    lib.fk_bam_cut.restype = ctypes.c_long
+    lib.fk_bam_cut.argtypes = [ctypes.c_void_p, ctypes.c_long]
     lib.fk_pack2.restype = ctypes.c_long
     lib.fk_pack2.argtypes = [
         ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p, ctypes.c_void_p,
@@ -125,6 +137,71 @@ def scan_seq(buf: bytes, fastq: bool, hc: bool = False, bc: int = 0
     if r < 0:  # capacity (shouldn't happen with these bounds)
         return None
     return codes[: int(boff[r])], boff[: r + 1].copy(), rlen[:r].copy()
+
+
+def scan_bam(buf: bytes, hc: bool = False, bc: int = 0):
+    """Parse whole BAM alignment records from `buf` (header stripped) ->
+    (codes, boff, rlen, consumed_bytes); a trailing partial record is left
+    for the caller to carry. None if the native library is unavailable."""
+    lib = load()
+    if lib is None:
+        return None
+    n = len(buf)
+    src = np.frombuffer(buf, dtype=np.uint8)
+    # <= 2 bases per payload byte, + 1 separator per record (>= 36 B each)
+    codes = np.empty(2 * n + 16, dtype=np.uint8)
+    rcap = max(16, n // 36 + 16)
+    boff = np.empty(rcap + 1, dtype=np.int64)
+    rlen = np.empty(rcap, dtype=np.int64)
+    consumed = np.zeros(1, dtype=np.int64)
+    r = lib.fk_scan_bam(src.ctypes.data, n, int(hc), int(bc),
+                        codes.ctypes.data, len(codes), boff.ctypes.data,
+                        rlen.ctypes.data, rcap, consumed.ctypes.data)
+    if r == -3:
+        raise ValueError("malformed BAM record")
+    if r < 0:
+        return None
+    return (codes[: int(boff[r])], boff[: r + 1].copy(), rlen[:r].copy(),
+            int(consumed[0]))
+
+
+def bam_cut(buf: bytes) -> Optional[int]:
+    """Byte length of the largest whole-records prefix of a BAM alignment
+    buffer (record-size hops only; no parsing). None if unavailable."""
+    lib = load()
+    if lib is None:
+        return None
+    src = np.frombuffer(buf, dtype=np.uint8)
+    r = lib.fk_bam_cut(src.ctypes.data, len(src))
+    if r == -3:
+        raise ValueError("corrupt BAM record size")
+    return int(r)
+
+
+def scan_sam(buf: bytes, hc: bool = False, bc: int = 0,
+             final: bool = False):
+    """Parse SAM text lines from `buf` -> (codes, boff, rlen,
+    consumed_bytes); a trailing partial line is carried unless `final`.
+    None if the native library is unavailable."""
+    lib = load()
+    if lib is None:
+        return None
+    n = len(buf)
+    src = np.frombuffer(buf, dtype=np.uint8)
+    codes = np.empty(n + 16, dtype=np.uint8)
+    rcap = max(16, n // 16 + 16)
+    boff = np.empty(rcap + 1, dtype=np.int64)
+    rlen = np.empty(rcap, dtype=np.int64)
+    consumed = np.zeros(1, dtype=np.int64)
+    r = lib.fk_scan_sam(src.ctypes.data, n, int(hc), int(bc), int(final),
+                        codes.ctypes.data, len(codes), boff.ctypes.data,
+                        rlen.ctypes.data, rcap, consumed.ctypes.data)
+    if r == -3:
+        raise ValueError("truncated SAM record")
+    if r < 0:
+        return None
+    return (codes[: int(boff[r])], boff[: r + 1].copy(), rlen[:r].copy(),
+            int(consumed[0]))
 
 
 def pack2(codes: np.ndarray, ecap: int

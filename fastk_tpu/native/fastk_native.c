@@ -901,3 +901,232 @@ long fk_union_cvecs(int kb, int ns,
     }
   return U;
 }
+
+/* ------------------------------------------------------------------ */
+/* BAM / SAM record scanners (the reference scans both in threaded C,
+ * io.c:1317-1654; these are the TPU build's host-side equivalents,
+ * feeding the same worker pool as fk_scan_seq).                       */
+
+/* BAM 4-bit SEQ nibbles -> IUPAC letters (SAM spec; reference io.c:1313) */
+static const uint8_t NIB[16] = "=ACMGRSVTWYHKDBN";
+
+/* payload byte -> two codes at once (the no-hc/no-bc fast path) */
+static uint8_t NIB2[256][2];
+static int nib2_init = 0;
+static void init_nib2(void)
+{ int b;
+  if (nib2_init) return;
+  init_code();
+  for (b = 0; b < 256; b++)
+    { NIB2[b][0] = CODE[NIB[b >> 4]];
+      NIB2[b][1] = CODE[NIB[b & 0xF]];
+    }
+  nib2_init = 1;
+}
+
+/* Scan WHOLE BAM alignment records from buf (header already stripped).
+ * Skips FLAG & 0x900 (secondary|supplementary) and l_seq <= 0 records;
+ * nibbles decode through NIB then CODE (non-acgt letters stay invalid,
+ * matching io/sam.py); hc compresses equal consecutive LETTERS; bc drops
+ * leading bases after hc. Stops cleanly before a trailing partial record
+ * and reports bytes consumed.
+ * Returns #reads emitted, -1 codes overflow, -2 rcap overflow. */
+long fk_scan_bam(const uint8_t *buf, long n, int hc, int bc,
+                 uint8_t *codes, long ccap,
+                 int64_t *boff, int64_t *rlen, long rcap,
+                 int64_t *consumed)
+{ long i = 0, o = 0, r = 0;
+  init_code();
+  init_nib2();
+
+  while (i + 4 <= n)
+    { long bs = (long)buf[i] | ((long)buf[i+1] << 8)
+              | ((long)buf[i+2] << 16) | ((long)buf[i+3] << 24);
+      const uint8_t *rec;
+      long lname, ncig, flag, lseq, off, nb, j;
+      if (bs < 32) { *consumed = i; return -3; }
+      if (i + 4 + bs > n) break;               /* partial record: carry */
+      rec   = buf + i + 4;
+      i    += 4 + bs;
+      lname = rec[8];
+      ncig  = (long)rec[12] | ((long)rec[13] << 8);
+      flag  = (long)rec[14] | ((long)rec[15] << 8);
+      lseq  = (long)rec[16] | ((long)rec[17] << 8)
+            | ((long)rec[18] << 16) | ((long)rec[19] << 24);
+      if (flag & 0x900 || lseq <= 0) continue;
+      off = 32 + lname + 4*ncig;
+      nb  = (lseq + 1) / 2;
+      if (off + nb > bs) { *consumed = i; return -3; }
+      if (r >= rcap) return -2;
+      boff[r] = o;
+      if (!hc && !bc)
+        { /* fast path: two codes per payload byte via a 256x2 table */
+          long start = o;
+          const uint8_t *p = rec + off;
+          if (o + lseq + 1 > ccap) return -1;
+          for (j = 0; j + 2 <= lseq; j += 2)
+            { codes[o]   = NIB2[p[j >> 1]][0];
+              codes[o+1] = NIB2[p[j >> 1]][1];
+              o += 2;
+            }
+          if (lseq & 1)
+            codes[o++] = NIB2[p[lseq >> 1]][0];
+          rlen[r] = o - start;
+          r++;
+          codes[o++] = 4;                      /* read separator */
+        }
+      else
+        { int  prev = -1;
+          long kept = 0, start = o;
+          for (j = 0; j < lseq; j++)
+            { int nibble = (j & 1) ? (rec[off + j/2] & 0xF)
+                                   : (rec[off + j/2] >> 4);
+              int ch = NIB[nibble];
+              if (hc && ch == prev) continue;
+              prev = ch;
+              if (kept++ < bc) continue;
+              if (o >= ccap) return -1;
+              codes[o++] = CODE[ch];
+            }
+          rlen[r] = o - start;
+          r++;
+          if (o >= ccap) return -1;
+          codes[o++] = 4;                      /* read separator */
+        }
+    }
+  boff[r] = o;
+  *consumed = i;   /* i sits at the first incomplete record (or n) */
+  return r;
+}
+
+/* The reference's SAM base-normalization table (io.c:1398-1477 semantics,
+ * as reconstructed in io/sam.py): ASCII 0-127 -> a concrete lowercase
+ * base ('a' default), bytes >= 128 -> 0 (codes invalid downstream). */
+static uint8_t IUPAC2DNA[256];
+static void init_iupac(void)
+{ int i;
+  const char *cs = "1BbCcSsYy", *gs = "2GgKk", *ts = "3Tt";
+  if (IUPAC2DNA['A'] == 'a') return;
+  for (i = 0; i < 128; i++) IUPAC2DNA[i] = 'a';
+  for (i = 128; i < 256; i++) IUPAC2DNA[i] = 0;
+  for (i = 0; cs[i]; i++) IUPAC2DNA[(int)cs[i]] = 'c';
+  for (i = 0; gs[i]; i++) IUPAC2DNA[(int)gs[i]] = 'g';
+  for (i = 0; ts[i]; i++) IUPAC2DNA[(int)ts[i]] = 't';
+}
+
+/* Scan SAM text lines from buf. '@' header lines are skipped; alignment
+ * lines with FLAG & 0x900 or SEQ "*" are skipped; SEQ bytes translate
+ * through IUPAC2DNA BEFORE hc/bc (matching io/sam.py: translate, then
+ * homopolymer-compress the translated bytes). A trailing line without a
+ * newline is carried unless `final` is set. Returns #reads, -1 codes
+ * overflow, -2 rcap overflow, -3 malformed. */
+/* fused translate: raw SAM SEQ byte -> code of its normalized base */
+static uint8_t SAMCODE[256];
+static int samcode_init = 0;
+static void init_samcode(void)
+{ int i;
+  if (samcode_init) return;
+  init_code();
+  init_iupac();
+  for (i = 0; i < 256; i++) SAMCODE[i] = CODE[IUPAC2DNA[i]];
+  samcode_init = 1;
+}
+
+long fk_scan_sam(const uint8_t *buf, long n, int hc, int bc, int final,
+                 uint8_t *codes, long ccap,
+                 int64_t *boff, int64_t *rlen, long rcap,
+                 int64_t *consumed)
+{ long i = 0, o = 0, r = 0;
+  init_samcode();
+
+  while (i < n)
+    { const uint8_t *ls = buf + i, *le, *q, *seq0, *seq1;
+      long flag, fi;
+      /* find end of line (or carry a partial one) */
+      le = memchr(ls, '\n', n - i);
+      if (le == NULL)
+        { if (!final) break;                   /* partial line: carry */
+          le = buf + n;
+        }
+      if (*ls == '@')                          /* header line */
+        { i = (le - buf) + 1; continue; }
+      /* blank line */
+      { const uint8_t *p = ls; int blank = 1;
+        while (p < le) { if (*p != ' ' && *p != '\t' && *p != '\r')
+                           { blank = 0; break; } p++; }
+        if (blank) { i = (le - buf) + 1; continue; }
+      }
+      /* hop tab-separated fields with memchr: field 1 = FLAG, 9 = SEQ */
+      q = memchr(ls, '\t', le - ls);           /* end of QNAME */
+      if (q == NULL) { *consumed = ls - buf; return -3; }
+      q++;
+      flag = 0;
+      { const uint8_t *d = q;
+        while (d < le && *d >= '0' && *d <= '9')
+          flag = flag*10 + (*d++ - '0');
+        if (d == q || d >= le || *d != '\t')
+          { *consumed = ls - buf; return -3; }
+        q = d + 1;
+      }
+      for (fi = 2; fi < 9; fi++)               /* skip fields 2..8 */
+        { q = memchr(q, '\t', le - q);
+          if (q == NULL) { *consumed = ls - buf; return -3; }
+          q++;
+        }
+      seq0 = q;
+      q = memchr(q, '\t', le - q);             /* field 10 must follow */
+      if (q == NULL) { *consumed = ls - buf; return -3; }
+      seq1 = q;
+      i = (le - buf) + 1;
+      if (flag & 0x900) continue;
+      if (seq1 > seq0 && seq1[-1] == '\r') seq1--;      /* tolerate CRLF */
+      if (seq1 - seq0 == 1 && *seq0 == '*') continue;
+      if (r >= rcap) return -2;
+      boff[r] = o;
+      if (!hc && !bc)
+        { long m = seq1 - seq0, j, start = o;
+          if (o + m + 1 > ccap) return -1;
+          for (j = 0; j < m; j++)
+            codes[o + j] = SAMCODE[seq0[j]];
+          o += m;
+          rlen[r] = o - start;
+          r++;
+          codes[o++] = 4;
+        }
+      else
+        { int  prev = -1;
+          long kept = 0, start = o;
+          const uint8_t *p;
+          for (p = seq0; p < seq1; p++)
+            { int ch = IUPAC2DNA[*p];
+              if (hc && ch == prev) continue;
+              prev = ch;
+              if (kept++ < bc) continue;
+              if (o >= ccap) return -1;
+              codes[o++] = CODE[ch];
+            }
+          rlen[r] = o - start;
+          r++;
+          if (o >= ccap) return -1;
+          codes[o++] = 4;
+        }
+    }
+  boff[r] = o;
+  *consumed = i < n ? i : n;
+  return r;
+}
+
+/* Largest prefix of buf holding only WHOLE BAM records: hop block_size
+ * fields (the producer's chunk-seam cut; no record parsing). -3 on a
+ * corrupt size field. */
+long fk_bam_cut(const uint8_t *buf, long n)
+{ long i = 0;
+  while (i + 4 <= n)
+    { long bs = (long)buf[i] | ((long)buf[i+1] << 8)
+              | ((long)buf[i+2] << 16) | ((long)buf[i+3] << 24);
+      if (bs < 32) return -3;
+      if (i + 4 + bs > n) break;
+      i += 4 + bs;
+    }
+  return i;
+}

@@ -239,3 +239,104 @@ def test_fasta_iupac_codes_invalid(tmp_path):
     assert np.array_equal(
         codes,
         [0, 1, 2, 3, 4, 4, 0, 1, 2, 3, 4, 0, 1, 2, 3, 4, 4, 0, 1, 2, 3])
+
+
+def _native_batches(path, hc=False, bc=0):
+    from fastk_tpu.io.reader import batched_reads
+
+    out = []
+    for b, _ in batched_reads([path], 1 << 30, hc=hc, bc=bc):
+        out.append(b)
+    assert len(out) == 1
+    return out[0]
+
+
+@pytest.mark.parametrize("hc,bc", [(False, 0), (True, 0), (False, 2),
+                                   (True, 1)])
+def test_bam_native_scanner_matches_python(tmp_path, hc, bc):
+    """The C BAM record scanner (fk_scan_bam through batched_reads) equals
+    the per-record Python iterator byte-for-byte, incl. IUPAC ambiguity
+    codes, skip flags, hc and bc."""
+    from fastk_tpu import native
+    from fastk_tpu.io.reader import iter_reads, pack_reads
+
+    if native.load() is None:
+        pytest.skip("no native library")
+    rng = np.random.default_rng(3)
+    reads = [bytes(rng.choice(list(b"ACGT"), size=int(
+        rng.integers(20, 90))).astype(np.uint8)) for _ in range(50)]
+    reads[7] = b"ACGTNRYSWKMBDHV" * 3  # ambiguity letters stay invalid
+    reads[11] = b"AAAACCCCGGGGTTTT" * 2  # hc-compressible
+    p = str(tmp_path / "in.bam")
+    _write_bam(p, reads)
+    want = pack_reads(list(iter_reads(p)), hc=hc, bc=bc)
+    got = _native_batches(p, hc=hc, bc=bc)
+    assert np.array_equal(want.codes, got.codes)
+    assert np.array_equal(want.boff, got.boff)
+    assert np.array_equal(want.rlen, got.rlen)
+
+
+@pytest.mark.parametrize("hc,bc", [(False, 0), (True, 2)])
+def test_sam_native_scanner_matches_python(tmp_path, hc, bc):
+    from fastk_tpu import native
+    from fastk_tpu.io.reader import iter_reads, pack_reads
+
+    if native.load() is None:
+        pytest.skip("no native library")
+    rng = np.random.default_rng(5)
+    reads = [bytes(rng.choice(list(b"ACGTacgt"), size=int(
+        rng.integers(15, 80))).astype(np.uint8)) for _ in range(40)]
+    reads[3] = b"ANRYSWKMBDHVU123Gt"  # IUPAC normalization
+    p = str(tmp_path / "in.sam")
+    _write_sam(p, reads)
+    with open(p, "a") as f:  # a '*'-SEQ record must be skipped
+        f.write("r8\t4\t*\t0\t0\t*\t*\t0\t0\t*\t*\n")
+    want = pack_reads(list(iter_reads(p)), hc=hc, bc=bc)
+    got = _native_batches(p, hc=hc, bc=bc)
+    assert np.array_equal(want.codes, got.codes)
+    assert np.array_equal(want.boff, got.boff)
+    assert np.array_equal(want.rlen, got.rlen)
+
+
+def test_bam_native_chunk_seams(tmp_path, monkeypatch):
+    """Record boundaries at inflate-chunk seams: force tiny BGZF members
+    so records straddle chunks and the native cut/carry path runs."""
+    import gzip as _gz
+
+    from fastk_tpu import native
+    from fastk_tpu.io.reader import iter_reads, pack_reads
+
+    if native.load() is None:
+        pytest.skip("no native library")
+    rng = np.random.default_rng(7)
+    reads = [bytes(rng.choice(list(b"ACGT"), size=int(
+        rng.integers(50, 200))).astype(np.uint8)) for _ in range(60)]
+    hdr_text = b"@HD\tVN:1.6\n"
+    out = b"BAM\x01" + struct.pack("<i", len(hdr_text)) + hdr_text
+    out += struct.pack("<i", 1)
+    out += struct.pack("<i", 5) + b"chr1\x00" + struct.pack("<i", 1000)
+    for i, r in enumerate(reads):
+        out += _bam_record(b"r%d" % i, 4, r)
+    p = str(tmp_path / "seam.bam")
+    with _gz.open(p, "wb") as f:
+        f.write(out)
+    # tiny raw-chunk reads so carries happen mid-record
+    import fastk_tpu.io.sam as sammod
+
+    monkeypatch.setattr(sammod, "_raw_gz_chunks",
+                        lambda path, chunk=97: _tiny_chunks(path, 97))
+    want = pack_reads(list(iter_reads(p)))
+    got = _native_batches(p)
+    assert np.array_equal(want.codes, got.codes)
+    assert np.array_equal(want.boff, got.boff)
+
+
+def _tiny_chunks(path, chunk):
+    from fastk_tpu.io.sam import _open as _sopen
+
+    with _sopen(path) as f:
+        while True:
+            b = f.read(chunk)
+            if not b:
+                return
+            yield b

@@ -920,8 +920,10 @@ def _sq_names_from_header(text: str) -> List[str]:
 # Top level
 # ---------------------------------------------------------------------------
 
-def iter_cram_records(path: str) -> Iterator[Tuple[int, bytes]]:
-    """Yield (bam_flags, SEQ) for every record of a CRAM 2.x/3.x file."""
+def _iter_slices(path: str):
+    """Walk a CRAM 2.x/3.x file slice by slice, yielding
+    (comp, sh, core_bytes, external {cid: bytes}, embedded, ref) — the raw
+    decoded-block inputs of one slice's record walk."""
     with open(path, "rb") as f:
         magic = f.read(4)
         if magic != b"CRAM":
@@ -974,23 +976,235 @@ def iter_cram_records(path: str) -> Iterator[Tuple[int, bytes]]:
                     raise CramError("expected slice header block")
                 sh = parse_slice_header(
                     sblk.data, v3, sblk.content_type == CT_MAPPED_SLICE)
-                core: Optional[BitReader] = None
-                external: Dict[int, ByteReader] = {}
+                core = b""
+                external: Dict[int, bytes] = {}
                 embedded = None
                 for _ in range(sh.n_blocks):
                     b = read_block(f, v3)
                     if b.content_type == CT_CORE:
-                        core = BitReader(b.data)
+                        core = b.data
                     elif b.content_type == CT_EXTERNAL:
                         if b.content_id == sh.embedded_ref_id:
                             embedded = b.data
-                        external[b.content_id] = ByteReader(b.data)
+                        external[b.content_id] = b.data
                     else:
                         raise CramError("unexpected block in slice")
                 ref.set_embedded(sh.ref_id, sh.start, embedded)
-                dec = SliceDecoder(core or BitReader(b""), external)
-                yield from _decode_slice_records(comp, sh, dec, ref.get)
+                yield comp, sh, core, external, embedded, ref
             f.seek(end)
+
+
+def iter_cram_records(path: str) -> Iterator[Tuple[int, bytes]]:
+    """Yield (bam_flags, SEQ) for every record of a CRAM 2.x/3.x file."""
+    for comp, sh, core, external, _emb, ref in _iter_slices(path):
+        dec = SliceDecoder(BitReader(core),
+                           {cid: ByteReader(d)
+                            for cid, d in external.items()})
+        yield from _decode_slice_records(comp, sh, dec, ref.get)
+
+
+# ---------------------------------------------------------------------------
+# Native (C) slice decoding — the record walk of _decode_slice_records in
+# fastk_native.c:fk_cram_slice, with per-slice Python fallback
+# ---------------------------------------------------------------------------
+
+# series slot order — MUST match fastk_native.c's S_* enum
+_SERIES_ORDER = [b"BF", b"CF", b"RI", b"RL", b"AP", b"RG", b"RN", b"MF",
+                 b"NS", b"NP", b"TS", b"NF", b"TL", b"FN", b"FC", b"FP",
+                 b"BS", b"SC", b"IN", b"BA", b"BB", b"QS", b"QQ", b"DL",
+                 b"RS", b"PD", b"HC", b"MQ"]
+
+
+class _EncPack:
+    """Flatten an encoding-tuple tree into the C decoder's tables."""
+
+    def __init__(self, extmap: Dict[int, int]):
+        self.rows: List[List[int]] = []
+        self.htab: List[int] = []
+        self.hsym: List[int] = []
+        self.extmap = extmap
+        self.ok = True
+
+    def add(self, enc: tuple) -> int:
+        kind = enc[0]
+        if kind == "external":
+            row = [0, self.extmap.get(enc[1], -1), 0, 0]
+        elif kind == "huffman":
+            symbols, lengths = enc[1], enc[2]
+            items = sorted(range(len(symbols)),
+                           key=lambda i: (lengths[i], symbols[i]))
+            syms_sorted = [symbols[i] for i in items]
+            lens_sorted = [lengths[i] for i in items]
+            pool0 = len(self.hsym)
+            groups = []
+            code = prev = 0
+            gi = 0
+            while gi < len(items):
+                ln = lens_sorted[gi]
+                code <<= (ln - prev)
+                prev = ln
+                start_code, start_idx = code, gi
+                while gi < len(items) and lens_sorted[gi] == ln:
+                    gi += 1
+                    code += 1
+                groups.append((ln, start_code, start_idx, gi - start_idx))
+            hoff = len(self.htab)
+            for g in groups:
+                self.htab.extend(g)
+            self.hsym.extend(syms_sorted)
+            row = [1, hoff, len(groups), pool0]
+        elif kind == "beta":
+            row = [2, enc[1], enc[2], 0]
+        elif kind == "gamma":
+            row = [3, enc[1], 0, 0]
+        elif kind == "subexp":
+            row = [4, enc[1], enc[2], 0]
+        elif kind == "byte_array_stop":
+            row = [5, enc[1], self.extmap.get(enc[2], -1), 0]
+        elif kind == "byte_array_len":
+            li = self.add(enc[1])
+            vi = self.add(enc[2])
+            row = [6, li, vi, 0]
+        else:  # null / unsupported: errors only if actually read
+            row = [7, 0, 0, 0]
+        self.rows.append(row)
+        return len(self.rows) - 1
+
+
+def _pack_comp(comp: CompressionHeader, external: Dict[int, bytes]):
+    """(encs, htab, hsym, series, tag_off, tag_enc, cids, subs) for the C
+    decoder, or None when a needed tag encoding is absent. Cached on the
+    CompressionHeader (one per container) keyed by the external-id set."""
+    import numpy as np
+
+    cids = sorted(external.keys())
+    key = tuple(cids)
+    cache = getattr(comp, "_native_pack", None)
+    if cache is not None and cache[0] == key:
+        return cache[1]
+    extmap = {cid: i for i, cid in enumerate(cids)}
+    pack = _EncPack(extmap)
+    series = []
+    for skey in _SERIES_ORDER:
+        e = comp.series.get(skey)
+        series.append(-1 if e is None or e[0] == "null" else pack.add(e))
+    tag_off = [0]
+    tag_enc: List[int] = []
+    result = None
+    ok = True
+    for line in comp.tag_dict:
+        for tkey in line:
+            te = comp.tags.get(tkey)
+            if te is None:
+                ok = False
+                break
+            tag_enc.append(pack.add(te))
+        if not ok:
+            break
+        tag_off.append(len(tag_enc))
+    if ok:
+        subs = bytes(_sub_decode_table(comp.sub_matrix)[(ri, c)]
+                     for ri in range(5) for c in range(4))
+        result = (
+            np.array(pack.rows, dtype=np.int32).reshape(-1, 4),
+            np.array(pack.htab or [0], dtype=np.int64),
+            np.array(pack.hsym or [0], dtype=np.int32),
+            np.array(series, dtype=np.int32),
+            np.array(tag_off, dtype=np.int32),
+            np.array(tag_enc or [0], dtype=np.int32),
+            cids, subs)
+    comp._native_pack = (key, result)
+    return result
+
+
+def _native_slice_piece(comp, sh, core: bytes, external: Dict[int, bytes],
+                        embedded, ref, hc: bool, bc: int):
+    """Decode one slice natively -> (codes, boff, rlen), or None (caller
+    falls back to the Python record walk)."""
+    from fastk_tpu import native
+
+    if native.load() is None:
+        return None
+    packed = _pack_comp(comp, external)
+    if packed is None:
+        return None
+    encs, htab, hsym, series, tag_off, tag_enc, cids, subs = packed
+
+    # reference window covering the slice span (+margin); any access the
+    # window cannot serve makes C return -5 and the Python path decide
+    ref_win = None
+    ref_start = sh.start
+    if sh.span > 0 and sh.ref_id >= 0:
+        for win_n in (sh.span + 64, sh.span):
+            # an embedded block that cannot serve the whole window would
+            # make ref.get read it all from FASTA, while the per-call
+            # Python path may mix sources — only trust full coverage
+            if embedded is not None and len(embedded) < win_n:
+                continue
+            try:
+                ref_win = ref.get(sh.ref_id, sh.start - 1, win_n)
+                break
+            except Exception:
+                ref_win = None
+    # multi-ref slices read RI per record: pass the full per-ref contig
+    # table (already RAM-resident once the FASTA loads; embedded blocks
+    # are slice-scoped single-ref and do not apply here)
+    refs = None
+    if sh.ref_id == -2:
+        try:
+            seqs = ref._load_fasta()
+            refs = [seqs.get(nm, b"") for nm in ref.sq_names]
+        except Exception:
+            refs = None  # unmapped-only slices decode fine without it
+    res = native.cram_slice(
+        encs, htab, hsym, series, tag_off, tag_enc,
+        [external[c] for c in cids], core, ref_win, ref_start, refs, subs,
+        comp.rn_preserved, comp.ap_delta, sh.ref_id == -2, sh.start,
+        sh.n_records, hc, bc)
+    return res
+
+
+def scan_cram_pieces(path: str, hc: bool = False, bc: int = 0):
+    """Streamed CRAM ingest as (codes, boff, rlen) pieces, one per slice:
+    the C record walk with per-slice Python fallback; features outside the
+    native decoder's gate divert the REST of the stream to the io.cram
+    fallback chain (read-count cursor, like iter_cram_reads)."""
+    from fastk_tpu.io.reader import pack_reads
+
+    nyielded = 0
+    try:
+        for comp, sh, core, external, emb, ref in _iter_slices(path):
+            piece = _native_slice_piece(comp, sh, core, external, emb, ref,
+                                        hc, bc)
+            if piece is None:
+                dec = SliceDecoder(BitReader(core),
+                                   {cid: ByteReader(d)
+                                    for cid, d in external.items()})
+                seqs = [s for fl, s in
+                        _decode_slice_records(comp, sh, dec, ref.get)
+                        if not (fl & _BAM_SECSUP) and s]
+                b = pack_reads(seqs, hc=hc, bc=bc)
+                piece = (b.codes, b.boff, b.rlen)
+            nyielded += len(piece[2])
+            yield piece
+    except CramUnsupported:
+        from fastk_tpu.io.cram import iter_cram_reads
+
+        # restart through the full gated chain, skipping what we yielded
+        chunk: List[bytes] = []
+        bases = 0
+        for i, seq in enumerate(iter_cram_reads(path)):
+            if i < nyielded:
+                continue
+            chunk.append(seq)
+            bases += len(seq) + 1
+            if bases >= (32 << 20):
+                b = pack_reads(chunk, hc=hc, bc=bc)
+                yield b.codes, b.boff, b.rlen
+                chunk, bases = [], 0
+        if chunk:
+            b = pack_reads(chunk, hc=hc, bc=bc)
+            yield b.codes, b.boff, b.rlen
 
 
 def iter_cram_reads_native(path: str) -> Iterator[bytes]:

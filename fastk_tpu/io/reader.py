@@ -272,6 +272,14 @@ def _scan_stream_native(path: str, fmt: str, hc: bool, bc: int):
         from fastk_tpu.io.sam import scan_stream_native
 
         return scan_stream_native(path, fmt, hc, bc)
+    if fmt == "cram":
+        from fastk_tpu import native
+
+        if native.load() is None:
+            return None  # Python record iterator path
+        from fastk_tpu.io.cram_native import scan_cram_pieces
+
+        return scan_cram_pieces(path, hc, bc)
     if fmt not in ("fasta", "fastq"):
         return None
     from fastk_tpu import native

@@ -65,6 +65,24 @@ def load() -> Optional[ctypes.CDLL]:
         ctypes.c_void_p, ctypes.c_long, ctypes.c_int, ctypes.c_int,
         ctypes.c_int, ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p,
         ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p]
+    lib.fk_cram_slice.restype = ctypes.c_long
+    lib.fk_cram_slice.argtypes = [
+        ctypes.c_void_p, ctypes.c_int,                     # encs
+        ctypes.c_void_p, ctypes.c_void_p,                  # htab, hsym
+        ctypes.c_void_p,                                   # series
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p,    # tags
+        ctypes.POINTER(ctypes.c_void_p), ctypes.c_void_p,  # ext ptrs/lens
+        ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_long,                    # core
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_long,    # ref window
+        ctypes.POINTER(ctypes.c_void_p), ctypes.c_void_p,
+        ctypes.c_int,                                      # per-ref table
+        ctypes.c_void_p,                                   # subs
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int64,                                    # flags, start
+        ctypes.c_long, ctypes.c_int, ctypes.c_int,         # nrec, hc, bc
+        ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_long]
     lib.fk_bam_cut.restype = ctypes.c_long
     lib.fk_bam_cut.argtypes = [ctypes.c_void_p, ctypes.c_long]
     lib.fk_pack2.restype = ctypes.c_long
@@ -163,6 +181,62 @@ def scan_bam(buf: bytes, hc: bool = False, bc: int = 0):
         return None
     return (codes[: int(boff[r])], boff[: r + 1].copy(), rlen[:r].copy(),
             int(consumed[0]))
+
+
+def cram_slice(encs: np.ndarray, htab: np.ndarray, hsym: np.ndarray,
+               series: np.ndarray, tag_off: np.ndarray, tag_enc: np.ndarray,
+               ext_bufs, core: bytes, ref: Optional[bytes], ref_start: int,
+               refs, subs: bytes, rn_preserved: bool, ap_delta: bool,
+               multi_ref: bool, slice_start: int, n_records: int,
+               hc: bool, bc: int):
+    """Decode one CRAM slice's records natively -> (codes, boff, rlen), or
+    None when the native library is unavailable / the slice needs the
+    Python decoder (unsupported feature, ref-window miss)."""
+    lib = load()
+    if lib is None:
+        return None
+    ext_arrs = [np.frombuffer(b, dtype=np.uint8) if len(b)
+                else np.zeros(1, np.uint8) for b in ext_bufs]
+    ext_ptrs = (ctypes.c_void_p * max(len(ext_arrs), 1))(
+        *[a.ctypes.data for a in ext_arrs])
+    ext_lens = np.array([len(b) for b in ext_bufs] or [0], dtype=np.int64)
+    core_a = (np.frombuffer(core, dtype=np.uint8) if len(core)
+              else np.zeros(1, np.uint8))
+    ref_a = (np.frombuffer(ref, dtype=np.uint8) if ref else None)
+    refs = refs or []
+    ref_arrs = [np.frombuffer(b, dtype=np.uint8) if len(b)
+                else np.zeros(1, np.uint8) for b in refs]
+    ref_ptrs = (ctypes.c_void_p * max(len(ref_arrs), 1))(
+        *[a.ctypes.data for a in ref_arrs])
+    ref_lens = np.array([len(b) for b in refs] or [0], dtype=np.int64)
+    subs_a = np.frombuffer(subs, dtype=np.uint8)
+    ext_total = int(ext_lens.sum())
+    ccap = max(1 << 20, 8 * ext_total + 4096)
+    rcap = n_records + 1
+    boff = np.empty(rcap + 1, dtype=np.int64)
+    rlen = np.empty(rcap, dtype=np.int64)
+    for _ in range(8):  # capacity doubling (total bases unknown up front)
+        codes = np.empty(ccap, dtype=np.uint8)
+        r = lib.fk_cram_slice(
+            encs.ctypes.data, len(encs), htab.ctypes.data, hsym.ctypes.data,
+            series.ctypes.data, tag_off.ctypes.data, len(tag_off) - 1,
+            tag_enc.ctypes.data, ext_ptrs, ext_lens.ctypes.data,
+            len(ext_bufs), core_a.ctypes.data, len(core),
+            ref_a.ctypes.data if ref_a is not None else None,
+            ref_start, len(ref) if ref else 0,
+            ref_ptrs, ref_lens.ctypes.data, len(refs),
+            subs_a.ctypes.data,
+            int(rn_preserved), int(ap_delta), int(multi_ref),
+            slice_start, n_records,
+            int(hc), int(bc), codes.ctypes.data, ccap, boff.ctypes.data,
+            rlen.ctypes.data, rcap)
+        if r == -1:
+            ccap *= 4
+            continue
+        if r < 0:
+            return None  # caller decodes this slice in Python
+        return codes[: int(boff[r])], boff[: r + 1].copy(), rlen[:r].copy()
+    return None
 
 
 def bam_cut(buf: bytes) -> Optional[int]:

@@ -1130,3 +1130,534 @@ long fk_bam_cut(const uint8_t *buf, long n)
     }
   return i;
 }
+
+/* ------------------------------------------------------------------ */
+/* CRAM slice record walk (the per-record series interpreter of
+ * io/cram_native.py:_decode_slice_records, in C — the reference decodes
+ * CRAM through threaded htslib, io.c:1821-1990; block/rANS decode stays
+ * in the existing native+Python layers, this covers the record loop).
+ *
+ * Encodings arrive as a flat table of 4-int rows {kind, a, b, c}:
+ *   kind 0 EXTERNAL        a = external stream index
+ *   kind 1 HUFFMAN         a = offset into htab (int64 rows), b = #lengths,
+ *                          c = offset into hsym pool
+ *   kind 2 BETA            a = offset, b = nbits
+ *   kind 3 GAMMA           a = offset
+ *   kind 4 SUBEXP          a = offset, b = k
+ *   kind 5 BYTE_ARRAY_STOP a = stop byte, b = external stream index
+ *   kind 6 BYTE_ARRAY_LEN  a = len-encoding row, b = val-encoding row
+ *   kind 7 NULL/missing    (error if ever read)
+ * htab rows per huffman length: {len, first_code, first_idx, count},
+ * symbols sorted by (len, symbol) in hsym.                             */
+
+typedef struct
+{ const uint8_t *buf;
+  long           len;
+  long           pos;
+} FkExt;
+
+typedef struct
+{ const uint8_t *buf;
+  long           len;
+  long           pos;
+  int            bit;
+} FkBits;
+
+typedef struct
+{ const int32_t *encs;     /* 4 ints per row */
+  int            n_encs;
+  const int64_t *htab;
+  const int32_t *hsym;
+  FkExt         *ext;
+  int            n_ext;
+  FkBits         core;
+  int            err;      /* sticky error code */
+} FkCram;
+
+#define FK_ERR(D, code) ((D)->err = ((D)->err ? (D)->err : (code)))
+
+static int fkc_bit(FkCram *D)
+{ FkBits *b = &D->core;
+  int v;
+  if (b->pos >= b->len) { FK_ERR(D, -4); return 0; }
+  v = (b->buf[b->pos] >> (7 - b->bit)) & 1;
+  if (++b->bit == 8) { b->bit = 0; b->pos++; }
+  return v;
+}
+
+static int64_t fkc_bits(FkCram *D, int n)
+{ int64_t v = 0;
+  int i;
+  for (i = 0; i < n; i++)
+    v = (v << 1) | fkc_bit(D);
+  return v;
+}
+
+static int fkc_u8(FkCram *D, int ei)
+{ FkExt *e;
+  if (ei < 0 || ei >= D->n_ext) { FK_ERR(D, -4); return 0; }
+  e = D->ext + ei;
+  if (e->pos >= e->len) { FK_ERR(D, -4); return 0; }
+  return e->buf[e->pos++];
+}
+
+static int64_t fkc_itf8(FkCram *D, int ei)
+{ int64_t v;
+  int b = fkc_u8(D, ei);
+  if (!(b & 0x80))      v = b;
+  else if (!(b & 0x40)) v = ((int64_t)(b & 0x3F) << 8) | fkc_u8(D, ei);
+  else if (!(b & 0x20)) v = ((int64_t)(b & 0x1F) << 16)
+                          | ((int64_t)fkc_u8(D, ei) << 8) | fkc_u8(D, ei);
+  else if (!(b & 0x10)) v = ((int64_t)(b & 0x0F) << 24)
+                          | ((int64_t)fkc_u8(D, ei) << 16)
+                          | ((int64_t)fkc_u8(D, ei) << 8) | fkc_u8(D, ei);
+  else                  v = ((int64_t)(b & 0x0F) << 28)
+                          | ((int64_t)fkc_u8(D, ei) << 20)
+                          | ((int64_t)fkc_u8(D, ei) << 12)
+                          | ((int64_t)fkc_u8(D, ei) << 4)
+                          | (fkc_u8(D, ei) & 0x0F);
+  if (v >= ((int64_t)1 << 31)) v -= ((int64_t)1 << 32);  /* signed ITF8 */
+  return v;
+}
+
+static int64_t fkc_huffman(FkCram *D, const int32_t *e)
+{ const int64_t *t = D->htab + e[1];
+  const int32_t *sym = D->hsym + e[3];
+  int nl = e[2], li;
+  int64_t code = 0;
+  long ln = 0;
+  for (li = 0; li < nl; li++)
+    { long want = (long)t[4*li];
+      int64_t d;
+      while (ln < want) { code = (code << 1) | fkc_bit(D); ln++; }
+      d = code - t[4*li + 1];
+      if (d >= 0 && d < t[4*li + 3])
+        return sym[t[4*li + 2] + d];
+    }
+  FK_ERR(D, -4);
+  return 0;
+}
+
+static int64_t fkc_read_int(FkCram *D, int enc)
+{ const int32_t *e;
+  if (enc < 0 || enc >= D->n_encs) { FK_ERR(D, -4); return 0; }
+  e = D->encs + 4*enc;
+  switch (e[0])
+    { case 0: return fkc_itf8(D, e[1]);
+      case 1: return fkc_huffman(D, e);
+      case 2: return fkc_bits(D, e[2]) - e[1];
+      case 3:
+        { long ln = 0; int64_t v = 1; long i;
+          while (fkc_bit(D) == 0 && !D->err)
+            { if (++ln > 62) { FK_ERR(D, -4); return 0; } }
+          for (i = 0; i < ln; i++) v = (v << 1) | fkc_bit(D);
+          return v - e[1];
+        }
+      case 4:
+        { long i = 0; int b; int64_t nv;
+          while (fkc_bit(D) == 1 && !D->err)
+            { if (++i > 62) { FK_ERR(D, -4); return 0; } }
+          if (i == 0) { b = e[2]; nv = fkc_bits(D, b); }
+          else { b = (int)i + e[2] - 1;
+                 nv = ((int64_t)1 << b) | fkc_bits(D, b); }
+          return nv - e[1];
+        }
+      default: FK_ERR(D, -4); return 0;
+    }
+}
+
+static int fkc_read_byte(FkCram *D, int enc)
+{ const int32_t *e;
+  if (enc < 0 || enc >= D->n_encs) { FK_ERR(D, -4); return 0; }
+  e = D->encs + 4*enc;
+  if (e[0] == 0) return fkc_u8(D, e[1]);
+  if (e[0] == 1 || e[0] == 2) return (int)fkc_read_int(D, enc);
+  FK_ERR(D, -4);
+  return 0;
+}
+
+/* read a byte array; out == NULL discards (stream positions advance the
+ * same). Returns the length (clamped to ocap when out != NULL). */
+static long fkc_read_bytes(FkCram *D, int enc, uint8_t *out, long ocap)
+{ const int32_t *e;
+  if (enc < 0 || enc >= D->n_encs) { FK_ERR(D, -4); return 0; }
+  e = D->encs + 4*enc;
+  if (e[0] == 5)                             /* byte_array_stop */
+    { int ei = e[2];
+      FkExt *x;
+      const uint8_t *hit;
+      long m;
+      if (ei < 0 || ei >= D->n_ext) { FK_ERR(D, -4); return 0; }
+      x = D->ext + ei;
+      hit = memchr(x->buf + x->pos, e[1], x->len - x->pos);
+      if (hit == NULL) { FK_ERR(D, -4); return 0; }
+      m = hit - (x->buf + x->pos);
+      if (out != NULL)
+        { if (m > ocap) { FK_ERR(D, -1); return 0; }
+          memcpy(out, x->buf + x->pos, m);
+        }
+      x->pos += m + 1;
+      return m;
+    }
+  if (e[0] == 6)                             /* byte_array_len */
+    { long m = (long)fkc_read_int(D, e[1]);
+      const int32_t *v;
+      if (D->err || m < 0) { FK_ERR(D, -4); return 0; }
+      if (e[2] < 0 || e[2] >= D->n_encs) { FK_ERR(D, -4); return 0; }
+      v = D->encs + 4*e[2];
+      if (v[0] == 0)                         /* external: bulk slice */
+        { int ei = v[1];
+          FkExt *x;
+          if (ei < 0 || ei >= D->n_ext) { FK_ERR(D, -4); return 0; }
+          x = D->ext + ei;
+          if (x->pos + m > x->len) { FK_ERR(D, -4); return 0; }
+          if (out != NULL)
+            { if (m > ocap) { FK_ERR(D, -1); return 0; }
+              memcpy(out, x->buf + x->pos, m);
+            }
+          x->pos += m;
+          return m;
+        }
+      { long j;
+        if (out != NULL && m > ocap) { FK_ERR(D, -1); return 0; }
+        for (j = 0; j < m; j++)
+          { int b = fkc_read_byte(D, e[2]);
+            if (out != NULL) out[j] = (uint8_t)b;
+          }
+        return m;
+      }
+    }
+  FK_ERR(D, -4);
+  return 0;
+}
+
+/* series slot order (io/cram_native.py keeps the Python list in sync) */
+enum { S_BF, S_CF, S_RI, S_RL, S_AP, S_RG, S_RN, S_MF, S_NS, S_NP, S_TS,
+       S_NF, S_TL, S_FN, S_FC, S_FP, S_BS, S_SC, S_IN, S_BA, S_BB, S_QS,
+       S_QQ, S_DL, S_RS, S_PD, S_HC, S_MQ, S_COUNT };
+
+static int64_t fkc_series_int(FkCram *D, const int32_t *series, int s)
+{ if (series[s] < 0) { FK_ERR(D, -4); return 0; }
+  return fkc_read_int(D, series[s]);
+}
+
+long fk_cram_slice(
+    const int32_t *encs, int n_encs,
+    const int64_t *htab, const int32_t *hsym,
+    const int32_t *series,
+    const int32_t *tag_off, int n_lines, const int32_t *tag_enc,
+    void **ext_ptrs, const int64_t *ext_lens, int n_ext,
+    const uint8_t *core, long core_len,
+    const uint8_t *ref, int64_t ref_start, long ref_len,
+    void **ref_ptrs, const int64_t *ref_lens, int n_refs,
+    const uint8_t *subs,             /* 5x4: subs[ri*4 + code] */
+    int rn_preserved, int ap_delta, int multi_ref, int64_t slice_start,
+    long n_records, int hc, int bc,
+    uint8_t *codes, long ccap, int64_t *boff, int64_t *rlen_out, long rcap)
+{ FkCram Dv, *D = &Dv;
+  long rec, o = 0, r = 0;
+  long scap = 1 << 16;
+  uint8_t *seq = malloc(scap);
+  int64_t last_pos = slice_start;
+  static uint8_t RIDX[256];
+  static int ridx_init = 0;
+
+  init_code();
+  if (!ridx_init)
+    { int i;
+      for (i = 0; i < 256; i++) RIDX[i] = 4;
+      RIDX['A'] = 0; RIDX['C'] = 1; RIDX['G'] = 2; RIDX['T'] = 3;
+      RIDX['N'] = 4;
+      ridx_init = 1;
+    }
+  if (seq == NULL) return -7;
+
+  D->encs = encs; D->n_encs = n_encs;
+  D->htab = htab; D->hsym = hsym;
+  D->n_ext = n_ext;
+  D->ext = malloc(sizeof(FkExt) * (n_ext > 0 ? n_ext : 1));
+  if (D->ext == NULL) { free(seq); return -7; }
+  { int i;
+    for (i = 0; i < n_ext; i++)
+      { D->ext[i].buf = (const uint8_t *)ext_ptrs[i];
+        D->ext[i].len = ext_lens[i];
+        D->ext[i].pos = 0;
+      }
+  }
+  D->core.buf = core; D->core.len = core_len;
+  D->core.pos = 0; D->core.bit = 0;
+  D->err = 0;
+
+  for (rec = 0; rec < n_records; rec++)
+    { int64_t bf, cf, rl, pos, tl;
+      long have, j;
+      int64_t rpos;
+      int no_seq;
+      const uint8_t *rref;
+      long rref_len;
+
+      bf = fkc_series_int(D, series, S_BF);
+      cf = fkc_series_int(D, series, S_CF);
+      rref = NULL; rref_len = 0;
+      if (multi_ref)
+        { int64_t ri = fkc_series_int(D, series, S_RI);
+          /* mapped records read their contig from the per-ref table
+             (N-padded past either end, like Reference.get) */
+          if (ri >= 0 && ri < n_refs)
+            { rref = (const uint8_t *)ref_ptrs[ri];
+              rref_len = ref_lens[ri];
+            }
+        }
+      rl = fkc_series_int(D, series, S_RL);
+      if (ap_delta)
+        { last_pos += fkc_series_int(D, series, S_AP); pos = last_pos; }
+      else
+        pos = fkc_series_int(D, series, S_AP);
+      fkc_series_int(D, series, S_RG);
+      if (rn_preserved)
+        fkc_read_bytes(D, series[S_RN], NULL, 0);
+      if (cf & 0x2)                              /* detached */
+        { fkc_series_int(D, series, S_MF);
+          if (!rn_preserved)
+            fkc_read_bytes(D, series[S_RN], NULL, 0);
+          fkc_series_int(D, series, S_NS);
+          fkc_series_int(D, series, S_NP);
+          fkc_series_int(D, series, S_TS);
+        }
+      else if (cf & 0x4)                         /* mate downstream */
+        fkc_series_int(D, series, S_NF);
+      tl = fkc_series_int(D, series, S_TL);
+      if (tl >= 0 && tl < n_lines)
+        { int32_t t;
+          for (t = tag_off[tl]; t < tag_off[tl + 1]; t++)
+            fkc_read_bytes(D, tag_enc[t], NULL, 0);
+        }
+      if (D->err) goto fail;
+      if (rl < 0 || rl > (long)1 << 31) { FK_ERR(D, -4); goto fail; }
+      if (rl + 64 > scap)
+        { long ns = scap;
+          uint8_t *nb;
+          while (rl + 64 > ns) ns *= 2;
+          nb = realloc(seq, ns);
+          if (nb == NULL) { FK_ERR(D, -7); goto fail; }
+          seq = nb; scap = ns;
+        }
+
+      no_seq = (cf & 0x8) != 0;
+      if (bf & 0x4)                              /* unmapped */
+        { if (no_seq)
+            memset(seq, 'N', rl);
+          else
+            { /* BA byte run: bulk when external */
+              int enc = series[S_BA];
+              const int32_t *e;
+              if (enc < 0) { FK_ERR(D, -4); goto fail; }
+              e = D->encs + 4*enc;
+              if (e[0] == 0)
+                { FkExt *x;
+                  if (e[1] < 0 || e[1] >= n_ext) { FK_ERR(D, -4); goto fail; }
+                  x = D->ext + e[1];
+                  if (x->pos + rl > x->len) { FK_ERR(D, -4); goto fail; }
+                  memcpy(seq, x->buf + x->pos, rl);
+                  x->pos += rl;
+                }
+              else
+                for (j = 0; j < rl; j++)
+                  seq[j] = (uint8_t)fkc_read_byte(D, enc);
+            }
+          if (cf & 0x1)                          /* QS stored: skip run */
+            { int enc = series[S_QS];
+              const int32_t *e;
+              if (enc < 0) { FK_ERR(D, -4); goto fail; }
+              e = D->encs + 4*enc;
+              if (e[0] == 0)
+                { FkExt *x;
+                  if (e[1] < 0 || e[1] >= n_ext) { FK_ERR(D, -4); goto fail; }
+                  x = D->ext + e[1];
+                  if (x->pos + rl > x->len) { FK_ERR(D, -4); goto fail; }
+                  x->pos += rl;
+                }
+              else
+                for (j = 0; j < rl; j++) fkc_read_byte(D, enc);
+            }
+        }
+      else
+        { /* mapped: reconstruct against the reference window */
+          int64_t nfeat = fkc_series_int(D, series, S_FN);
+          int64_t fpos = 0;
+          long f;
+          have = 0;
+          rpos = pos;
+          if (D->err) goto fail;
+          for (f = 0; f < nfeat; f++)
+            { int code = fkc_read_byte(D, series[S_FC]);
+              int64_t gap;
+              fpos += fkc_series_int(D, series, S_FP);
+              gap = fpos - 1 - have;
+              if (gap > 0)
+                { if (have + gap > rl) { FK_ERR(D, -4); goto fail; }
+                  if (no_seq)
+                    memset(seq + have, 'N', gap);
+                  else if (multi_ref)
+                    { if (rref == NULL) { FK_ERR(D, -5); goto fail; }
+                      for (j = 0; j < gap; j++)
+                        { int64_t rp = rpos - 1 + j;
+                          seq[have + j] = (rp >= 0 && rp < rref_len)
+                                          ? rref[rp] : 'N';
+                        }
+                    }
+                  else
+                    { if (ref == NULL || rpos - ref_start < 0
+                          || rpos - ref_start + gap > ref_len)
+                        { FK_ERR(D, -5); goto fail; }
+                      memcpy(seq + have, ref + (rpos - ref_start), gap);
+                    }
+                  have += gap; rpos += gap;
+                }
+              switch (code)
+                { case 'X':
+                    { int bs = fkc_read_byte(D, series[S_BS]);
+                      if (have >= rl) { FK_ERR(D, -4); goto fail; }
+                      if (no_seq)
+                        seq[have] = 'N';
+                      else
+                        { int rb, rbyte;
+                          if (multi_ref)
+                            { int64_t rp = rpos - 1;
+                              if (rref == NULL) { FK_ERR(D, -5); goto fail; }
+                              rbyte = (rp >= 0 && rp < rref_len)
+                                      ? rref[rp] : 'N';
+                            }
+                          else
+                            { if (ref == NULL || rpos - ref_start < 0
+                                  || rpos - ref_start >= ref_len)
+                                { FK_ERR(D, -5); goto fail; }
+                              rbyte = ref[rpos - ref_start];
+                            }
+                          rb = RIDX[rbyte];
+                          if (bs < 0 || bs > 3) { FK_ERR(D, -4); goto fail; }
+                          seq[have] = subs[rb*4 + bs];
+                        }
+                      have++; rpos++;
+                      break;
+                    }
+                  case 'S':
+                    have += fkc_read_bytes(D, series[S_SC], seq + have,
+                                           rl - have);
+                    break;
+                  case 'I':
+                    have += fkc_read_bytes(D, series[S_IN], seq + have,
+                                           rl - have);
+                    break;
+                  case 'i':
+                    if (have >= rl) { FK_ERR(D, -4); goto fail; }
+                    seq[have++] = (uint8_t)fkc_read_byte(D, series[S_BA]);
+                    break;
+                  case 'b':
+                    { long m = fkc_read_bytes(D, series[S_BB], seq + have,
+                                              rl - have);
+                      have += m; rpos += m;
+                      break;
+                    }
+                  case 'B':
+                    if (have >= rl) { FK_ERR(D, -4); goto fail; }
+                    seq[have++] = (uint8_t)fkc_read_byte(D, series[S_BA]);
+                    rpos++;
+                    fkc_read_byte(D, series[S_QS]);
+                    break;
+                  case 'q':
+                    fkc_read_bytes(D, series[S_QQ], NULL, 0);
+                    break;
+                  case 'Q':
+                    fkc_read_byte(D, series[S_QS]);
+                    break;
+                  case 'D':
+                    rpos += fkc_series_int(D, series, S_DL);
+                    break;
+                  case 'N':
+                    rpos += fkc_series_int(D, series, S_RS);
+                    break;
+                  case 'P':
+                    fkc_series_int(D, series, S_PD);
+                    break;
+                  case 'H':
+                    fkc_series_int(D, series, S_HC);
+                    break;
+                  default:
+                    FK_ERR(D, -4); goto fail;
+                }
+              if (D->err) goto fail;
+            }
+          if (have < rl)
+            { long gap = rl - have;
+              if (no_seq)
+                memset(seq + have, 'N', gap);
+              else if (multi_ref)
+                { if (rref == NULL) { FK_ERR(D, -5); goto fail; }
+                  for (j = 0; j < gap; j++)
+                    { int64_t rp = rpos - 1 + j;
+                      seq[have + j] = (rp >= 0 && rp < rref_len)
+                                      ? rref[rp] : 'N';
+                    }
+                }
+              else
+                { if (ref == NULL || rpos - ref_start < 0
+                      || rpos - ref_start + gap > ref_len)
+                    { FK_ERR(D, -5); goto fail; }
+                  memcpy(seq + have, ref + (rpos - ref_start), gap);
+                }
+              have += gap; rpos += gap;
+            }
+          fkc_series_int(D, series, S_MQ);
+          if (cf & 0x1)
+            { int enc = series[S_QS];
+              const int32_t *e;
+              if (enc < 0) { FK_ERR(D, -4); goto fail; }
+              e = D->encs + 4*enc;
+              if (e[0] == 0)
+                { FkExt *x;
+                  if (e[1] < 0 || e[1] >= n_ext) { FK_ERR(D, -4); goto fail; }
+                  x = D->ext + e[1];
+                  if (x->pos + rl > x->len) { FK_ERR(D, -4); goto fail; }
+                  x->pos += rl;
+                }
+              else
+                for (j = 0; j < rl; j++) fkc_read_byte(D, enc);
+            }
+        }
+      if (D->err) goto fail;
+
+      /* emit (skip secondary/supplementary and empty SEQs, matching
+       * iter_cram_reads_native) */
+      if ((bf & 0x900) || rl == 0)
+        continue;
+      if (r >= rcap) { FK_ERR(D, -2); goto fail; }
+      boff[r] = o;
+      { int  prev = -1;
+        long kept = 0, start = o;
+        for (j = 0; j < rl; j++)
+          { int ch = seq[j];
+            if (hc && ch == prev) continue;
+            prev = ch;
+            if (kept++ < bc) continue;
+            if (o >= ccap) { FK_ERR(D, -1); goto fail; }
+            codes[o++] = CODE[ch];
+          }
+        rlen_out[r] = o - start;
+        r++;
+        if (o >= ccap) { FK_ERR(D, -1); goto fail; }
+        codes[o++] = 4;
+      }
+    }
+  boff[r] = o;
+  free(seq);
+  free(D->ext);
+  return r;
+
+fail:
+  { int err = D->err ? D->err : -4;
+    free(seq);
+    free(D->ext);
+    return err;
+  }
+}

@@ -207,3 +207,69 @@ def test_cram_counting_pipeline(world, make_cram, tmp_path, monkeypatch):
     b = count_files([fa], 21, table_min=1)
     assert a.hist == b.hist
     assert np.array_equal(a.table.packed, b.table.packed)
+
+
+@pytest.mark.parametrize("mode", [[], ["embed_ref"], ["no_ref"]],
+                         ids=["ext_ref", "embed_ref", "no_ref"])
+def test_cram_c_slice_decoder_matches_python(world, make_cram, tmp_path,
+                                             monkeypatch, mode):
+    """The C slice record walk (fk_cram_slice via scan_cram_pieces) equals
+    the Python decoder on every slice — incl. multi-ref slices with mapped
+    records (per-record contig table) — and never falls back on
+    htslib-written files in any reference mode."""
+    from fastk_tpu import native
+
+    if native.load() is None:
+        pytest.skip("no native library")
+    import fastk_tpu.io.cram_native as cn
+    from fastk_tpu.io.reader import pack_reads
+
+    d, ref, sam, expected = world
+    cram = str(tmp_path / ("c_" + ("_".join(mode) or "ref") + ".cram"))
+    r = subprocess.run([make_cram, sam, cram, ref, *mode],
+                       capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr
+    monkeypatch.setenv("FASTK_TPU_CRAM_REF", ref)
+
+    stats = {"native": 0, "fallback": 0}
+    orig = cn._native_slice_piece
+
+    def spy(*a, **k):
+        res = orig(*a, **k)
+        stats["native" if res is not None else "fallback"] += 1
+        return res
+
+    monkeypatch.setattr(cn, "_native_slice_piece", spy)
+    pieces = list(cn.scan_cram_pieces(cram))
+    want = pack_reads(list(cn.iter_cram_reads_native(cram)))
+    codes = np.concatenate([p[0] for p in pieces])
+    rlen = np.concatenate([p[2] for p in pieces])
+    assert np.array_equal(want.rlen, rlen)
+    assert np.array_equal(want.codes, codes)
+    assert stats["fallback"] == 0, stats
+    assert stats["native"] > 0
+
+
+def test_cram_c_slice_decoder_hc_bc(world, make_cram, tmp_path, monkeypatch):
+    """hc/bc apply inside the C walk exactly as pack_reads applies them."""
+    from fastk_tpu import native
+
+    if native.load() is None:
+        pytest.skip("no native library")
+    import fastk_tpu.io.cram_native as cn
+    from fastk_tpu.io.reader import pack_reads
+
+    d, ref, sam, expected = world
+    cram = str(tmp_path / "hcbc.cram")
+    r = subprocess.run([make_cram, sam, cram, ref], capture_output=True,
+                       text=True)
+    assert r.returncode == 0, r.stderr
+    monkeypatch.setenv("FASTK_TPU_CRAM_REF", ref)
+    for hc, bc in ((True, 0), (False, 3), (True, 2)):
+        pieces = list(cn.scan_cram_pieces(cram, hc=hc, bc=bc))
+        want = pack_reads(list(cn.iter_cram_reads_native(cram)),
+                          hc=hc, bc=bc)
+        assert np.array_equal(want.codes,
+                              np.concatenate([p[0] for p in pieces]))
+        assert np.array_equal(want.rlen,
+                              np.concatenate([p[2] for p in pieces]))

@@ -88,8 +88,12 @@ def main() -> int:
             ("symmex", ["A1", "S"], ("Symmex", ["A1", "OS"])),
         ]
         for mod, margs, (otool, oargs) in jobs:
-            ours = tool(mod, margs, d)
-            oracle = run([os.path.join(ORACLE, otool), *oargs], d)
+            # best-of-2 for BOTH sides: this box's disk/memory throttling
+            # swings single runs ~40%, and the second run gives each side
+            # the same warm page cache for the input tables
+            ours = min(tool(mod, margs, d) for _ in range(2))
+            oracle = min(run([os.path.join(ORACLE, otool), *oargs], d)
+                         for _ in range(2))
             results.append(dict(tool=mod, ours_s=round(ours, 2),
                                 oracle_s=round(oracle, 2),
                                 ratio=round(ours / oracle, 2),

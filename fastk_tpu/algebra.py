@@ -346,6 +346,22 @@ def _has_gc(n: Node) -> bool:
     return n.op == "gc" or _has_gc(n.lft) or _has_gc(n.rgt)
 
 
+HIST_HIGH_BINS = 32768  # fk_merge_windows' clipped-count histogram size
+
+
+def _sum_union_vars(node: Node):
+    """The set of argument variables when `node` is a pure '|+' tree over
+    distinct variables (the fastmerge-equivalent expression), else None."""
+    if node.op == "arg":
+        return {node.var}
+    if node.op == "or" and node.mode == "+":
+        l = _sum_union_vars(node.lft)
+        r = _sum_union_vars(node.rgt)
+        if l is not None and r is not None and not (l & r):
+            return l | r
+    return None
+
+
 def logex_apply_streamed(
     assignments: Sequence[Tuple[str, str]],
     source_paths: Sequence[str],
@@ -410,6 +426,41 @@ def logex_apply_streamed(
 
     use_native = (native.load() is not None and len(streams) <= 64
                   and kb <= 62)
+
+    # sum-union fast path: `X = A |+ B |+ ...` over ALL tables is exactly
+    # the fastmerge job, whose fused native window engine (part memmaps ->
+    # writer rows with clipped sums + the stub's prefix histogram in one
+    # pass, fk_merge_windows) is the fastest path through this machinery —
+    # the reference's Logex runs the same stream merge its Fastmerge does
+    # for this expression shape (Logex.c:972-1215 vs Fastmerge.c:168-450)
+    if (use_native and do_table and hist_range is None
+            and len(parsed) == 1
+            and _sum_union_vars(parsed[0][1]) == set(range(ntabs))):
+        name = parsed[0][0]
+        w = writers[name]
+        if w.ibyte <= 2:
+            w.skip_prefix = True
+        h2 = np.zeros(1 << 16, np.int64)
+        chist = np.zeros(HIST_HIGH_BINS, np.int64)
+        ok2 = False
+        try:
+            for ranges in stream_window_ranges(
+                    streams, window or DEFAULT_WINDOW):
+                rec = native.merge_windows(streams, ranges, kb, h2, chist)
+                assert rec is not None
+                w.add_records(rec)
+            if w.skip_prefix:
+                w.set_pindex(h2 if w.ibyte == 2
+                             else h2.reshape(256, 256).sum(axis=1))
+            w.close()
+            ok2 = True
+        finally:
+            if not ok2:
+                try:
+                    w.abort()
+                except Exception:
+                    pass
+        return [(name, None)]
 
     def _windows():
         """Yield (universe (U, kb) uint8, per-source int64-safe count

@@ -398,6 +398,7 @@ class KtabDirectWriter:
         self._f = None  # current part file
         self._part_n = 0
         self._pindex = np.zeros(1 << (8 * ibyte), dtype=np.int64)
+        self._h2 = None  # native add()'s 2-byte prefix histogram
         self.skip_prefix = False  # caller supplies pindex via set_pindex
 
     def _open_part(self) -> None:
@@ -424,14 +425,16 @@ class KtabDirectWriter:
         self._part_n += len(rec)
         self.n += len(rec)
 
-    def add_records(self, rec: np.ndarray) -> None:
+    def add_records(self, rec: np.ndarray, prefix_done: bool = False
+                    ) -> None:
         """Append (m, kb+2) writer-format rows continuing the global sort
-        order (key bytes then little-endian uint16 count)."""
+        order (key bytes then little-endian uint16 count). prefix_done:
+        this chunk's prefix counts were already accumulated elsewhere."""
         m = len(rec)
         if m == 0:
             return
         ib = self.ibyte
-        if not self.skip_prefix:
+        if not self.skip_prefix and not prefix_done:
             pv = rec[:, 0].astype(np.int64)
             for j in range(1, ib):
                 pv = (pv << 8) | rec[:, j]
@@ -456,10 +459,21 @@ class KtabDirectWriter:
         self._emit(rec[lo:])
 
     def add(self, packed: np.ndarray, counts: np.ndarray) -> None:
-        """Convenience: assemble writer-format rows from keys + counts."""
+        """Assemble writer-format rows from keys + counts — through the
+        native assembler (which also accumulates the 2-byte prefix
+        histogram, folded into the stub index at close) when available."""
         m = len(counts)
         if m == 0:
             return
+        if self.ibyte <= 2 and not self.skip_prefix:
+            from fastk_tpu import native
+
+            if self._h2 is None:
+                self._h2 = np.zeros(1 << 16, dtype=np.int64)
+            rec = native.writer_add(packed, counts, self._h2)
+            if rec is not None:
+                self.add_records(rec, prefix_done=True)
+                return
         rec = np.empty((m, self.kb + 2), dtype=np.uint8)
         rec[:, : self.kb] = packed
         rec[:, self.kb:] = np.ascontiguousarray(
@@ -477,6 +491,9 @@ class KtabDirectWriter:
     def close(self) -> None:
         while self._p < self.nparts:
             self._close_part()
+        if self._h2 is not None:  # fold the native assembler's histogram
+            self._pindex += (self._h2 if self.ibyte == 2
+                             else self._h2.reshape(256, 256).sum(axis=1))
         pindex = np.cumsum(self._pindex)
         with open(stub_path(self.path, ".ktab"), "wb") as f:
             f.write(struct.pack("<iiii", self.kmer, self.nparts,

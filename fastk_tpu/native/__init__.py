@@ -83,6 +83,10 @@ def load() -> Optional[ctypes.CDLL]:
         ctypes.c_long, ctypes.c_int, ctypes.c_int,         # nrec, hc, bc
         ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p,
         ctypes.c_void_p, ctypes.c_long]
+    lib.fk_symmex_bucket.restype = ctypes.c_long
+    lib.fk_symmex_bucket.argtypes = [
+        ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long,
+        ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p, ctypes.c_void_p]
     lib.fk_bam_cut.restype = ctypes.c_long
     lib.fk_bam_cut.argtypes = [ctypes.c_void_p, ctypes.c_long]
     lib.fk_pack2.restype = ctypes.c_long
@@ -237,6 +241,25 @@ def cram_slice(encs: np.ndarray, htab: np.ndarray, hsym: np.ndarray,
             return None  # caller decodes this slice in Python
         return codes[: int(boff[r])], boff[: r + 1].copy(), rlen[:r].copy()
     return None
+
+
+def symmex_bucket(fwd: np.ndarray, fc: np.ndarray, rc_rows: np.ndarray,
+                  kb: int) -> Optional[np.ndarray]:
+    """Sort one bucket's RC rows and merge with the sorted forward stream
+    into writer rows (nf+nr, kb+2), or None if unavailable."""
+    lib = load()
+    if lib is None:
+        return None
+    fwd = np.ascontiguousarray(fwd, dtype=np.uint8)
+    fc = np.ascontiguousarray(fc, dtype=np.uint16)
+    rc_rows = np.ascontiguousarray(rc_rows, dtype=np.uint8)
+    nf, nr = len(fc), len(rc_rows)
+    tmp = np.empty_like(rc_rows)
+    out = np.empty((nf + nr, kb + 2), dtype=np.uint8)
+    lib.fk_symmex_bucket(kb, fwd.ctypes.data, fc.ctypes.data, nf,
+                         rc_rows.ctypes.data, nr, tmp.ctypes.data,
+                         out.ctypes.data)
+    return out
 
 
 def bam_cut(buf: bytes) -> Optional[int]:

@@ -1661,3 +1661,66 @@ fail:
     return err;
   }
 }
+
+/* ------------------------------------------------------------------ */
+/* Symmex bucket engine: LSD-radix sort the RC rows of one first-byte
+ * bucket and linear-merge them with the (already sorted) forward stream
+ * into writer-format rows (reference Symmex.c sorts each 2-bit-prefix
+ * block then concatenates; here the merge IS the concatenation since the
+ * two streams are key-disjoint).
+ *
+ * fwd:  nf forward keys (kb bytes each) + uint16 counts fc
+ * rc:   nr RC rows of (kb key bytes + 2 count bytes), first byte uniform
+ * tmp:  scratch for nr rows
+ * out:  nf + nr merged rows
+ * Returns nf + nr. */
+long fk_symmex_bucket(int kb,
+                      const uint8_t *fwd, const uint16_t *fc, long nf,
+                      uint8_t *rc, long nr, uint8_t *tmp,
+                      uint8_t *out)
+{ int rb = kb + 2;
+  long cnt[256], pos[256];
+  int byte;
+  long i;
+  uint8_t *src = rc, *dst = tmp;
+
+  /* LSD counting sort over key bytes kb-1 .. 1 (byte 0 is the bucket) */
+  for (byte = kb - 1; byte >= 1; byte--)
+    { long c;
+      memset(cnt, 0, sizeof(cnt));
+      for (i = 0; i < nr; i++)
+        cnt[src[i*rb + byte]]++;
+      c = 0;
+      for (i = 0; i < 256; i++)
+        { pos[i] = c; c += cnt[i]; }
+      for (i = 0; i < nr; i++)
+        memcpy(dst + (pos[src[i*rb + byte]]++)*rb, src + i*rb, rb);
+      { uint8_t *t = src; src = dst; dst = t; }
+    }
+
+  /* linear merge (streams are key-disjoint; '<' tie-break is moot) */
+  { long fi = 0, ri = 0;
+    uint8_t *o = out;
+    while (fi < nf && ri < nr)
+      { if (memcmp(fwd + fi*kb, src + ri*rb, kb) < 0)
+          { memcpy(o, fwd + fi*kb, kb);
+            o[kb]   = (uint8_t)(fc[fi] & 0xFF);
+            o[kb+1] = (uint8_t)(fc[fi] >> 8);
+            fi++;
+          }
+        else
+          { memcpy(o, src + ri*rb, rb);
+            ri++;
+          }
+        o += rb;
+      }
+    for (; fi < nf; fi++, o += rb)
+      { memcpy(o, fwd + fi*kb, kb);
+        o[kb]   = (uint8_t)(fc[fi] & 0xFF);
+        o[kb+1] = (uint8_t)(fc[fi] >> 8);
+      }
+    if (ri < nr)
+      memcpy(o, src + ri*rb, (nr - ri)*rb);
+  }
+  return nf + nr;
+}

@@ -19,6 +19,7 @@ tables larger than RAM merge in O(window) memory.
 
 from __future__ import annotations
 
+import os
 import re
 import sys
 
@@ -96,6 +97,7 @@ def main(argv=None):
     do_hist = do_table = False
     nthreads, per_thread = 4, 1
     slice_spec = None
+    cache_dir = None
     pos = []
     for a in argv:
         if a.startswith("-") and len(a) > 1 and all(c in "ht" for c in a[1:]):
@@ -106,7 +108,7 @@ def main(argv=None):
         elif a.startswith("#") or a.startswith("-#"):
             per_thread = int(a.lstrip("-#") or "1")
         elif a.startswith("-P"):
-            pass  # node-local caching is a non-issue without a shared FS
+            cache_dir = a[2:] or "/tmp"
         elif a.startswith("-S"):
             m = re.fullmatch(r"(\d+)of(\d+)", a[2:])
             if not m:
@@ -124,11 +126,56 @@ def main(argv=None):
         die(USAGE)
     target, sources = pos[0], pos[1:]
     return merge_streamed(sources, target, max(1, nthreads * per_thread),
-                          do_hist, do_table, slice_spec)
+                          do_hist, do_table, slice_spec,
+                          cache_dir=cache_dir)
+
+
+def _cache_slice(s, lo_key, hi_key, cache_base: str):
+    """Node-local byte-range cache: copy ONLY the records of [lo_key,
+    hi_key) from a (shared-FS) source table into a private table at
+    cache_base and reopen it there — the reference's Open_Kmer_Cache
+    (libfastk.c:1056-1139), which a multi-node slice job uses so each node
+    reads its slice's bytes once over the network.
+
+    The cached stub keeps the source geometry (same ibyte/nparts; parts
+    outside the range are empty) with the prefix index clipped to the kept
+    window, so every downstream positioning works unchanged."""
+    import struct as _struct
+
+    from fastk_tpu.formats.ktab import KmerStream
+    from fastk_tpu.formats.paths import part_path, stub_path
+
+    kb = s.kbyte
+    if lo_key is not None:
+        s.goto_kmer(np.frombuffer(bytes(lo_key).ljust(kb, b"\x00"),
+                                  np.uint8))
+        bidx = s.idx
+    else:
+        bidx = 0
+    if hi_key is not None:
+        s.goto_kmer(np.frombuffer(bytes(hi_key).ljust(kb, b"\x00"),
+                                  np.uint8))
+        eidx = s.idx
+    else:
+        eidx = s.nels
+
+    pindex = np.clip(s._pindex, bidx, eidx) - bidx
+    with open(stub_path(cache_base, ".ktab"), "wb") as f:
+        f.write(_struct.pack("<iiii", s.kmer, s.nparts, s.minval, s.ibyte))
+        pindex.astype("<i8").tofile(f)
+    for p in range(s.nparts):
+        blo = max(bidx, s._bases[p]) - s._bases[p]
+        bhi = max(blo, min(eidx, s._bases[p + 1]) - s._bases[p])
+        with open(part_path(cache_base, ".ktab", p + 1), "wb") as f:
+            f.write(_struct.pack("<i", s.kmer))
+            f.write(_struct.pack("<q", bhi - blo))
+            if bhi > blo:
+                s._maps[p][blo:bhi].tofile(f)
+    return KmerStream(cache_base)
 
 
 def merge_streamed(sources, target, nparts, do_hist, do_table, slice_spec,
-                   window=None):
+                   window=None, cache_dir=None):
     """Windowed streaming merge: O(window) memory at any table scale."""
     from fastk_tpu.formats.hist import HIST_HIGH
     from fastk_tpu.formats.ktab import KmerStream
@@ -188,6 +235,18 @@ def merge_streamed(sources, target, nparts, do_hist, do_table, slice_spec,
         from fastk_tpu.formats.ktab import KtabDirectWriter
 
         ktw = KtabDirectWriter(target, kmer, minval, ib_out, cut_keys)
+
+    cache_tmp = None
+    if cache_dir is not None and (lo_key is not None or hi_key is not None):
+        # -P: cache each source's slice byte range on local disk (AFTER
+        # the cut geometry above, which must see the FULL pivot)
+        import tempfile
+
+        cache_tmp = tempfile.mkdtemp(prefix="fastmerge.P.", dir=cache_dir)
+        streams = [_cache_slice(s, lo_key, hi_key,
+                                os.path.join(cache_tmp, f"c{i}"))
+                   for i, s in enumerate(streams)]
+
     bins = np.zeros(HIST_HIGH + 1, dtype=np.int64)
     from fastk_tpu import native
 
@@ -225,6 +284,10 @@ def merge_streamed(sources, target, nparts, do_hist, do_table, slice_spec,
         ktw.close()
     if do_hist:
         write_histogram(target, Histogram.from_bins(kmer, bins))
+    if cache_tmp is not None:
+        import shutil
+
+        shutil.rmtree(cache_tmp, ignore_errors=True)
     return 0
 
 

@@ -50,12 +50,33 @@ def _interleave(va, ca, vb, cb):
 
 def symmetric_streamed(src: str, dst: str, nparts: int, tmpdir: str,
                        verbose: bool) -> None:
+    from fastk_tpu import native
+    from fastk_tpu.formats.ktab import (
+        KtabDirectWriter,
+        idx_bytes_for,
+        part_splits_from_pindex,
+    )
+
     s = KmerStream(src)
     kmer, kb = s.kmer, s.kbyte
     rb = kb + 2
     d = tempfile.mkdtemp(prefix="symmex.", dir=tmpdir)
     spools = [None] * 256  # opened on first record
     npal = 0
+    # exact output prefix histogram, accumulated during pass 1 (both the
+    # forward and RC streams pass through it) — it fixes ibyte, the part
+    # cut keys AND the stub index up front, so pass 2 streams the final
+    # part files directly with every output byte written exactly once
+    # (the reference writes once too; KtabWriter's spool would re-touch)
+    hw = 3 if (2 * s.nels > 0x4000000 and kmer >= 12) else 2
+    hist = np.zeros(1 << (8 * hw), dtype=np.int64)
+
+    def _pv(packed):
+        v = packed[:, 0].astype(np.int64)
+        for j in range(1, hw):
+            v = (v << 8) | packed[:, j]
+        return v
+
     try:
         # pass 1: RC records into first-byte bucket spools
         for lo in range(0, s.nels, _WINDOW):
@@ -65,6 +86,8 @@ def symmetric_streamed(src: str, dst: str, nparts: int, tmpdir: str,
             pal = (rc == packed).all(axis=1)
             npal += int(pal.sum())
             rc, rcc = rc[~pal], counts[~pal]
+            hist += np.bincount(_pv(packed), minlength=len(hist))
+            hist += np.bincount(_pv(rc), minlength=len(hist))
             rec = np.empty((len(rc), rb), dtype=np.uint8)
             rec[:, :kb] = rc
             rec[:, kb:] = np.ascontiguousarray(
@@ -84,36 +107,61 @@ def symmetric_streamed(src: str, dst: str, nparts: int, tmpdir: str,
             if f is not None:
                 f.close()
 
-        # pass 2: per first-byte bucket, sort the RCs and interleave with
-        # the (already sorted) forward entries of the same range
-        wr = KtabWriter(dst, kmer, s.minval, nparts=nparts)
+        total = 2 * s.nels - npal
+        ibyte = idx_bytes_for(total, kmer)
+        # exact stub index at the output width + part cut keys at prefix
+        # boundaries (all from the pass-1 histogram)
+        if ibyte < hw:
+            pind = hist.reshape(1 << (8 * ibyte), -1).sum(axis=1)
+        else:
+            pind = hist  # ibyte == hw by construction
+        pcum = np.cumsum(pind)
+        cut_keys = []
+        for c in part_splits_from_pindex(pcum, nparts):
+            if c >= total:
+                cut_keys.append(b"\xff" * kb)
+                continue
+            p0 = int(np.searchsorted(pcum, c, side="left"))
+            key = np.zeros(kb, np.uint8)
+            for j in range(ibyte):
+                key[j] = ((p0 + 1) >> (8 * (ibyte - 1 - j))) & 0xFF
+            cut_keys.append(bytes(key))
+
+        # per-first-byte forward ranges straight from the source stub
+        # index (no on-disk binary search)
+        step = 1 << (8 * (s.ibyte - 1))
+        fwd_cuts = [0] + [int(s._pindex[(b + 1) * step - 1])
+                          for b in range(256)]
+
+        wr = KtabDirectWriter(dst, kmer, s.minval, ibyte, cut_keys)
+        wr.skip_prefix = True
         try:
-            fwd_lo = 0
+            use_native = native.load() is not None
             for b in range(256):
-                if b < 255:
-                    nxt = np.zeros(kb, np.uint8)
-                    nxt[0] = b + 1
-                    s.goto_kmer(nxt)
-                    fwd_hi = s.idx
-                else:
-                    fwd_hi = s.nels
-                fp, fc = s.read_range(fwd_lo, fwd_hi)
-                fwd_lo = fwd_hi
-                fv = np.ascontiguousarray(fp).view(f"S{kb}").ravel()
+                fp, fc = s.read_range(fwd_cuts[b], fwd_cuts[b + 1])
                 path = os.path.join(d, f"b{b:02x}")
                 if os.path.exists(path):
                     rec = np.fromfile(path, dtype=np.uint8).reshape(-1, rb)
+                    os.unlink(path)  # bound peak disk at ~one table
+                    if use_native:
+                        rows = native.symmex_bucket(fp, fc, rec, kb)
+                        if len(rows):
+                            wr.add_records(rows)
+                        continue
                     rp = np.ascontiguousarray(rec[:, :kb])
                     rc2 = np.ascontiguousarray(
                         rec[:, kb:]).view("<u2").ravel()
                     rv = rp.view(f"S{kb}").ravel()
                     order = np.argsort(rv, kind="stable")
                     rv, rc2 = rv[order], rc2[order]
+                    fv = np.ascontiguousarray(fp).view(f"S{kb}").ravel()
                     mv, mc = _interleave(fv, fc, rv, rc2)
                 else:
-                    mv, mc = fv, fc
+                    mv, mc = (np.ascontiguousarray(fp).view(
+                        f"S{kb}").ravel(), fc)
                 if len(mv):
                     wr.add(mv.view(np.uint8).reshape(-1, kb), mc)
+            wr.set_pindex(pind)
         except BaseException:
             wr.abort()
             raise

@@ -106,3 +106,40 @@ def test_fastmerge_cli_accepts_suffixed_sources(tabs, tmp_path, monkeypatch):
     assert rc == 0
     got = read_ktab(out)
     assert len(got) > 0
+
+
+@pytest.mark.parametrize("slice_spec", [(1, 3), (2, 3)])
+def test_fastmerge_node_cache(tabs, tmp_path, slice_spec):
+    """-P copies only each source's slice byte range to local disk
+    (Open_Kmer_Cache, libfastk.c:1056-1139): output identical, cache
+    directory cleaned up."""
+    import glob
+
+    from fastk_tpu.tools.fastmerge import merge_streamed
+
+    d, tables, paths = tabs
+    a = str(tmp_path / "plain")
+    b = str(tmp_path / "cached")
+    assert merge_streamed(paths, a, 3, True, True, slice_spec) == 0
+    assert merge_streamed(paths, b, 3, True, True, slice_spec,
+                          cache_dir=str(tmp_path)) == 0
+    ta, tb = read_ktab(a), read_ktab(b)
+    assert np.array_equal(ta.packed, tb.packed)
+    assert np.array_equal(ta.counts, tb.counts)
+    assert read_histogram(a) == read_histogram(b)
+    assert not glob.glob(str(tmp_path / "fastmerge.P.*"))
+
+
+def test_logex_sum_union_fast_path(tabs, tmp_path):
+    """`X = A|+B|+C` without -h takes the fused fastmerge window engine;
+    the output table must equal the generic evaluator's."""
+    from fastk_tpu.algebra import logex_apply, logex_apply_streamed
+
+    d, tables, paths = tabs
+    mem = logex_apply([("U", "A|+B|+C")], tables)
+    got = logex_apply_streamed([(str(tmp_path / "U"), "A|+B|+C")], paths,
+                               out_nparts=2)
+    assert got[0][1] is None
+    t_got = read_ktab(str(tmp_path / "U"))
+    assert np.array_equal(mem[0][1].packed, t_got.packed)
+    assert np.array_equal(mem[0][1].counts, t_got.counts)

@@ -205,7 +205,7 @@ def _run(cfg, out_base):
     if nprocs > 1:
         try:
             return _run_mesh(cfg, out_base, rel, batch_bases, nparts,
-                             part_cap, pid, nprocs)
+                             part_cap, est_bases, pid, nprocs)
         except BaseException:
             _clean_outputs(out_base if pid == 0
                            else f"{out_base}.{pid}")
@@ -284,8 +284,8 @@ def _run(cfg, out_base):
     return 0
 
 
-def _run_mesh(cfg, out_base, rel, batch_bases, nparts, part_cap, pid,
-              nprocs):
+def _run_mesh(cfg, out_base, rel, batch_bases, nparts, part_cap, est_bases,
+              pid, nprocs):
     """Multi-host job body: every host runs the same lockstep mesh program
     over its file shard and streams `<out>.<pid>` slice file-sets; host 0
     splices them (fastcat) into `<out>` and writes the histogram."""
@@ -305,12 +305,16 @@ def _run_mesh(cfg, out_base, rel, batch_bases, nparts, part_cap, pid,
             cfg["inputs"], rel, mesh, batch_bases=batch_bases,
             verbose=cfg["v"], out_base=out_base, out_nparts=nparts)
     else:
+        # per-chip keyspace parts sized so no phase-2 merge load exceeds
+        # the -M-derived part_cap even at worst-case (1 record/base) spill
+        D = mesh.devices.size
+        ppc = max(1, min(256, -(-est_bases // (D * part_cap))))
         out = count_files_mesh(
             cfg["inputs"], cfg["k"], mesh=mesh, table_min=cfg["t"],
             profiles=cfg["p"], batch_bases=batch_bases,
             sort_path=cfg["P"], out_base=out_base, out_nparts=nparts,
-            part_cap=part_cap, hc=cfg["c"], bc=cfg["bc"],
-            verbose=cfg["v"])
+            part_cap=part_cap, parts_per_chip=ppc, hc=cfg["c"],
+            bc=cfg["bc"], verbose=cfg["v"])
     multihost_utils.sync_global_devices("fastk_mesh_slices_done")
     if pid == 0:
         from fastk_tpu.tools.fastcat import (

@@ -40,23 +40,35 @@ def make_fasta(path: str, nbases: int, seed: int) -> None:
             f.write(f">r{i}\n{s}\n")
 
 
-def run(cmd, cwd):
+def run(cmd, cwd, timeout=900):
+    # timeout guards a sporadic livelock observed in a reference binary's
+    # teardown under this VM (Logex spun 48min at 99% CPU, VmSize 2.5MB,
+    # output already complete); a timed-out run reports +inf
     t0 = time.perf_counter()
-    r = subprocess.run(cmd, cwd=cwd, capture_output=True, text=True)
+    try:
+        r = subprocess.run(cmd, cwd=cwd, capture_output=True, text=True,
+                           timeout=timeout)
+    except subprocess.TimeoutExpired:
+        print(f"# TIMEOUT: {' '.join(cmd)}", file=sys.stderr)
+        return float("inf")
     dt = time.perf_counter() - t0
     assert r.returncode == 0, (cmd, r.stderr[-500:])
     return dt
 
 
-def tool(mod, args, cwd, expect_fail=False):
+def tool(mod, args, cwd, expect_fail=False, timeout=900):
     t0 = time.perf_counter()
     repo = os.path.dirname(HERE)
     pp = os.environ.get("PYTHONPATH", "")
-    r = subprocess.run(
-        [sys.executable, "-m", f"fastk_tpu.tools.{mod}", *args],
-        cwd=cwd, capture_output=True, text=True,
-        env={**os.environ, "JAX_PLATFORMS": "cpu",
-             "PYTHONPATH": repo + (os.pathsep + pp if pp else "")})
+    try:
+        r = subprocess.run(
+            [sys.executable, "-m", f"fastk_tpu.tools.{mod}", *args],
+            cwd=cwd, capture_output=True, text=True, timeout=timeout,
+            env={**os.environ, "JAX_PLATFORMS": "cpu",
+                 "PYTHONPATH": repo + (os.pathsep + pp if pp else "")})
+    except subprocess.TimeoutExpired:
+        print(f"# TIMEOUT: ours {mod}", file=sys.stderr)
+        return float("inf")
     dt = time.perf_counter() - t0
     if not expect_fail:
         assert r.returncode == 0, (mod, args, r.stderr[-500:])

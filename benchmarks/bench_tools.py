@@ -40,10 +40,24 @@ def make_fasta(path: str, nbases: int, seed: int) -> None:
             f.write(f">r{i}\n{s}\n")
 
 
+def _rm_set(cwd, root):
+    """Remove a .ktab stub + hidden parts: the reference Logex PROMPTS
+    when its output exists and `while (getc(stdin) != '\\n')` spins forever
+    at EOF under automation (Logex.c:1333-1346) — outputs must not
+    pre-exist when timing it."""
+    import glob
+
+    for f in glob.glob(os.path.join(cwd, root + ".ktab")) + glob.glob(
+            os.path.join(cwd, "." + root + ".ktab.*")):
+        try:
+            os.unlink(f)
+        except OSError:
+            pass
+
+
 def run(cmd, cwd, timeout=900):
-    # timeout guards a sporadic livelock observed in a reference binary's
-    # teardown under this VM (Logex spun 48min at 99% CPU, VmSize 2.5MB,
-    # output already complete); a timed-out run reports +inf
+    # timeout guards against EOF-stdin prompt loops in the reference
+    # binaries (see _rm_set); a timed-out run reports +inf
     t0 = time.perf_counter()
     try:
         r = subprocess.run(cmd, cwd=cwd, capture_output=True, text=True,
@@ -94,18 +108,21 @@ def main() -> int:
         results = []
         jobs = [
             ("fastmerge", ["-t", "M", "A1", "A2"],
-             ("Fastmerge", ["-t", "OM", "A1", "A2"])),
+             ("Fastmerge", ["-t", "OM", "A1", "A2"]), "OM"),
             ("logex", ["U = A|+B", "A1", "A2"],
-             ("Logex", ["OU = A|+B", "A1", "A2"])),
-            ("symmex", ["A1", "S"], ("Symmex", ["A1", "OS"])),
+             ("Logex", ["OU = A|+B", "A1", "A2"]), "OU"),
+            ("symmex", ["A1", "S"], ("Symmex", ["A1", "OS"]), "OS"),
         ]
-        for mod, margs, (otool, oargs) in jobs:
+        for mod, margs, (otool, oargs), oout in jobs:
             # best-of-2 for BOTH sides: this box's disk/memory throttling
             # swings single runs ~40%, and the second run gives each side
             # the same warm page cache for the input tables
             ours = min(tool(mod, margs, d) for _ in range(2))
-            oracle = min(run([os.path.join(ORACLE, otool), *oargs], d)
-                         for _ in range(2))
+            oracle = float("inf")
+            for _ in range(2):
+                _rm_set(d, oout)  # see _rm_set: oracle prompts + spins
+                oracle = min(oracle,
+                             run([os.path.join(ORACLE, otool), *oargs], d))
             results.append(dict(tool=mod, ours_s=round(ours, 2),
                                 oracle_s=round(oracle, 2),
                                 ratio=round(ours / oracle, 2),

@@ -141,11 +141,7 @@ def relative_profiles_sharded(
     from fastk_tpu.ops.count import HIST_HIGH
     from fastk_tpu.ops.kmers import packed_to_words
     from fastk_tpu.parallel.dist import sharded_relative_fn
-    from fastk_tpu.parallel.multihost import (
-        _allgather_ragged,
-        _local_shard_rows,
-        shard_files,
-    )
+    from fastk_tpu.parallel.multihost import _local_shard_rows, shard_files
     from fastk_tpu.pipeline.count import CountOutput, _profiles_from_positions
 
     k = table.kmer
@@ -233,76 +229,81 @@ def relative_profiles_sharded(
 
     gen = (b for b, _ in batched_reads(my_paths, batch_bases))
     batch = next(gen, None)
-    while True:
-        have = 0 if batch is None else 1
-        need = (0 if batch is None
-                else ((max(len(batch.codes), D) + n_local - 1) // n_local))
-        if nprocs > 1:
-            from jax.experimental import multihost_utils
+    try:
+        while True:
+            have = 0 if batch is None else 1
+            need = (0 if batch is None
+                    else ((max(len(batch.codes), D) + n_local - 1) // n_local))
+            if nprocs > 1:
+                from jax.experimental import multihost_utils
 
-            flags = np.asarray(multihost_utils.process_allgather(
-                np.array([have, need], np.int64)))
-            if int(flags[:, 0].max()) == 0:
+                flags = np.asarray(multihost_utils.process_allgather(
+                    np.array([have, need], np.int64)))
+                if int(flags[:, 0].max()) == 0:
+                    break
+                need = int(flags[:, 1].max())
+            elif batch is None:
                 break
-            need = int(flags[:, 1].max())
-        elif batch is None:
-            break
-        need = ((need + step - 1) // step) * step
-        if fn is None or need > shard_size:
-            shard_size = max(need, 2 * shard_size)
-            fn = sharded_relative_fn(mesh, k, shard_size, table_cap,
-                                     slack=cur_slack, route_impl=route_impl)
-        codes = (batch.codes if batch is not None
-                 else np.full(16, 4, np.uint8))
-        out = fn(_local_shard_rows(codes, k, mesh, shard_size), spl,
-                 t_words, t_counts)
-        while int(out["route_overflow"]) > 0 and D > 1 and cur_slack < D:
-            # capacity escalation (table ownership is fixed by its own
-            # quantiles, so boundaries never move; slack == D always fits)
-            cur_slack = min(2 * cur_slack, D)
-            fn = sharded_relative_fn(mesh, k, shard_size, table_cap,
-                                     slack=cur_slack, route_impl=route_impl)
+            need = ((need + step - 1) // step) * step
+            if fn is None or need > shard_size:
+                shard_size = max(need, 2 * shard_size)
+                fn = sharded_relative_fn(mesh, k, shard_size, table_cap,
+                                         slack=cur_slack, route_impl=route_impl)
+            codes = (batch.codes if batch is not None
+                     else np.full(16, 4, np.uint8))
             out = fn(_local_shard_rows(codes, k, mesh, shard_size), spl,
                      t_words, t_counts)
-        if int(out["route_overflow"]) > 0:
-            raise RuntimeError("bucket capacity exceeded; raise slack")
-        if batch is not None:
-            pc = np.minimum(_my_pos_counts(out, len(codes)), HIST_HIGH)
-            if stream:
-                plen = np.maximum(np.asarray(batch.rlen) - k + 1, 0)
-                blob, offs = encode_profiles_bulk(
-                    pc.astype(np.uint16), np.asarray(batch.boff)[:-1], plen)
-                np.ascontiguousarray(blob, np.uint8).tofile(spool_d)
-                np.diff(offs, prepend=0).astype("<i8").tofile(spool_l)
-            else:
-                profs.extend(_profiles_from_positions(batch, pc, k))
-            nreads += batch.nreads
-            totlen += batch.totlen
-            if verbose:
-                print(f"  sharded relative batch: {batch.nreads} reads",
-                      flush=True)
-        del batch
-        batch = next(gen, None)
+            while int(out["route_overflow"]) > 0 and D > 1 and cur_slack < D:
+                # capacity escalation (table ownership is fixed by its own
+                # quantiles, so boundaries never move; slack == D always fits)
+                cur_slack = min(2 * cur_slack, D)
+                fn = sharded_relative_fn(mesh, k, shard_size, table_cap,
+                                         slack=cur_slack, route_impl=route_impl)
+                out = fn(_local_shard_rows(codes, k, mesh, shard_size), spl,
+                         t_words, t_counts)
+            if int(out["route_overflow"]) > 0:
+                raise RuntimeError("bucket capacity exceeded; raise slack")
+            if batch is not None:
+                pc = np.minimum(_my_pos_counts(out, len(codes)), HIST_HIGH)
+                if stream:
+                    plen = np.maximum(np.asarray(batch.rlen) - k + 1, 0)
+                    blob, offs = encode_profiles_bulk(
+                        pc.astype(np.uint16), np.asarray(batch.boff)[:-1], plen)
+                    np.ascontiguousarray(blob, np.uint8).tofile(spool_d)
+                    np.diff(offs, prepend=0).astype("<i8").tofile(spool_l)
+                else:
+                    profs.extend(_profiles_from_positions(batch, pc, k))
+                nreads += batch.nreads
+                totlen += batch.totlen
+                if verbose:
+                    print(f"  sharded relative batch: {batch.nreads} reads",
+                          flush=True)
+            del batch
+            batch = next(gen, None)
 
-    if stream:
-        pw = ProfWriter(slice_base, k, nreads,
-                        nparts=min(out_nparts, max(1, nreads)))
-        spool_d.flush()
-        spool_l.flush()
-        spool_d.seek(0)
-        spool_l.seek(0)
-        chunk = 1 << 16  # reads per replay block
-        done = 0
-        while done < nreads:
-            lens = np.fromfile(spool_l, dtype="<i8",
-                               count=min(chunk, nreads - done))
-            offs = np.cumsum(lens)
-            blob = np.fromfile(spool_d, dtype=np.uint8,
-                               count=int(offs[-1]) if len(offs) else 0)
-            pw.add_block(blob, offs)
-            done += len(lens)
-        pw.close()
-        _spool_cleanup()
+        if stream:
+            pw = ProfWriter(slice_base, k, nreads,
+                            nparts=min(out_nparts, max(1, nreads)))
+            spool_d.flush()
+            spool_l.flush()
+            spool_d.seek(0)
+            spool_l.seek(0)
+            chunk = 1 << 16  # reads per replay block
+            done = 0
+            while done < nreads:
+                lens = np.fromfile(spool_l, dtype="<i8",
+                                   count=min(chunk, nreads - done))
+                offs = np.cumsum(lens)
+                blob = np.fromfile(spool_d, dtype=np.uint8,
+                                   count=int(offs[-1]) if len(offs) else 0)
+                pw.add_block(blob, offs)
+                done += len(lens)
+            pw.close()
+            _spool_cleanup()
+    except BaseException:
+        if stream:
+            _spool_cleanup()
+        raise
     if nprocs > 1:
         from jax.experimental import multihost_utils
 

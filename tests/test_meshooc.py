@@ -349,3 +349,21 @@ def test_cli_multihost_two_process(data, tmp_path):
     assert len(rps) == len(rwant.profiles)
     for a, b in zip(rps, rwant.profiles):
         assert np.array_equal(a, b)
+
+
+def test_mesh_hc_bc_match_incore(data, tmp_path):
+    """-c (homopolymer compression) and -bc flow through the mesh path's
+    native ingest identically to the single-chip pipeline."""
+    from fastk_tpu.parallel.meshooc import count_files_mesh
+    from fastk_tpu.pipeline.count import count_files
+
+    want = count_files(data, 17, table_min=1, profiles=True,
+                       batch_bases=4000, hc=True, bc=2)
+    got = count_files_mesh(data, 17, table_min=1, profiles=True,
+                           batch_bases=4000, hc=True, bc=2,
+                           sort_path=str(tmp_path))
+    assert want.hist == got.hist
+    assert np.array_equal(want.table.packed, got.table.packed)
+    assert np.array_equal(want.table.counts, got.table.counts)
+    for a, b in zip(want.profiles, got.profiles):
+        assert np.array_equal(a, b)

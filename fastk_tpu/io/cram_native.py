@@ -275,9 +275,13 @@ class Block:
     content_type: int
     content_id: int
     data: bytes
+    rsize: int = -1  # uncompressed size (set by read_block_raw)
 
 
-def read_block(f, v3: bool = True) -> Block:
+def read_block_raw(f, v3: bool = True) -> Block:
+    """Read one block WITHOUT decompressing its payload (data holds the
+    on-disk bytes; content_type/content_id parsed). rsize kept on the
+    instance for the deferred inflate."""
     head = f.read(2)
     if len(head) < 2:
         raise CramError("truncated block")
@@ -291,6 +295,13 @@ def read_block(f, v3: bool = True) -> Block:
         raise CramError("truncated block data")
     if v3:
         f.read(4)  # CRC32 (v3+ only; cram_io.c gates on major >= 3)
+    b = Block(method, ctype, content_id, data)
+    b.rsize = rsize
+    return b
+
+
+def inflate_block(b: Block) -> bytes:
+    method, data, rsize = b.method, b.data, b.rsize
     if method == BLOCK_RAW:
         raw = data
     elif method == BLOCK_GZIP:
@@ -309,7 +320,12 @@ def read_block(f, v3: bool = True) -> Block:
         raise CramUnsupported(f"block compression method {method}")
     if len(raw) != rsize:
         raise CramError("block raw size mismatch")
-    return Block(method, ctype, content_id, raw)
+    return raw
+
+
+def read_block(f, v3: bool = True) -> Block:
+    b = read_block_raw(f, v3)
+    return Block(b.method, b.content_type, b.content_id, inflate_block(b))
 
 
 class _FileITF8:
@@ -883,8 +899,14 @@ class Reference:
         return self._fasta
 
     def get(self, ref_id: int, off0: int, n: int) -> bytes:
-        if self._embedded is not None and self._embedded[0] == ref_id:
-            _rid, base, data = self._embedded
+        return self.get_with(self._embedded, ref_id, off0, n)
+
+    def get_with(self, embedded, ref_id: int, off0: int, n: int) -> bytes:
+        """get() against an EXPLICIT embedded window — thread-safe form
+        for parallel per-slice decoding (no shared mutable state beyond
+        the read-only FASTA dict)."""
+        if embedded is not None and embedded[0] == ref_id:
+            _rid, base, data = embedded
             s = off0 - base
             if 0 <= s and s + n <= len(data):
                 return data[s: s + n].upper()
@@ -920,10 +942,12 @@ def _sq_names_from_header(text: str) -> List[str]:
 # Top level
 # ---------------------------------------------------------------------------
 
-def _iter_slices(path: str):
-    """Walk a CRAM 2.x/3.x file slice by slice, yielding
-    (comp, sh, core_bytes, external {cid: bytes}, embedded, ref) — the raw
-    decoded-block inputs of one slice's record walk."""
+def _iter_slices_raw(path: str):
+    """Walk a CRAM 2.x/3.x file slice by slice, yielding (comp, sh,
+    blocks, ref) where `blocks` are the slice's content blocks with their
+    payloads STILL COMPRESSED — so a worker pool can inflate + decode
+    slices concurrently while this walk stays sequential (headers and
+    compression-header blocks are small and inflate inline)."""
     with open(path, "rb") as f:
         magic = f.read(4)
         if magic != b"CRAM":
@@ -976,22 +1000,39 @@ def _iter_slices(path: str):
                     raise CramError("expected slice header block")
                 sh = parse_slice_header(
                     sblk.data, v3, sblk.content_type == CT_MAPPED_SLICE)
-                core = b""
-                external: Dict[int, bytes] = {}
-                embedded = None
-                for _ in range(sh.n_blocks):
-                    b = read_block(f, v3)
-                    if b.content_type == CT_CORE:
-                        core = b.data
-                    elif b.content_type == CT_EXTERNAL:
-                        if b.content_id == sh.embedded_ref_id:
-                            embedded = b.data
-                        external[b.content_id] = b.data
-                    else:
-                        raise CramError("unexpected block in slice")
-                ref.set_embedded(sh.ref_id, sh.start, embedded)
-                yield comp, sh, core, external, embedded, ref
+                blocks = [read_block_raw(f, v3)
+                          for _ in range(sh.n_blocks)]
+                yield comp, sh, blocks, ref
             f.seek(end)
+
+
+def _inflate_slice(sh, blocks):
+    """(core, external {cid: bytes}, embedded) from a slice's raw
+    blocks."""
+    core = b""
+    external: Dict[int, bytes] = {}
+    embedded = None
+    for b in blocks:
+        raw = inflate_block(b)
+        if b.content_type == CT_CORE:
+            core = raw
+        elif b.content_type == CT_EXTERNAL:
+            if b.content_id == sh.embedded_ref_id:
+                embedded = raw
+            external[b.content_id] = raw
+        else:
+            raise CramError("unexpected block in slice")
+    return core, external, embedded
+
+
+def _iter_slices(path: str):
+    """_iter_slices_raw with payloads inflated (the sequential API:
+    yields (comp, sh, core, external, embedded, ref) and installs each
+    slice's embedded reference on `ref`)."""
+    for comp, sh, blocks, ref in _iter_slices_raw(path):
+        core, external, embedded = _inflate_slice(sh, blocks)
+        ref.set_embedded(sh.ref_id, sh.start, embedded)
+        yield comp, sh, core, external, embedded, ref
 
 
 def iter_cram_records(path: str) -> Iterator[Tuple[int, bytes]]:
@@ -1131,7 +1172,11 @@ def _native_slice_piece(comp, sh, core: bytes, external: Dict[int, bytes],
     encs, htab, hsym, series, tag_off, tag_enc, cids, subs = packed
 
     # reference window covering the slice span (+margin); any access the
-    # window cannot serve makes C return -5 and the Python path decide
+    # window cannot serve makes C return -5 and the Python path decide.
+    # The embedded window is passed EXPLICITLY (get_with) so concurrent
+    # slice decodes never share mutable Reference state.
+    embt = ((sh.ref_id, sh.start - 1, embedded)
+            if embedded is not None else None)
     ref_win = None
     ref_start = sh.start
     if sh.span > 0 and sh.ref_id >= 0:
@@ -1142,7 +1187,8 @@ def _native_slice_piece(comp, sh, core: bytes, external: Dict[int, bytes],
             if embedded is not None and len(embedded) < win_n:
                 continue
             try:
-                ref_win = ref.get(sh.ref_id, sh.start - 1, win_n)
+                ref_win = ref.get_with(embt, sh.ref_id, sh.start - 1,
+                                       win_n)
                 break
             except Exception:
                 ref_win = None
@@ -1166,25 +1212,37 @@ def _native_slice_piece(comp, sh, core: bytes, external: Dict[int, bytes],
 
 def scan_cram_pieces(path: str, hc: bool = False, bc: int = 0):
     """Streamed CRAM ingest as (codes, boff, rlen) pieces, one per slice:
-    the C record walk with per-slice Python fallback; features outside the
-    native decoder's gate divert the REST of the stream to the io.cram
-    fallback chain (read-count cursor, like iter_cram_reads)."""
-    from fastk_tpu.io.reader import pack_reads
+    the sequential walk hands COMPRESSED slice blocks to the shared
+    worker pool, which inflates (rANS/gzip) and runs the C record walk
+    (with per-slice Python fallback) concurrently — the reference decodes
+    CRAM with threaded htslib the same way (io.c:1821-1990). Features
+    outside the native decoder's gate divert the REST of the stream to
+    the io.cram fallback chain (read-count cursor, like
+    iter_cram_reads)."""
+    from fastk_tpu.io.reader import _pooled, pack_reads
+
+    def parse_one(item):
+        comp, sh, blocks, ref = item
+        core, external, embedded = _inflate_slice(sh, blocks)
+        piece = _native_slice_piece(comp, sh, core, external, embedded,
+                                    ref, hc, bc)
+        if piece is None:
+            embt = ((sh.ref_id, sh.start - 1, embedded)
+                    if embedded is not None else None)
+            dec = SliceDecoder(BitReader(core),
+                               {cid: ByteReader(d)
+                                for cid, d in external.items()})
+            seqs = [s for fl, s in _decode_slice_records(
+                        comp, sh, dec,
+                        lambda rid, o, n: ref.get_with(embt, rid, o, n))
+                    if not (fl & _BAM_SECSUP) and s]
+            b = pack_reads(seqs, hc=hc, bc=bc)
+            piece = (b.codes, b.boff, b.rlen)
+        return piece
 
     nyielded = 0
     try:
-        for comp, sh, core, external, emb, ref in _iter_slices(path):
-            piece = _native_slice_piece(comp, sh, core, external, emb, ref,
-                                        hc, bc)
-            if piece is None:
-                dec = SliceDecoder(BitReader(core),
-                                   {cid: ByteReader(d)
-                                    for cid, d in external.items()})
-                seqs = [s for fl, s in
-                        _decode_slice_records(comp, sh, dec, ref.get)
-                        if not (fl & _BAM_SECSUP) and s]
-                b = pack_reads(seqs, hc=hc, bc=bc)
-                piece = (b.codes, b.boff, b.rlen)
+        for piece in _pooled(_iter_slices_raw(path), parse_one):
             nyielded += len(piece[2])
             yield piece
     except CramUnsupported:

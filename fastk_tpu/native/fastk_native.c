@@ -1331,6 +1331,27 @@ static long fkc_read_bytes(FkCram *D, int enc, uint8_t *out, long ocap)
   return 0;
 }
 
+/* ref base byte -> row of the substitution matrix (A C G T N) */
+static uint8_t RIDX[256];
+static void init_ridx(void)
+{ int i;
+  for (i = 0; i < 256; i++) RIDX[i] = 4;
+  RIDX['A'] = 0; RIDX['C'] = 1; RIDX['G'] = 2; RIDX['T'] = 3;
+  RIDX['N'] = 4;
+}
+
+/* all lazy table inits run once at library load, BEFORE any worker
+ * thread can enter a scanner: the per-call lazy checks are unsynchronized
+ * and a reordered init-flag store could expose a half-filled table to a
+ * concurrent caller (the ingest pool calls these from many threads). */
+__attribute__((constructor)) static void fk_init_all(void)
+{ init_code();
+  init_iupac();
+  init_samcode();
+  init_nib2();
+  init_ridx();
+}
+
 /* series slot order (io/cram_native.py keeps the Python list in sync) */
 enum { S_BF, S_CF, S_RI, S_RL, S_AP, S_RG, S_RN, S_MF, S_NS, S_NP, S_TS,
        S_NF, S_TL, S_FN, S_FC, S_FP, S_BS, S_SC, S_IN, S_BA, S_BB, S_QS,
@@ -1359,17 +1380,7 @@ long fk_cram_slice(
   long scap = 1 << 16;
   uint8_t *seq = malloc(scap);
   int64_t last_pos = slice_start;
-  static uint8_t RIDX[256];
-  static int ridx_init = 0;
 
-  init_code();
-  if (!ridx_init)
-    { int i;
-      for (i = 0; i < 256; i++) RIDX[i] = 4;
-      RIDX['A'] = 0; RIDX['C'] = 1; RIDX['G'] = 2; RIDX['T'] = 3;
-      RIDX['N'] = 4;
-      ridx_init = 1;
-    }
   if (seq == NULL) return -7;
 
   D->encs = encs; D->n_encs = n_encs;

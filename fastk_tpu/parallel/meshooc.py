@@ -460,12 +460,15 @@ def count_files_mesh(
                 else:
                     iw = ipos = isrc = bcol = None
                 n = len(counts)
-                if n <= part_cap:
+                load = max(n, len(ipos) if profiles else 0)
+                if load <= part_cap:
                     _merge_range(words, counts, iw, ipos, isrc, bcol)
                     continue
                 # sub-split at word0 quantiles (skew backstop; identical
-                # keys share word0 so sub-ranges still partition)
-                nsub = math.ceil(n / part_cap)
+                # keys share word0 so sub-ranges still partition; the
+                # bound covers BOTH the unique merge and the instance
+                # join, each of which pads to its own pow2)
+                nsub = math.ceil(load / part_cap)
                 rng = np.random.default_rng(0)
                 sample = words[rng.integers(0, n, min(n, 1 << 20)), 0]
                 sample.sort()

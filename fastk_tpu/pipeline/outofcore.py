@@ -331,8 +331,14 @@ def count_files_ooc(
                 # consolidation absorb estimation error in either direction
                 ratio = nu / max(nval, 1)
                 est = max(est_bases or 0, nval)
-                parts = max(2, min(4096,
-                                   math.ceil(est * ratio * 1.25 / part_cap)))
+                want = math.ceil(est * ratio * 1.25 / part_cap)
+                if profiles:
+                    # the INSTANCE spill is one record per valid position
+                    # (not deduped): a part's phase-2 join pads to the
+                    # pow2 of its instance count, so parts must bound
+                    # instances per part too
+                    want = max(want, math.ceil(est / part_cap))
+                parts = max(2, min(4096, want))
                 if verbose:
                     print(f"  measured dedup ratio {ratio:.3f}: planning "
                           f"{parts} parts", flush=True)
@@ -488,11 +494,17 @@ def count_files_ooc(
         # consolidate consecutive near-empty parts into one device merge:
         # parts are keyspace-ordered, so a group is just a wider range and
         # its merged output still concatenates in order (the inverse of
-        # sub-splitting; heals over-provisioned plans)
+        # sub-splitting; heals over-provisioned plans). Profile jobs bound
+        # BOTH loads: the unique merge and the instance join each pad to
+        # their own pow2.
+        def _load_of(ps):
+            u = sum(spill.nrec[q] for q in ps)
+            i_ = (sum(ispill.nrec[q] for q in ps) if profiles else 0)
+            return max(u, i_)
+
         groups: List[List[int]] = []
         for p in range(parts):
-            if groups and (sum(spill.nrec[q] for q in groups[-1])
-                           + spill.nrec[p] <= part_cap):
+            if groups and _load_of(groups[-1] + [p]) <= part_cap:
                 groups[-1].append(p)
             else:
                 groups.append([p])
@@ -516,8 +528,9 @@ def count_files_ooc(
             else:
                 iw = ipos = bcol = None
             n = len(counts)
+            load = max(n, len(ipos) if profiles else 0)
             p = grp[0]
-            if n <= part_cap:
+            if load <= part_cap:
                 if verbose:
                     print(f"  part {p + 1}/{parts}"
                           + (f" (+{len(grp) - 1})" if len(grp) > 1 else "")
@@ -530,7 +543,7 @@ def count_files_ooc(
             # adaptive analog of the reference's trie refinement on bucket
             # skew (split.c:437-472), applied at merge time so no spilled
             # record ever moves
-            nsub = math.ceil(n / part_cap)
+            nsub = math.ceil(load / part_cap)
             rng = np.random.default_rng(0)
             sample = words[rng.integers(0, n, min(n, 1 << 20)), 0]
             sample.sort()

@@ -298,19 +298,18 @@ def test_measured_plan_coverage_aware(tmp_path):
             f.write(f">r{i}\n{r}\n")
     est = os.path.getsize(p)  # ~8000 bases
 
-    want = count_files([str(p)], 17, table_min=1, profiles=True,
-                       batch_bases=2000)
+    import re
+
+    # table-only job: parts come from the measured dedup ratio alone
+    want = count_files([str(p)], 17, table_min=1, batch_bases=2000)
     buf = _io.StringIO()
     with redirect_stdout(buf):
         got = count_files_ooc([str(p)], 17, None, sort_path=str(tmp_path),
-                              table_min=1, profiles=True, batch_bases=2000,
+                              table_min=1, batch_bases=2000,
                               part_cap=400, est_bases=est, verbose=True)
     log = buf.getvalue()
     assert "measured dedup ratio" in log
-    import re
-
-    m = re.search(r"planning (\d+) parts", log)
-    measured_parts = int(m.group(1))
+    measured_parts = int(re.search(r"planning (\d+) parts", log).group(1))
     # worst case would be ceil(est/part_cap) = ~20 parts; ~20X coverage
     # dedups the batch ~5x (batch 2000 vs genome 400), so the measured
     # plan must be several-fold smaller
@@ -319,7 +318,23 @@ def test_measured_plan_coverage_aware(tmp_path):
     assert want.hist == got.hist
     assert np.array_equal(want.table.packed, got.table.packed)
     assert np.array_equal(want.table.counts, got.table.counts)
-    for x, y in zip(want.profiles, got.profiles):
+
+    # profile job: the INSTANCE spill (one record per position, no dedup)
+    # must bound the plan too — parts stay ~worst-case here, and the
+    # outputs still match (this exact case OOMed when parts were sized
+    # from uniques alone: a 300M-base -p run planned 2 parts and padded a
+    # 150M-instance join past HBM)
+    wantp = count_files([str(p)], 17, table_min=1, profiles=True,
+                        batch_bases=2000)
+    buf = _io.StringIO()
+    with redirect_stdout(buf):
+        gotp = count_files_ooc([str(p)], 17, None, sort_path=str(tmp_path),
+                               table_min=1, profiles=True, batch_bases=2000,
+                               part_cap=400, est_bases=est, verbose=True)
+    pparts = int(re.search(r"planning (\d+) parts", buf.getvalue()).group(1))
+    assert pparts >= worst  # instance-bounded
+    assert wantp.hist == gotp.hist
+    for x, y in zip(wantp.profiles, gotp.profiles):
         assert np.array_equal(x, y)
 
 

@@ -447,16 +447,40 @@ def count_files_mesh(
                     sel = order[lo:hi]
                     pspill.append(int(sk[lo]), ipos[sel], cnts[sel])
 
-        for li in range(n_local):
-            for sp in range(parts_per_chip):
-                p = li * parts_per_chip + sp
-                words, counts = spill.load(p)
+        # consolidate consecutive near-empty parts into one device merge —
+        # a host's chips are keyspace-contiguous (process-major mesh) so
+        # any consecutive run of its (chip, part) sequence is one wider
+        # key range; bound both the unique merge and the instance join
+        def _load_of(ps):
+            u = sum(spill.nrec[q] for q in ps)
+            i_ = (sum(ispill.nrec[q] for q in ps) if profiles else 0)
+            return max(u, i_)
+
+        groups: List[List[int]] = []
+        for p in range(nparts_local):
+            if groups and _load_of(groups[-1] + [p]) <= part_cap:
+                groups[-1].append(p)
+            else:
+                groups.append([p])
+        if verbose and len(groups) < nparts_local:
+            print(f"  mesh: {nparts_local} parts consolidated into "
+                  f"{len(groups)} merges", flush=True)
+
+        for grp in groups:
+                p = grp[0]
+                loads = [spill.load(q) for q in grp]
+                words = np.concatenate([w for w, _ in loads])
+                counts = np.concatenate([c for _, c in loads])
+                del loads
                 if profiles:
-                    irec, isrc = ispill.load(p)
+                    iloads = [ispill.load(q) for q in grp]
+                    irec = np.concatenate([r for r, _ in iloads])
+                    isrc = np.concatenate([sc for _, sc in iloads])
+                    del iloads
                     iw, ipos = irec[:, :W], irec[:, W].astype(np.int64)
-                    bcol = np.repeat(
-                        np.array([b for b, _ in imeta[p]], np.int64),
-                        [n for _, n in imeta[p]])
+                    bcol = np.concatenate([np.repeat(
+                        np.array([b for b, _ in imeta[q]], np.int64),
+                        [n for _, n in imeta[q]]) for q in grp])
                 else:
                     iw = ipos = isrc = bcol = None
                 n = len(counts)

@@ -8,6 +8,11 @@ plan (the input exceeds the in-core footprint ceiling at -M12).
 Run 2026-08-19 (round 3) on one v5e chip + 1-core host:
   HIST-IDENTICAL, KTAB-STUB-IDENTICAL, 8,999,738-entry table content
   equal, 2002/2002 sampled profiles decode-identical.
+Re-run 2026-08-20 (round 4, measured ooc plan + native ingest):
+  HIST-IDENTICAL, KTAB-STUB-IDENTICAL, 9,533,749 entries equal,
+  2002/2002 profiles decode-identical. (The first round-4 attempt caught
+  a real planner regression — profile parts must bound instances, not
+  just uniques — fixed in the same round.)
 
 Usage: python benchmarks/validate_scale.py [--mb 300] (needs
 /tmp/fastk_oracle — see tests/make_golden.sh)."""

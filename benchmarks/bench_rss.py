@@ -72,6 +72,40 @@ def run_one(fasta: str, workdir: str, k: int) -> dict:
             "peak_rss_mb": rss_mb}
 
 
+def run_one_mesh(fasta: str, workdir: str, k: int) -> dict:
+    """count_files_mesh on an 8-device CPU mesh in a subprocess: the
+    scale-out path's per-host RSS must plateau exactly like the
+    single-chip ooc path (owner-resident merges + per-chip spill; the
+    old design allgathered every unique each round and grew with input)."""
+    code = (
+        "import os, sys, resource, json\n"
+        "os.environ['XLA_FLAGS'] = (os.environ.get('XLA_FLAGS','') +"
+        " ' --xla_force_host_platform_device_count=8')\n"
+        "import jax\n"
+        "jax.config.update('jax_platforms','cpu')\n"
+        "from fastk_tpu.parallel.meshooc import count_files_mesh\n"
+        "out = count_files_mesh([sys.argv[1]], int(sys.argv[2]),"
+        " table_min=1, profiles=True, batch_bases=4<<20,"
+        " sort_path=sys.argv[3], out_base=sys.argv[3]+'/mesh',"
+        " parts_per_chip=2)\n"
+        "print(json.dumps({'rss_mb':"
+        " resource.getrusage(resource.RUSAGE_SELF).ru_maxrss // 1000}))\n"
+    )
+    env = dict(os.environ)
+    env.setdefault("JAX_COMPILATION_CACHE_DIR",
+                   os.path.expanduser("~/.cache/fastk_tpu_xla"))
+    env.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+    r = subprocess.run(
+        [sys.executable, "-c", code, fasta, str(k), workdir],
+        capture_output=True, text=True, env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    if r.returncode != 0:
+        sys.stderr.write(r.stderr[-2000:])
+        raise SystemExit(f"mesh run failed on {fasta}")
+    rss_mb = json.loads(r.stdout.strip().splitlines()[-1])["rss_mb"]
+    return {"input_bases": os.path.getsize(fasta), "peak_rss_mb": rss_mb}
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sizes", type=int, nargs="+", default=[80, 240],
@@ -80,6 +114,10 @@ def main() -> int:
                     "largest sizes should peak ~equal while a naive "
                     "retain-everything design grows ~5B/base")
     ap.add_argument("-k", type=int, default=K)
+    ap.add_argument("--mesh", action="store_true",
+                    help="measure the 8-virtual-device scale-out path "
+                    "(count_files_mesh with streamed outputs) instead of "
+                    "the single-chip CLI")
     args = ap.parse_args()
 
     results = []
@@ -87,7 +125,8 @@ def main() -> int:
         with tempfile.TemporaryDirectory(prefix="fkrss") as d:
             fasta = os.path.join(d, "in.fasta")
             make_fasta(fasta, mb << 20)
-            res = run_one(fasta, d, args.k)
+            res = (run_one_mesh(fasta, d, args.k) if args.mesh
+                   else run_one(fasta, d, args.k))
             res["label"] = f"{mb}MB"
             print(json.dumps(res))
             results.append(res)

@@ -79,19 +79,26 @@ def run_one_mesh(fasta: str, workdir: str, k: int) -> dict:
     old design allgathered every unique each round and grew with input)."""
     code = (
         "import os, sys, resource, json\n"
-        "os.environ['XLA_FLAGS'] = (os.environ.get('XLA_FLAGS','') +"
-        " ' --xla_force_host_platform_device_count=8')\n"
         "import jax\n"
         "jax.config.update('jax_platforms','cpu')\n"
         "from fastk_tpu.parallel.meshooc import count_files_mesh\n"
+        "nb = os.path.getsize(sys.argv[1])\n"
+        "cap = 1 << 23\n"  # small part cap so the plateau shows at MBs
+        "ppc = max(1, -(-nb // (8 * cap)))\n"
         "out = count_files_mesh([sys.argv[1]], int(sys.argv[2]),"
         " table_min=1, profiles=True, batch_bases=4<<20,"
         " sort_path=sys.argv[3], out_base=sys.argv[3]+'/mesh',"
-        " parts_per_chip=2)\n"
+        " parts_per_chip=ppc, part_cap=cap)\n"
         "print(json.dumps({'rss_mb':"
         " resource.getrusage(resource.RUSAGE_SELF).ru_maxrss // 1000}))\n"
     )
     env = dict(os.environ)
+    # the env var, not jax.config.update: the tunneled TPU plugin re-wins
+    # the platform after fastk_tpu imports unless JAX_PLATFORMS is set
+    # (fastk_tpu.jaxenv re-asserts the env var)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
+                        + " --xla_force_host_platform_device_count=8")
     env.setdefault("JAX_COMPILATION_CACHE_DIR",
                    os.path.expanduser("~/.cache/fastk_tpu_xla"))
     env.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")

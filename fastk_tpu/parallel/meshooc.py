@@ -432,9 +432,16 @@ def count_files_mesh(
                 t_words = tuple(w[:capt] for w in merged["seg_words"])
                 t_counts = jnp.minimum(merged["seg_counts"][:capt],
                                        HIST_HIGH)
-                q_words, _qc, _cq = pad_counted_pow2(iw, None, W)
-                cnts = fetch_u16(
-                    profile_join_keys(t_words, t_counts, q_words))[: len(ipos)]
+                # query-chunked join (see pipeline.outofcore): bounds the
+                # joint table+query sort below the device budget
+                nq = len(ipos)
+                qcap = 1 << 25
+                cnts = np.empty(nq, np.uint16)
+                for q0 in range(0, nq, qcap):
+                    q1 = min(nq, q0 + qcap)
+                    qw, _qc, _cq = pad_counted_pow2(iw[q0:q1], None, W)
+                    cnts[q0:q1] = fetch_u16(profile_join_keys(
+                        t_words, t_counts, qw))[: q1 - q0]
                 # bucket by (source host, batch): the _PosSpill key is
                 # src * 2^32 + batch; one stable sort groups the records
                 keyv = isrc.astype(np.int64) * (1 << 32) + bcol

@@ -480,11 +480,20 @@ def count_files_ooc(
                     t_words = tuple(w[:capt] for w in merged["seg_words"])
                     t_counts = jnp.minimum(
                         merged["seg_counts"][:capt], HIST_HIGH)
-                    q_words, _qc, _capq = pad_counted_pow2(iw, None, W)
                     from fastk_tpu.ops.pack import fetch_u16
 
-                    cnts = fetch_u16(
-                        profile_join_keys(t_words, t_counts, q_words))[:nq]
+                    # query-chunked join: the join sorts table_pad +
+                    # query_pad rows TOGETHER, so an unchunked call at
+                    # full part_cap each would hit 2*part_cap rows and
+                    # blow the device budget; queries window freely
+                    # (each chunk joins the same merged table)
+                    qcap = 1 << 25
+                    cnts = np.empty(nq, np.uint16)
+                    for q0 in range(0, nq, qcap):
+                        q1 = min(nq, q0 + qcap)
+                        qw, _qc, _cq = pad_counted_pow2(iw[q0:q1], None, W)
+                        cnts[q0:q1] = fetch_u16(profile_join_keys(
+                            t_words, t_counts, qw))[: q1 - q0]
                     # route joined values back to their batches (pos order
                     # restored in phase 3, one batch at a time)
                     for b in np.unique(bcol):

@@ -399,7 +399,14 @@ def count_files_mesh(
         stream = out_base is not None
         slice_base = (out_base if (out_base is None or nprocs == 1)
                       else f"{out_base}.{pid}")
-        ktw = (KtabWriter(slice_base, k, table_min, nparts=out_nparts)
+        # cap the writer's RAM spool alongside the part budget so the host
+        # peak scales with part_cap, not the table size (same policy as
+        # the single-chip ooc path)
+        ktw = (KtabWriter(slice_base, k, table_min, nparts=out_nparts,
+                          spill_bytes=min(
+                              int(os.environ.get(
+                                  "FASTK_TPU_KTAB_SPILL_MB", "1024")) << 20,
+                              16 * part_cap))
                if stream and table_min is not None else None)
 
         def _merge_range(words, counts, iw, ipos, isrc, bcol):

@@ -442,7 +442,7 @@ def count_files_mesh(
                 # query-chunked join (see pipeline.outofcore): bounds the
                 # joint table+query sort below the device budget
                 nq = len(ipos)
-                qcap = 1 << 25
+                qcap = int(os.environ.get("FASTK_TPU_JOIN_QCAP", str(1 << 25)))
                 cnts = np.empty(nq, np.uint16)
                 for q0 in range(0, nq, qcap):
                     q1 = min(nq, q0 + qcap)

@@ -487,7 +487,7 @@ def count_files_ooc(
                     # full part_cap each would hit 2*part_cap rows and
                     # blow the device budget; queries window freely
                     # (each chunk joins the same merged table)
-                    qcap = 1 << 25
+                    qcap = int(os.environ.get("FASTK_TPU_JOIN_QCAP", str(1 << 25)))
                     cnts = np.empty(nq, np.uint16)
                     for q0 in range(0, nq, qcap):
                         q1 = min(nq, q0 + qcap)

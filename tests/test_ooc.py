@@ -359,3 +359,16 @@ def test_part_consolidation(data, tmp_path):
     assert np.array_equal(want.table.packed, got.table.packed)
     for x, y in zip(want.profiles, got.profiles):
         assert np.array_equal(x, y)
+
+
+def test_join_chunking_exact(data, tmp_path, monkeypatch):
+    """Phase-2 instance joins window the queries (bounding the joint
+    table+query sort); tiny windows must not change any output."""
+    monkeypatch.setenv("FASTK_TPU_JOIN_QCAP", "1000")
+    want = count_files([data], 21, table_min=1, profiles=True,
+                       batch_bases=2000)
+    got = count_files_ooc([data], 21, 3, sort_path=str(tmp_path),
+                          table_min=1, profiles=True, batch_bases=2000)
+    assert want.hist == got.hist
+    for x, y in zip(want.profiles, got.profiles):
+        assert np.array_equal(x, y)

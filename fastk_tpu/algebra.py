@@ -348,6 +348,85 @@ def _has_gc(n: Node) -> bool:
 
 HIST_HIGH_BINS = 32768  # fk_merge_windows' clipped-count histogram size
 
+# RPN opcodes of the native per-key evaluator (fk_logex_windows); the
+# role of the reference's compiled truth table + eval_expression
+# (Logex.c:608-750), as a stack program evaluated per union key in C.
+_LXO = {"arg": 0, "num": 1, "cnt": 2, "gc": 3,
+        "or": 4, "and": 5, "xor": 6, "minus": 7}
+_LX_MODE = {None: 0, "+": 1, "-": 2, "<": 3, ">": 4, "*": 5, ".": 6}
+
+
+def compile_program(node: Node) -> Optional[np.ndarray]:
+    """Flatten a parsed expression to the int32 RPN program
+    fk_logex_windows evaluates per union key; None if the tree exceeds
+    the engine's 64-slot stack (not reachable from the 8-table CLI)."""
+    prog: List[int] = []
+    depth = 0
+    max_depth = 0
+
+    def emit(n: Node) -> None:
+        nonlocal depth, max_depth
+        if n.op == "arg":
+            prog.extend((_LXO["arg"], n.var))
+            depth += 1
+            max_depth = max(max_depth, depth)
+            return
+        if n.op == "num":
+            emit(n.lft)
+            prog.append(_LXO["num"])
+            return
+        if n.op in ("cnt", "gc"):
+            emit(n.lft)
+            prog.extend((_LXO[n.op], len(n.ranges)))
+            for lo, hi in n.ranges:
+                prog.extend((lo, hi))
+            return
+        emit(n.lft)
+        emit(n.rgt)
+        prog.append(_LXO[n.op])
+        if n.op in ("or", "and"):
+            prog.append(_LX_MODE[n.mode])
+        depth -= 1
+
+    emit(node)
+    if max_depth > 64:
+        return None
+    return np.array(prog, dtype=np.int32)
+
+
+def _strip_gc(n: Optional[Node]) -> Optional[Node]:
+    """Copy of the tree with GC filters replaced by their operand — for
+    presence analysis, where a GC filter may pass any key."""
+    if n is None:
+        return None
+    if n.op == "gc":
+        return _strip_gc(n.lft)
+    return Node(n.op, n.mode, _strip_gc(n.lft), _strip_gc(n.rgt), n.var,
+                n.ranges)
+
+
+def _solo_emits(node: Node, var: int, ntabs: int) -> bool:
+    """True iff the expression can yield a nonzero count for a key present
+    ONLY in table `var` — proven exhaustively by evaluating over ALL 2^15
+    possible counts at once (GC filters treated as passing). Keys failing
+    this for every assignment are skipped inside the native merge loop
+    without evaluation (fk_logex_windows' solo_ok)."""
+    c = np.arange(1, 32768, dtype=np.int64)
+    counts = [c if i == var else np.zeros(len(c), np.int64)
+              for i in range(ntabs)]
+    gc = np.zeros(len(c), np.int64)
+    return bool((evaluate(_strip_gc(node), counts, gc) > 0).any())
+
+
+def solo_ok_mask(parsed_nodes: Sequence[Node], ntabs: int) -> int:
+    """Bit i set iff ANY assignment can emit a key present only in
+    table i."""
+    mask = 0
+    for i in range(ntabs):
+        if any(_solo_emits(n, i, ntabs) for n in parsed_nodes):
+            mask |= 1 << i
+    return mask
+
 
 def _sum_union_vars(node: Node):
     """The set of argument variables when `node` is a pure '|+' tree over
@@ -461,6 +540,61 @@ def logex_apply_streamed(
                 except Exception:
                     pass
         return [(name, None)]
+
+    # general fused path: EVERY expression shape (intersections,
+    # differences, xor, modulators, count/GC filters, '#', multiple
+    # assignments, -h histograms) compiles to an RPN program evaluated
+    # per union key inside the native cursor merge (fk_logex_windows) —
+    # one pass from part memmaps to writer rows, no numpy materialization.
+    # The windowed-numpy evaluate below remains as the no-native fallback.
+    progs = ([compile_program(n) for _, n in parsed] if use_native else [])
+    if use_native and len(parsed) <= 16 and all(
+            p is not None for p in progs):
+        nasg = len(parsed)
+        solo_ok = solo_ok_mask([n for _, n in parsed], ntabs)
+        h2 = np.zeros((nasg, 1 << 16), np.int64) if do_table else None
+        if do_table:
+            for name, _ in parsed:
+                if writers[name].ibyte <= 2:
+                    writers[name].skip_prefix = True
+        hbins = hsum = None
+        if hist_range is not None:
+            hbins = np.zeros((nasg, high - low + 1), np.int64)
+            hsum = np.zeros((nasg, 2), np.int64)
+        ok2 = False
+        try:
+            for ranges in stream_window_ranges(
+                    streams, window or DEFAULT_WINDOW):
+                recs = native.logex_windows(
+                    streams, ranges, kb, kmer, progs, need_gc, solo_ok,
+                    do_table, h2, hist_range, hbins, hsum)
+                assert recs is not None  # limits checked above
+                if do_table:
+                    for (name, _), rec in zip(parsed, recs):
+                        writers[name].add_records(rec)
+            for a, (name, _) in enumerate(parsed):
+                if do_table:
+                    w = writers[name]
+                    if w.skip_prefix:
+                        w.set_pindex(h2[a] if w.ibyte == 2 else
+                                     h2[a].reshape(256, 256).sum(axis=1))
+                    w.close()
+            ok2 = True
+        finally:
+            if not ok2:
+                for name, w in writers.items():
+                    try:
+                        w.abort()
+                    except Exception:
+                        pass
+        out = []
+        for a, (name, _) in enumerate(parsed):
+            h = None
+            if hist_range is not None:
+                h = Histogram(kmer, low, high, hbins[a].copy(),
+                              int(hsum[a, 0]), int(hsum[a, 1]))
+            out.append((name, h))
+        return out
 
     def _windows():
         """Yield (universe (U, kb) uint8, per-source int64-safe count

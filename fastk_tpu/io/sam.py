@@ -186,25 +186,76 @@ def scan_stream_native(path: str, fmt: str, hc: bool, bc: int):
     if native.load() is None:
         return None
 
+    from fastk_tpu.io.reader import pack_reads
+
     if fmt == "bam":
         chunks = _bam_record_chunks(path)
 
         def parse_one(buf: bytes):
-            codes, boff, rlen, consumed = native.scan_bam(buf, hc=hc, bc=bc)
+            piece = native.scan_bam(buf, hc=hc, bc=bc)
+            if piece is None:  # capacity edge: this buffer via Python
+                b = pack_reads(list(_iter_bam_buffer(buf)), hc=hc, bc=bc)
+                return b.codes, b.boff, b.rlen
+            codes, boff, rlen, consumed = piece
             assert consumed == len(buf)  # producer cut at record bounds
             return codes, boff, rlen
     else:
         chunks = _sam_line_chunks(path)
 
         def parse_one(buf: bytes):
-            codes, boff, rlen, consumed = native.scan_sam(
-                buf, hc=hc, bc=bc, final=True)
+            piece = native.scan_sam(buf, hc=hc, bc=bc, final=True)
+            if piece is None:
+                b = pack_reads(list(_iter_sam_buffer(buf)), hc=hc, bc=bc)
+                return b.codes, b.boff, b.rlen
+            codes, boff, rlen, consumed = piece
             assert consumed == len(buf)
             return codes, boff, rlen
 
     from fastk_tpu.io.reader import _pooled
 
     return _pooled(chunks, parse_one)
+
+
+def _iter_bam_buffer(buf: bytes) -> Iterator[bytes]:
+    """Reads from a buffer of whole raw BAM records (no header) — the
+    per-buffer Python fallback behind the native scanner."""
+    pos = 0
+    n = len(buf)
+    while pos + 4 <= n:
+        (block_size,) = struct.unpack_from("<i", buf, pos)
+        rec = buf[pos + 4: pos + 4 + block_size]
+        pos += 4 + block_size
+        l_read_name = rec[8]
+        n_cigar_op, flag = struct.unpack_from("<HH", rec, 12)
+        (l_seq,) = struct.unpack_from("<i", rec, 16)
+        if flag & _SKIP_FLAGS or l_seq <= 0:
+            continue
+        off = 32 + l_read_name + 4 * n_cigar_op
+        nb = (l_seq + 1) // 2
+        packed = np.frombuffer(rec, dtype=np.uint8, count=nb, offset=off)
+        seq = np.empty(2 * nb, dtype=np.uint8)
+        seq[0::2] = _NIB_HI[packed]
+        seq[1::2] = _NIB_LO[packed]
+        yield seq[:l_seq].tobytes()
+
+
+def _iter_sam_buffer(buf: bytes) -> Iterator[bytes]:
+    """Reads from a buffer of whole SAM lines — the per-buffer Python
+    fallback behind the native scanner."""
+    for line in buf.split(b"\n"):
+        if not line or line.startswith(b"@"):
+            continue
+        fields = line.split(b"\t")
+        if len(fields) < 11:
+            if line.strip():
+                raise ValueError("truncated SAM record")
+            continue
+        flag = int(fields[1])
+        if flag & _SKIP_FLAGS:
+            continue
+        seq = fields[9]
+        if seq and seq != b"*":
+            yield seq.translate(_IUPAC_2_DNA)
 
 
 def _iter_bam(path: str) -> Iterator[bytes]:

@@ -133,6 +133,19 @@ def load() -> Optional[ctypes.CDLL]:
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long,
         ctypes.c_void_p]
+    lib.fk_logex_windows.restype = ctypes.c_long
+    lib.fk_logex_windows.argtypes = [
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,          # kb, kmer, ns
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,  # cursor pack
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p,                  # prog, prog_off
+        ctypes.c_int, ctypes.c_int, ctypes.c_int64,        # nasg, gc, solo
+        ctypes.POINTER(ctypes.c_void_p), ctypes.c_long,    # out_recs, cap
+        ctypes.c_void_p,                                   # h2
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,          # do_hist, lo, hi
+        ctypes.c_void_p, ctypes.c_void_p,                  # hbins, hsum
+        ctypes.c_void_p]                                   # out_u
     _lib = lib
     return _lib
 
@@ -219,7 +232,14 @@ def cram_slice(encs: np.ndarray, htab: np.ndarray, hsym: np.ndarray,
     rcap = n_records + 1
     boff = np.empty(rcap + 1, dtype=np.int64)
     rlen = np.empty(rcap, dtype=np.int64)
-    for _ in range(8):  # capacity doubling (total bases unknown up front)
+    # -1 (codes buffer full) grows and retries: reference-reconstructed
+    # reads can dwarf the external byte streams, so 8*ext_total is only a
+    # guess. Growth is capped: past 2 GB per slice the input is not a sane
+    # CRAM slice and the Python decoder takes over. Data-length errors in
+    # the record walk return -6 (fkc_read_bytes), NOT -1 — growing the
+    # buffer cannot fix malformed slice data, so those fall through to the
+    # `r < 0` Python-fallback arm immediately.
+    while ccap <= (1 << 31):
         codes = np.empty(ccap, dtype=np.uint8)
         r = lib.fk_cram_slice(
             encs.ctypes.data, len(encs), htab.ctypes.data, hsym.ctypes.data,
@@ -481,6 +501,53 @@ def union_cvecs(streams, ranges, kb: int
     if u < 0:
         return None
     return keys[:u], [cnts[i, :u] for i in range(len(streams))]
+
+
+def logex_windows(streams, ranges, kb: int, kmer: int, progs,
+                  need_gc: bool, solo_ok: int, do_table: bool, h2,
+                  hist_range, hbins, hsum):
+    """Fused logex window: stream per-source (lo, hi) cursor ranges
+    through nasg compiled expression programs per union key
+    (fk_logex_windows). progs: list of int32 RPN arrays
+    (algebra.compile_program). When do_table, returns a list of
+    writer-format (U_a, kb+2) record arrays (one per assignment) and
+    accumulates h2 (nasg x 65536 prefix histogram) in place; hist_range
+    (low, high) additionally accumulates hbins (nasg x span) and hsum
+    (nasg x 2 boundary instance sums). Returns None if the native
+    library is unavailable or inputs exceed engine limits."""
+    lib = load()
+    if lib is None or len(streams) > 64 or kb > 62 or len(progs) > 16:
+        return None
+    args, cap, keep = _cursor_args(streams, ranges)
+    nasg = len(progs)
+    prog = np.ascontiguousarray(np.concatenate(progs), dtype=np.int32)
+    prog_off = np.zeros(nasg + 1, dtype=np.int64)
+    np.cumsum([len(p) for p in progs], out=prog_off[1:])
+    cap = max(cap, 1)
+    out_u = np.zeros(nasg, dtype=np.int64)
+    if do_table:
+        recs = [np.empty((cap, kb + 2), dtype=np.uint8)
+                for _ in range(nasg)]
+        rptr = (ctypes.c_void_p * nasg)(*[r.ctypes.data for r in recs])
+    else:
+        recs = None
+        rptr = None
+    do_hist = hist_range is not None
+    hlow, hhigh = hist_range if do_hist else (1, 1)
+    r = lib.fk_logex_windows(
+        kb, kmer, len(streams), *args,
+        prog.ctypes.data, prog_off.ctypes.data, nasg, int(need_gc),
+        int(solo_ok),
+        rptr, cap, h2.ctypes.data if h2 is not None else None,
+        int(do_hist), hlow, hhigh,
+        hbins.ctypes.data if hbins is not None else None,
+        hsum.ctypes.data if hsum is not None else None,
+        out_u.ctypes.data)
+    if r < 0:
+        return None
+    if not do_table:
+        return []
+    return [recs[a][: out_u[a]] for a in range(nasg)]
 
 
 def writer_add(packed: np.ndarray, counts: np.ndarray, h2: np.ndarray

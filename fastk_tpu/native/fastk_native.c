@@ -902,6 +902,293 @@ long fk_union_cvecs(int kb, int ns,
   return U;
 }
 
+/* ------------------------------------------------------------------
+ * Fused logex window engine: the k-way cursor union above, but with the
+ * compiled expression evaluated PER UNION KEY inside the merge loop, so
+ * every logex expression shape (not just sum-unions) streams single-pass
+ * from the part memmaps to writer rows — the role of the reference's
+ * per-thread truth-table stream merge (Logex.c:972-1215 merge_thread,
+ * eval_expression Logex.c:660-750), with the expression compiled to a
+ * small stack program instead of a function tree.
+ *
+ * Program encoding (int32 words, produced by algebra.compile_program):
+ *   ARG var          push source var's count
+ *   NUM              x -> (x > 0)                   ('#')
+ *   CNT n lo1 hi1..  x -> x if x in any range else 0  ('[a-b]')
+ *   GC  n lo1 hi1..  x -> x if key GC%% in any range else 0  ('{a-b}')
+ *   OR mode / AND mode / XOR / MINUS   binary combiners; mode is
+ *     0 none -> 1, 1 '+' sum, 2 '-' floored sub, 3 '<' min, 4 '>' max,
+ *     5 '*' floor-avg, 6 '.' left-else-right
+ * Semantics mirror algebra.evaluate exactly (count 0 == absent).       */
+
+enum { LXO_ARG, LXO_NUM, LXO_CNT, LXO_GC,
+       LXO_OR, LXO_AND, LXO_XOR, LXO_MINUS };
+
+static int64_t fk_lx_mod(int64_t x, int64_t y, int mode)
+{ switch (mode)
+    { case 1: return x + y;
+      case 2: return x > y ? x - y : 0;
+      case 3: return x < y ? x : y;
+      case 4: return x > y ? x : y;
+      case 5: return (x + y) >> 1;
+      case 6: return x ? x : y;
+      default: return 1;
+    }
+}
+
+static int64_t fk_lx_eval(const int32_t *prog, int plen,
+                          const int64_t *cnt, int gcv)
+{ int64_t st[64];
+  int sp = 0, pc = 0;
+  while (pc < plen)
+    { int op = prog[pc++];
+      switch (op)
+        { case LXO_ARG:
+            st[sp++] = cnt[prog[pc++]];
+            break;
+          case LXO_NUM:
+            st[sp - 1] = st[sp - 1] > 0;
+            break;
+          case LXO_CNT:
+            { int n = prog[pc++], j, ok = 0;
+              int64_t x = st[sp - 1];
+              for (j = 0; j < n; j++)
+                if (x >= prog[pc + 2 * j] && x <= prog[pc + 2 * j + 1])
+                  { ok = 1; break; }
+              if (!ok) st[sp - 1] = 0;
+              pc += 2 * n;
+            }
+            break;
+          case LXO_GC:
+            { int n = prog[pc++], j, ok = 0;
+              for (j = 0; j < n; j++)
+                if (gcv >= prog[pc + 2 * j] && gcv <= prog[pc + 2 * j + 1])
+                  { ok = 1; break; }
+              if (!ok) st[sp - 1] = 0;
+              pc += 2 * n;
+            }
+            break;
+          case LXO_OR:
+            { int mode = prog[pc++];
+              int64_t y = st[--sp], x = st[sp - 1];
+              st[sp - 1] = (x == 0) ? y
+                           : (y == 0 ? x : fk_lx_mod(x, y, mode));
+            }
+            break;
+          case LXO_AND:
+            { int mode = prog[pc++];
+              int64_t y = st[--sp], x = st[sp - 1];
+              st[sp - 1] = (x == 0 || y == 0) ? 0 : fk_lx_mod(x, y, mode);
+            }
+            break;
+          case LXO_XOR:
+            { int64_t y = st[--sp], x = st[sp - 1];
+              st[sp - 1] = (x == 0) ? y : (y == 0 ? x : 0);
+            }
+            break;
+          case LXO_MINUS:
+            { int64_t y = st[--sp], x = st[sp - 1];
+              st[sp - 1] = (y == 0) ? x : 0;
+            }
+            break;
+          default:
+            return 0;
+        }
+    }
+  return st[0];
+}
+
+/* GC codes per byte: 2-bit fields equal to 1 (C) or 2 (G); trailing pad
+ * codes are 0 (A) so whole-byte sums are safe at any k. */
+static uint8_t fk_gctab[256];
+
+static void init_gctab(void)
+{ int b, f;
+  for (b = 0; b < 256; b++)
+    { int n = 0;
+      for (f = 0; f < 4; f++)
+        { int c = (b >> (2 * f)) & 3;
+          if (c == 1 || c == 2) n += 1;
+        }
+      fk_gctab[b] = (uint8_t)n;
+    }
+}
+
+/* Per-key tail shared by the merge loops below: evaluate every
+ * assignment's program on the gathered counts and emit/accumulate. */
+static inline long fk_lx_key(const uint8_t *key, const int64_t *cnt,
+                             int kb, int kmer,
+                             const int32_t *prog, const int64_t *prog_off,
+                             int nasg, int need_gc,
+                             uint8_t **out_recs, long cap, int64_t *h2,
+                             int do_hist, int hlow, int hhigh, long hspan,
+                             int64_t *hbins, int64_t *hsum, int64_t *out_u)
+{ int a, orb = kb + 2;
+  int gcv = 0;
+  if (need_gc)
+    { int ngc = 0, b;
+      for (b = 0; b < kb; b++) ngc += fk_gctab[key[b]];
+      gcv = (int)((100L * ngc) / kmer);
+    }
+  for (a = 0; a < nasg; a++)
+    { int64_t v = fk_lx_eval(prog + prog_off[a],
+                             (int)(prog_off[a + 1] - prog_off[a]),
+                             cnt, gcv);
+      if (v <= 0) continue;
+      if (do_hist)
+        { int64_t cl = v < hlow ? hlow : (v > hhigh ? hhigh : v);
+          hbins[a * hspan + (cl - hlow)] += 1;
+          if (v <= hlow) hsum[a * 2] += v;
+          if (v >= hhigh) hsum[a * 2 + 1] += v;
+        }
+      if (out_recs)
+        { uint8_t *r;
+          long s = v > 0x7fff ? 0x7fff : (long)v;
+          if (out_u[a] >= cap) return -1;
+          r = out_recs[a] + out_u[a] * orb;
+          memcpy(r, key, kb);
+          r[kb] = (uint8_t)(s & 0xff);
+          r[kb + 1] = (uint8_t)(s >> 8);
+          h2[(long)a * 65536
+             + (((int)key[0] << 8) | (kb > 1 ? key[1] : 0))] += 1;
+          out_u[a] += 1;
+        }
+      else
+        out_u[a] += 1;
+    }
+  return 0;
+}
+
+/* Stream [lo, hi) cursor ranges of ns sources through nasg compiled
+ * expressions: per union key, gather per-source counts, evaluate each
+ * program, and for accepted keys (value > 0) emit a writer-format row
+ * into that assignment's buffer (clipped at 0x7fff) + its 2-byte-prefix
+ * histogram, and/or accumulate its [hlow, hhigh] boundary histogram
+ * (unique bins + instance sums at the boundaries, Logex.c:1143-1165
+ * semantics). out_recs may be NULL (histogram-only, Logex -H).
+ *
+ * solo_ok: bit i set iff some assignment can yield output for a key
+ * present ONLY in source i (algebra._solo_emits proves this exhaustively
+ * over the 2^15 possible counts) — unset bits let the merge skip
+ * evaluation AND emission for single-source keys, so sparse-output
+ * expressions (intersections, differences) stream at cursor-walk speed
+ * instead of eval speed. The reference walks + evaluates every key
+ * (Logex.c:972-1215); this skip is the windowed engine\'s advantage.
+ *
+ * Returns 0, or -1 on malformed input / capacity overflow. */
+long fk_logex_windows(int kb, int kmer, int ns,
+                      const uint8_t **part_ptrs, const int64_t *part_nels,
+                      const int32_t *part_off,
+                      const int64_t **pindexes, const int64_t *plens,
+                      const int32_t *ibytes,
+                      const int64_t *lo, const int64_t *hi,
+                      const int32_t *prog, const int64_t *prog_off,
+                      int nasg, int need_gc, int64_t solo_ok,
+                      uint8_t **out_recs, long cap, int64_t *h2,
+                      int do_hist, int hlow, int hhigh,
+                      int64_t *hbins, int64_t *hsum,
+                      int64_t *out_u)
+{ FkCur   cur[64];
+  int64_t cnt[64];
+  uint8_t key[64];
+  int     i, a;
+  long    hspan = (long)hhigh - hlow + 1;
+  if (ns > 64 || kb > 62 || nasg > 16) return -1;
+  for (i = 0; i < ns; i++)
+    if (fk_cur_init(cur + i, kb, i, part_ptrs, part_nels, part_off,
+                    pindexes, plens, ibytes, lo, hi) < 0)
+      return -1;
+  for (a = 0; a < nasg; a++) out_u[a] = 0;
+
+#define FK_LX_EMIT() \
+  do { if (fk_lx_key(key, cnt, kb, kmer, prog, prog_off, nasg, need_gc, \
+                     out_recs, cap, h2, do_hist, hlow, hhigh, hspan,    \
+                     hbins, hsum, out_u) < 0) return -1; } while (0)
+
+  if (ns == 2)
+    { FkCur *A = cur, *B = cur + 1;
+      int alive_a = A->ord < A->end, alive_b = B->ord < B->end;
+      int ok_a = (solo_ok >> 0) & 1, ok_b = (solo_ok >> 1) & 1;
+      while (alive_a && alive_b)
+        { int c = fk_keycmp(A->key, B->key, kb);
+          if (c < 0)
+            { if (ok_a)
+                { memcpy(key, A->key, kb);
+                  cnt[0] = fk_cur_count(A); cnt[1] = 0;
+                  FK_LX_EMIT();
+                }
+              alive_a = fk_cur_advance(A);
+              if (alive_a < 0) return -1;
+            }
+          else if (c > 0)
+            { if (ok_b)
+                { memcpy(key, B->key, kb);
+                  cnt[0] = 0; cnt[1] = fk_cur_count(B);
+                  FK_LX_EMIT();
+                }
+              alive_b = fk_cur_advance(B);
+              if (alive_b < 0) return -1;
+            }
+          else
+            { memcpy(key, A->key, kb);
+              cnt[0] = fk_cur_count(A); cnt[1] = fk_cur_count(B);
+              FK_LX_EMIT();
+              alive_a = fk_cur_advance(A);
+              alive_b = fk_cur_advance(B);
+              if (alive_a < 0 || alive_b < 0) return -1;
+            }
+        }
+      while (alive_a)
+        { if (ok_a)
+            { memcpy(key, A->key, kb);
+              cnt[0] = fk_cur_count(A); cnt[1] = 0;
+              FK_LX_EMIT();
+            }
+          alive_a = fk_cur_advance(A);
+          if (alive_a < 0) return -1;
+        }
+      while (alive_b)
+        { if (ok_b)
+            { memcpy(key, B->key, kb);
+              cnt[0] = 0; cnt[1] = fk_cur_count(B);
+              FK_LX_EMIT();
+            }
+          alive_b = fk_cur_advance(B);
+          if (alive_b < 0) return -1;
+        }
+      return 0;
+    }
+
+  for (;;)
+    { const uint8_t *m = 0;
+      uint64_t mask = 0;
+      int      nsolo = -1;
+      for (i = 0; i < ns; i++)
+        if (cur[i].ord < cur[i].end)
+          { if (m == 0 || fk_keycmp(cur[i].key, m, kb) < 0)
+              m = cur[i].key;
+          }
+      if (m == 0) break;
+      memcpy(key, m, kb);            /* cursors mutate on advance */
+      for (i = 0; i < ns; i++)
+        { FkCur *c = cur + i;
+          if (c->ord < c->end && fk_keycmp(c->key, key, kb) == 0)
+            { cnt[i] = fk_cur_count(c);
+              mask |= (uint64_t)1 << i;
+              nsolo = (mask == ((uint64_t)1 << i)) ? i : -2;
+              if (fk_cur_advance(c) < 0) return -1;
+            }
+          else
+            cnt[i] = 0;
+        }
+      if (nsolo >= 0 && !((solo_ok >> nsolo) & 1))
+        continue;
+      FK_LX_EMIT();
+    }
+  return 0;
+#undef FK_LX_EMIT
+}
+
 /* ------------------------------------------------------------------ */
 /* BAM / SAM record scanners (the reference scans both in threaded C,
  * io.c:1317-1654; these are the TPU build's host-side equivalents,
@@ -1293,7 +1580,7 @@ static long fkc_read_bytes(FkCram *D, int enc, uint8_t *out, long ocap)
       if (hit == NULL) { FK_ERR(D, -4); return 0; }
       m = hit - (x->buf + x->pos);
       if (out != NULL)
-        { if (m > ocap) { FK_ERR(D, -1); return 0; }
+        { if (m > ocap) { FK_ERR(D, -6); return 0; }
           memcpy(out, x->buf + x->pos, m);
         }
       x->pos += m + 1;
@@ -1312,14 +1599,14 @@ static long fkc_read_bytes(FkCram *D, int enc, uint8_t *out, long ocap)
           x = D->ext + ei;
           if (x->pos + m > x->len) { FK_ERR(D, -4); return 0; }
           if (out != NULL)
-            { if (m > ocap) { FK_ERR(D, -1); return 0; }
+            { if (m > ocap) { FK_ERR(D, -6); return 0; }
               memcpy(out, x->buf + x->pos, m);
             }
           x->pos += m;
           return m;
         }
       { long j;
-        if (out != NULL && m > ocap) { FK_ERR(D, -1); return 0; }
+        if (out != NULL && m > ocap) { FK_ERR(D, -6); return 0; }
         for (j = 0; j < m; j++)
           { int b = fkc_read_byte(D, e[2]);
             if (out != NULL) out[j] = (uint8_t)b;
@@ -1350,6 +1637,7 @@ __attribute__((constructor)) static void fk_init_all(void)
   init_samcode();
   init_nib2();
   init_ridx();
+  init_gctab();
 }
 
 /* series slot order (io/cram_native.py keeps the Python list in sync) */

@@ -72,9 +72,13 @@ def symmetric_streamed(src: str, dst: str, nparts: int, tmpdir: str,
     hist = np.zeros(1 << (8 * hw), dtype=np.int64)
 
     def _pv(packed):
+        # keys narrower than the histogram width (kb == 1 at k <= 4) are
+        # logically zero-padded, exactly like the cut-key comparison
         v = packed[:, 0].astype(np.int64)
         for j in range(1, hw):
-            v = (v << 8) | packed[:, j]
+            v <<= 8
+            if j < kb:
+                v |= packed[:, j]
         return v
 
     try:

@@ -298,6 +298,32 @@ def test_sam_native_scanner_matches_python(tmp_path, hc, bc):
     assert np.array_equal(want.rlen, got.rlen)
 
 
+def test_sam_bam_scanner_none_falls_back(tmp_path, monkeypatch):
+    """A None from the native scanner wrappers (internal capacity
+    overflow) must fall back to the per-buffer Python parser, not raise
+    (advisor r4: parse_one unpacked the None)."""
+    from fastk_tpu import native
+    from fastk_tpu.io.reader import iter_reads, pack_reads
+
+    if native.load() is None:
+        pytest.skip("no native library")
+    rng = np.random.default_rng(9)
+    reads = [bytes(rng.choice(list(b"ACGT"), size=int(
+        rng.integers(20, 90))).astype(np.uint8)) for _ in range(30)]
+    pb = str(tmp_path / "in.bam")
+    _write_bam(pb, reads)
+    ps = str(tmp_path / "in.sam")
+    _write_sam(ps, reads)
+    monkeypatch.setattr(native, "scan_bam", lambda *a, **k: None)
+    monkeypatch.setattr(native, "scan_sam", lambda *a, **k: None)
+    for p in (pb, ps):
+        want = pack_reads(list(iter_reads(p)))
+        got = _native_batches(p)
+        assert np.array_equal(want.codes, got.codes), p
+        assert np.array_equal(want.boff, got.boff), p
+        assert np.array_equal(want.rlen, got.rlen), p
+
+
 def test_bam_native_chunk_seams(tmp_path, monkeypatch):
     """Record boundaries at inflate-chunk seams: force tiny BGZF members
     so records straddle chunks and the native cut/carry path runs."""

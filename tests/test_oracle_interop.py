@@ -113,6 +113,31 @@ def test_oracle_logex_on_our_tables(ours, tmp_path):
     assert np.array_equal(t1.counts, t2.counts)
 
 
+def test_oracle_logex_two_table_shapes(ours, tmp_path):
+    """Oracle Logex vs ours across the expression grammar's shapes over
+    TWO tables (the second derived with the oracle so both sides read
+    identical inputs) — the differential for the fused native per-key
+    evaluator (intersections, differences, modulators, filters)."""
+    import fastk_tpu as fk
+    from fastk_tpu.tools import logex
+
+    d, base = ours
+    tab_b = str(tmp_path / "B")
+    _orun("Logex", "-T1", f"{tab_b}=A[3-]", base + ".ktab")
+    shapes = ["A&.B", "A&+B", "A-B", "A^B", "A|<B", "A|>B", "A|*B",
+              "#A|+#B", "(A|+B)[4-1000]", "A{25-75}|+B"]
+    for i, expr in enumerate(shapes):
+        oout = str(tmp_path / f"o{i}")
+        _orun("Logex", "-T1", f"{oout}={expr}", base + ".ktab", tab_b)
+        mout = str(tmp_path / f"m{i}")
+        assert logex.main(
+            ["-T1", f"{mout}={expr}", base + ".ktab", tab_b]) == 0
+        t1 = fk.read_ktab(oout)
+        t2 = fk.read_ktab(mout)
+        assert np.array_equal(t1.packed, t2.packed), expr
+        assert np.array_equal(t1.counts, t2.counts), expr
+
+
 def test_oracle_fastk_same_input_matches(ours, tmp_path):
     """Byte-level: oracle FastK on the same input produces the same .hist
     and .ktab stub/parts as ours (the golden suite covers this for frozen

@@ -130,6 +130,70 @@ def test_fastmerge_node_cache(tabs, tmp_path, slice_spec):
     assert not glob.glob(str(tmp_path / "fastmerge.P.*"))
 
 
+ALL_SHAPES = [
+    ("XU", "A|+B|+C"), ("XI", "A&.B&.C"), ("XD", "(A-B)-C"),
+    ("XX", "A^B"), ("XN", "#(A|B)"), ("XM1", "A|<B"), ("XM2", "A|>B"),
+    ("XM3", "A|*B"), ("XM4", "A&-B"), ("XF", "A[5-200]|+B[2-]"),
+    ("XG", "A{40-60}"), ("XC", "(A&+B)[10-3000]{20-80}"),
+    ("XP", "#A|+#B|+#C"),
+]
+
+
+def test_logex_fused_all_shapes(tabs, tmp_path):
+    """Every expression-grammar shape through the streamed path (the
+    fused native per-key evaluator, fk_logex_windows) must equal the
+    in-memory evaluator: tables, histograms, boundary instance sums."""
+    from fastk_tpu.algebra import logex_apply, logex_apply_streamed
+
+    d, tables, paths = tabs
+    mem = logex_apply(ALL_SHAPES, tables, hist_range=(2, 120))
+    named = [(str(tmp_path / n), e) for n, e in ALL_SHAPES]
+    got = logex_apply_streamed(named, paths, hist_range=(2, 120),
+                               out_nparts=2, window=64)
+    for (name, t_mem, h_mem), (_, h_got) in zip(mem, got):
+        t_got = read_ktab(str(tmp_path / name))
+        assert np.array_equal(t_mem.packed, t_got.packed), name
+        assert np.array_equal(t_mem.counts, t_got.counts), name
+        assert h_mem == h_got, name
+
+
+def test_logex_fused_matches_python_fallback(tabs, tmp_path, monkeypatch):
+    """The no-native windowed-numpy path and the fused native path must
+    produce identical file-sets (guards both against drift)."""
+    from fastk_tpu.algebra import logex_apply_streamed
+
+    d, tables, paths = tabs
+    exprs = [("Y1", "A&.B"), ("Y2", "A-B"), ("Y3", "A{30-70}[3-]")]
+    nat = logex_apply_streamed(
+        [(str(tmp_path / ("n" + n)), e) for n, e in exprs], paths,
+        hist_range=(1, 50), out_nparts=2, window=128)
+    import fastk_tpu.algebra as algebra_mod
+
+    monkeypatch.setattr("fastk_tpu.native.load", lambda: None)
+    pyr = logex_apply_streamed(
+        [(str(tmp_path / ("p" + n)), e) for n, e in exprs], paths,
+        hist_range=(1, 50), out_nparts=2, window=128)
+    for (n_name, n_h), (p_name, p_h) in zip(nat, pyr):
+        tn = read_ktab(n_name)
+        tp = read_ktab(p_name)
+        assert np.array_equal(tn.packed, tp.packed)
+        assert np.array_equal(tn.counts, tp.counts)
+        assert n_h == p_h
+
+
+def test_logex_hist_only_fused(tabs, tmp_path):
+    """-H (histogram only, no table) through the fused engine."""
+    from fastk_tpu.algebra import logex_apply, logex_apply_streamed
+
+    d, tables, paths = tabs
+    mem = logex_apply([("H", "A|+B")], tables, hist_range=(1, 100))
+    got = logex_apply_streamed([(str(tmp_path / "H"), "A|+B")], paths,
+                               hist_range=(1, 100), do_table=False,
+                               window=64)
+    assert got[0][1] == mem[0][2]
+    assert not os.path.exists(str(tmp_path / "H") + ".ktab")
+
+
 def test_logex_sum_union_fast_path(tabs, tmp_path):
     """`X = A|+B|+C` without -h takes the fused fastmerge window engine;
     the output table must equal the generic evaluator's."""

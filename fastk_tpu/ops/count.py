@@ -452,15 +452,20 @@ def positions_inverse(pos: jnp.ndarray, values: jnp.ndarray):
 
 
 def segmented_count(s_words, s_inv, size: int, want_elem_counts: bool = False,
-                    want_hist: bool = False):
+                    want_hist: bool = False, weights=None):
     """Compatibility wrapper over segment_reduce for the multi-chip path.
 
     Returns dict(seg_words, seg_counts, seg_valid, nseg, overflow[, hist]
     [, elem_counts]). s_inv marks records whose keys were NOT invalid-folded;
-    pass zeros when keys already encode invalid as all-ones."""
+    pass zeros when keys already encode invalid as all-ones.
+
+    weights: per-record int32 weights summed per segment instead of run
+    lengths — the receive side of pre-routing-deduplicated exchange, where
+    each record is a (key, local-count) pair (parallel.dist pre_dedup)."""
+    assert not (want_elem_counts and weights is not None)
     folded = fold_invalid(s_words, s_inv)
     ninv = jnp.sum((is_invalid_key(folded) | (s_inv != 0)).astype(jnp.int32))
-    seg = segment_reduce(folded, size, carry_words=True,
+    seg = segment_reduce(folded, size, weights=weights, carry_words=True,
                          extra_values=())
     slot = jnp.arange(size, dtype=jnp.int32)
     inv_tail = is_invalid_key(seg["seg_words"])

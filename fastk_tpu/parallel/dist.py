@@ -112,7 +112,7 @@ def _place_by_slot_merge(flat, operands, n_slots: int, size: int):
 
 
 def _route_chip(words, invalid, pos, splitters, ndev: int, cap: int, size: int,
-                impl: str = "auto", carry_pos: bool = False):
+                impl: str = "auto", carry_pos: bool = False, weights=None):
     """Build the [ndev, cap] send buffers for one chip's positions.
 
     Records are grouped by destination with one value-carrying sort; each
@@ -136,9 +136,12 @@ def _route_chip(words, invalid, pos, splitters, ndev: int, cap: int, size: int,
     dest = jnp.where(invalid == 0, dest, ndev)  # invalid -> dropped
 
     (d_sorted,), _, carried = sort_records(
-        (dest,), jnp.zeros(size, jnp.uint32), (*words, pos))
+        (dest,), jnp.zeros(size, jnp.uint32),
+        (*words, pos, *(() if weights is None
+                        else (weights.astype(jnp.uint32),))))
     ws = carried[: len(words)]
     orig = carried[len(words)]
+    s_weights = carried[len(words) + 1] if weights is not None else None
 
     # rank within destination: distance from the first record of the same
     # dest, via the gather-free fill-forward (scatter-min is very slow on
@@ -157,7 +160,10 @@ def _route_chip(words, invalid, pos, splitters, ndev: int, cap: int, size: int,
     if impl == "auto":
         impl = "scatter" if jax.default_backend() == "cpu" else "merge"
 
-    ones = jnp.ones(size, jnp.uint32)
+    # pre-deduplicated records ride with their local counts: the placed
+    # buffer then doubles as (weight, validity) — empty slots hold 0
+    # exactly as with the plain ones marker
+    ones = (jnp.ones(size, jnp.uint32) if weights is None else s_weights)
     vals = [*ws, *( (orig,) if carry_pos else () ), ones]
     if impl == "merge":
         placed = _place_by_slot_merge(flat, vals, ndev * cap, size)
@@ -193,7 +199,7 @@ def _slot_counts_to_routed(flat_counts, send_valid_flat, size: int):
 
 
 def _count_received(words, valid, D_cap: int, want_rec_counts: bool,
-                    k: int = 0, pos=None):
+                    k: int = 0, pos=None, weighted: bool = False):
     """Sort + segment-count the received records on one chip.
 
     Records with valid==0 are padding; they sort to the end (valid is the
@@ -203,7 +209,10 @@ def _count_received(words, valid, D_cap: int, want_rec_counts: bool,
     pos: per-received-record source positions; when given, the key sort
     also carries (pos, slot) and the sorted instance stream is returned
     (inst_words folded/widened, inst_pos, inst_slot, n_inst) — padding and
-    invalid records trail, so the first n_inst entries are the instances."""
+    invalid records trail, so the first n_inst entries are the instances.
+
+    weighted: `valid` holds per-record weights (pre-deduplicated local
+    counts); segment counts are weight SUMS instead of run lengths."""
     from fastk_tpu.ops.count import (
         positions_inverse, segmented_count, sort_records, widen_words)
 
@@ -212,9 +221,16 @@ def _count_received(words, valid, D_cap: int, want_rec_counts: bool,
     if pos is not None:
         values = values + (pos.astype(jnp.uint32),
                            jnp.arange(D_cap, dtype=jnp.uint32))
+    if weighted:
+        values = values + (valid.astype(jnp.uint32),)
     s_words, s_inv, s_vals = sort_records(list(words), inv, values, k=k)
+    s_weights = None
+    if weighted:
+        s_weights = s_vals[-1].astype(jnp.int32)
+        s_vals = s_vals[:-1]
     res = segmented_count(s_words, jnp.zeros(D_cap, jnp.uint32), D_cap,
-                          want_elem_counts=want_rec_counts, want_hist=True)
+                          want_elem_counts=want_rec_counts, want_hist=True,
+                          weights=s_weights)
     if want_rec_counts:
         elem = res.pop("elem_counts")
         # back to received-record order (for the inverse all_to_all);
@@ -231,7 +247,8 @@ def _count_received(words, valid, D_cap: int, want_rec_counts: bool,
 
 def sharded_count_fn(mesh: Mesh, k: int, shard_size: int, slack: float = 1.6,
                      want_positions: bool = False, route_impl: str = "auto",
-                     want_inst: bool = False):
+                     want_inst: bool = False,
+                     pre_dedup: Optional[bool] = None):
     """Build the jitted multi-chip counting step.
 
     Input:  codes [D * shard_size] sharded along the mesh axis; splitters
@@ -246,12 +263,25 @@ def sharded_count_fn(mesh: Mesh, k: int, shard_size: int, slack: float = 1.6,
       sorted instance stream: each chip's valid received records in key
       order with their source position and receive slot — slot // cap is
       the source chip. The out-of-core mesh profile path spills these).
+
+    pre_dedup (default: on unless positions/instances are wanted): sort +
+    segment-reduce each chip's shard LOCALLY before routing, exchanging
+    (key, local-count) uniques instead of raw instances. Per-source
+    routing volume is then bounded by the shard's unique keys, so a hot
+    k-mer routes as ONE weighted record and the per-source receive lane
+    cannot overflow on count skew — the role of the reference's super-mer
+    dedup-before-weighted-sort (count.c:1-18), applied at the exchange.
+    Instances (want_inst) are intrinsically per-position, so that stream
+    keeps raw routing.
     """
     axis = mesh.axis_names[0]
     D = mesh.devices.size
     W = nwords(k)
     cap = int(shard_size // D * slack) if D > 1 else shard_size
     D_cap = D * cap
+    if pre_dedup is None:
+        pre_dedup = not (want_inst or want_positions)
+    dedup = pre_dedup and D > 1 and not (want_inst or want_positions)
 
     def step(codes, splitters):
         # codes: local shard [shard_size + pad]; positions are local
@@ -266,10 +296,21 @@ def sharded_count_fn(mesh: Mesh, k: int, shard_size: int, slack: float = 1.6,
             res = _count_received(rw, rv, D_cap, want_positions, k=k,
                                   pos=pos if want_inst else None)
         else:
+            from fastk_tpu.ops.count import (segmented_count, sort_records,
+                                             widen_words)
+
+            weights = None
+            if dedup:
+                s_words, _s_inv, _ = sort_records(list(words), invalid, k=k)
+                lseg = segmented_count(
+                    s_words, jnp.zeros(shard_size, jnp.uint32), shard_size)
+                words = widen_words(lseg["seg_words"], k)
+                invalid = (~lseg["seg_valid"]).astype(jnp.uint32)
+                weights = lseg["seg_counts"]
             (send_words, send_valid, route_ovf, orig, flat, send_pos
              ) = _route_chip(words, invalid, pos, splitters, D, cap,
                             shard_size, impl=route_impl,
-                            carry_pos=want_inst)
+                            carry_pos=want_inst, weights=weights)
             recv_words = tuple(
                 jax.lax.all_to_all(w, axis, 0, 0, tiled=False) for w in send_words
             )
@@ -279,7 +320,7 @@ def sharded_count_fn(mesh: Mesh, k: int, shard_size: int, slack: float = 1.6,
             rpos = (jax.lax.all_to_all(send_pos, axis, 0, 0, tiled=False
                                        ).reshape(D_cap) if want_inst else None)
             res = _count_received(rw, rv, D_cap, want_positions, k=k,
-                                  pos=rpos)
+                                  pos=rpos, weighted=dedup)
 
         hist = jax.lax.psum(res["hist"], axis) if D > 1 else res["hist"]
         overflow = jax.lax.psum(res["overflow"], axis) if D > 1 else res["overflow"]

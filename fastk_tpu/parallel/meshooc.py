@@ -164,6 +164,37 @@ def _retrain_exact(codes: np.ndarray, k: int, D: int,
                  for t in range(1, D)]].astype(np.uint32)
 
 
+_POS_SENT = np.uint32(0xFFFFFFFF)  # padding marker in the row exchange
+
+_xchg_cache: dict = {}
+
+
+def _exchange_fn(mesh: Mesh, L: int):
+    """Jitted owner-addressed row exchange: global [D*D, L, 2] uint32
+    (chip-major send blocks: source chip i's [D, L, 2] slab holds its rows
+    for each destination chip) -> same shape where chip c's slab holds the
+    rows each source sent TO c. One lax.all_to_all over ICI/DCN — the
+    owner-addressed replacement for phase 3's former
+    allgather-everything-to-everyone (the reference's per-node panel files
+    are owner-addressed the same way, merge.c:761-1006)."""
+    from functools import partial
+
+    from jax import shard_map
+
+    key = (id(mesh), L)
+    if key in _xchg_cache:
+        return _xchg_cache[key]
+    axis = mesh.axis_names[0]
+
+    @jax.jit
+    @partial(shard_map, mesh=mesh, in_specs=P(axis), out_specs=P(axis))
+    def xchg(x):  # local block [D, L, 2]
+        return jax.lax.all_to_all(x, axis, 0, 0, tiled=True)
+
+    _xchg_cache[key] = xchg
+    return xchg
+
+
 def count_files_mesh(
     paths: Sequence[str],
     k: int,
@@ -195,6 +226,19 @@ def count_files_mesh(
         mesh = default_mesh()
     D = mesh.devices.size
     W = nwords(k)
+    # phase 2's slice concatenation and fastcat splicing assume a
+    # PROCESS-MAJOR device order (each host's chips contiguous in
+    # keyspace, as default_mesh builds); a shuffled mesh would silently
+    # mis-order the global table, so reject it here
+    _procs_seen = []
+    for d in mesh.devices.flat:
+        if not _procs_seen or _procs_seen[-1] != d.process_index:
+            if d.process_index in _procs_seen:
+                raise ValueError(
+                    "count_files_mesh needs a process-major mesh (each "
+                    "host's chips contiguous on the axis); use "
+                    "default_mesh()")
+            _procs_seen.append(d.process_index)
     proc_of, rank_of, my_chips = _chip_maps(mesh)
     n_local = len(my_chips)
     if n_local == 0:
@@ -219,15 +263,34 @@ def count_files_mesh(
     spl = put_spl(splitters)
 
     cur_slack = slack
+    # per-chip route-buffer budget: send+recv hold ~2*(W+2) uint32 lanes
+    # of D*cap slots with cap = sh//D*slack, so bytes/chip ~ 8(W+2)·sh·sl.
+    # Escalation stops at this budget; past it a round splits in half
+    # (halving sh halves the bound at ANY slack) — the reference's
+    # bounded-bucket guarantee by refinement (split.c:437-472), here by
+    # round subdivision instead of keyspace movement.
+    budget = int(os.environ.get("FASTK_TPU_ROUTE_BUDGET_MB", "4096")) << 20
 
-    def build_fn():
+    def slack_cap(sh: int) -> float:
+        return max(2.0, budget / (8.0 * (W + 2) * max(sh, 1)))
+
+    fns: dict = {}
+
+    def get_fn(sh: int, sl: float):
         # cap must mirror sharded_count_fn's internal slot geometry: the
         # host decodes inst_slot // cap as the source chip
-        c = int(shard_size // D * cur_slack) if D > 1 else shard_size
-        return sharded_count_fn(mesh, k, shard_size, slack=cur_slack,
-                                want_inst=profiles), c
+        key = (sh, round(sl, 6))
+        if key not in fns:
+            fns[key] = (sharded_count_fn(mesh, k, sh, slack=sl,
+                                         want_inst=profiles),
+                        int(sh // D * sl) if D > 1 else sh)
+        return fns[key]
 
-    fn, cap = None, 0
+    def _round_to_D(x: int) -> int:
+        # D | shard so cap == shard exactly at slack == D (a chip can then
+        # hold EVERY source's full shard; non-power-of-two D used to leave
+        # cap = shard - shard % D, an advisor-found termination hole)
+        return -(-x // D) * D
 
     base = os.path.join(sort_path, f"fastk_tpu_mesh.{pid}.{os.getpid()}")
     for d in (base, base + ".inst", base + ".pos"):
@@ -247,7 +310,8 @@ def count_files_mesh(
     nvalid_local = 0
     nshort = 0
     stats = dict(max_round_records=0, total_spilled=0, retrains=0,
-                 slack_escalations=0)
+                 slack_escalations=0, batch_splits=0,
+                 profile_rows_returned=0, profile_rows_padded=0)
     _order = {d: i for i, d in enumerate(mesh.devices.flat)}
 
     def _rows_of(arr):
@@ -257,6 +321,69 @@ def count_files_mesh(
                        for s in arr.addressable_shards), key=lambda t: t[0])
         assert [r[0] for r in rows] == my_chips
         return [r[1] for r in rows]
+
+    def _spill_out(out, cap: int, sh: int, pos_off: int, bidx: int) -> int:
+        """Extract THIS host's chips from one routed step and spill;
+        returns the record count. pos_off: batch-local offset of this
+        sub-slice's code window (round splits feed a batch in slices)."""
+        nonlocal nvalid_local
+        nseg = _rows_of(out["nseg"])
+        segv = _rows_of(out["seg_valid"])
+        segc = _rows_of(out["seg_counts"])
+        segw = [_rows_of(out["seg_words"][j]) for j in range(W)]
+        if profiles:
+            ninst = _rows_of(out["n_inst"])
+            ipos = _rows_of(out["inst_pos"])
+            islot = _rows_of(out["inst_slot"])
+            iwords = [_rows_of(out["inst_words"][j]) for j in range(W)]
+        round_rec = 0
+        for li in range(n_local):
+            ns = int(nseg[li][0])
+            v = segv[li][:ns].astype(bool)
+            cw = (np.stack([segw[j][li][:ns][v] for j in range(W)],
+                           axis=1) if v.any()
+                  else np.zeros((0, W), np.uint32))
+            cc = segc[li][:ns][v].astype(np.uint32)
+            nvalid_local += int(cc.astype(np.int64).sum())
+            if edges[li] is None:
+                if len(cw) == 0 and parts_per_chip > 1:
+                    continue  # nothing spilled yet: train on real keys
+                edges[li] = _train_edges(
+                    cw[:, 0] if len(cw) else np.zeros(0, np.uint32),
+                    parts_per_chip)
+            cuts = ([0] + [int(np.searchsorted(cw[:, 0], e))
+                           for e in edges[li]] + [len(cc)])
+            for sp in range(parts_per_chip):
+                spill.append(li * parts_per_chip + sp,
+                             cw[cuts[sp]: cuts[sp + 1]],
+                             cc[cuts[sp]: cuts[sp + 1]])
+            round_rec += len(cc)
+            if profiles:
+                ni = int(ninst[li][0])
+                iw = np.stack([iwords[j][li][:ni] for j in range(W)],
+                              axis=1) if ni else np.zeros((0, W),
+                                                          np.uint32)
+                src_chip = (islot[li][:ni] // cap).astype(np.int64)
+                # batch-local position on the SOURCE host: sub-slice
+                # offset + feeding rank of the source chip times the
+                # round's shard + local pos
+                bpos = (pos_off
+                        + rank_of[src_chip].astype(np.int64) * sh
+                        + ipos[li][:ni]).astype(np.uint32)
+                shost = proc_of[src_chip].astype(np.uint32)
+                icuts = ([0] + [int(np.searchsorted(iw[:, 0], e))
+                                for e in edges[li]] + [ni])
+                for sp in range(parts_per_chip):
+                    lo, hi = icuts[sp], icuts[sp + 1]
+                    if hi > lo:
+                        p = li * parts_per_chip + sp
+                        ispill.append(
+                            p, np.concatenate(
+                                [iw[lo:hi], bpos[lo:hi, None]], axis=1),
+                            shost[lo:hi])
+                        imeta[p].append((bidx, hi - lo))
+                round_rec += ni
+        return round_rec
 
     try:
         # ---- phase 1: lockstep rounds, spill owner-resident segments ----
@@ -279,9 +406,8 @@ def count_files_mesh(
             elif batch is None:
                 break
             if need > shard_size:
-                shard_size = max(((need + step - 1) // step) * step,
-                                 2 * shard_size)
-                fn, cap = build_fn()
+                shard_size = _round_to_D(max(
+                    ((need + step - 1) // step) * step, 2 * shard_size))
                 if verbose and pid == 0:
                     print(f"  mesh: shard geometry grown to {shard_size}",
                           flush=True)
@@ -293,97 +419,90 @@ def count_files_mesh(
                                         len(batch.codes)))
                 nshort += int((np.asarray(batch.rlen) < k).sum())
 
-            out = fn(_local_shard_rows(codes, k, mesh, shard_size), spl)
-            if int(out["route_overflow"]) > 0 and D > 1 and bidx == 0:
-                # cross-host exact retrain — ONLY before anything spilled
-                # (round 0): splitters define chip ownership and the spill
-                # is partitioned per chip, so moving boundaries after a
-                # spill would split a key's counts across two merged
-                # parts. route_overflow is replicated, so every host takes
-                # the same branch.
-                splitters = _retrain_exact(codes, k, D)
-                spl = put_spl(splitters)
-                stats["retrains"] += 1
+            # round snapshot: a split re-runs the round from scratch after
+            # truncating its partial spills (all state is host-local)
+            snap = (list(spill.nrec),
+                    list(ispill.nrec) if ispill is not None else None,
+                    [len(lst) for lst in imeta], nvalid_local)
+            nsub = 1
+            sh = shard_size
+            while True:
+                # every host walks the SAME nsub sub-slices in lockstep
+                # (sub-slice length is capacity-derived, L = sh*n_local,
+                # so a host's codes always fit in nsub slices; short hosts
+                # feed empty tails). Escalation decisions below are all
+                # replicated values, so hosts branch together.
+                L = sh * n_local
+                pad = pad_needed(k)
+                round_rec = 0
+                split_needed = False
+                for j in range(nsub):
+                    sub = codes[j * L: (j + 1) * L + pad]
+                    while True:
+                        fn, cap = get_fn(sh, cur_slack)
+                        out = fn(_local_shard_rows(sub, k, mesh, sh), spl)
+                        if int(out["route_overflow"]) == 0 or D == 1:
+                            break
+                        if bidx == 0 and j == 0 and nsub == 1 \
+                                and stats["retrains"] == 0:
+                            # cross-host exact retrain — ONLY before
+                            # anything spilled: splitters define chip
+                            # ownership and the spill is partitioned per
+                            # chip, so moving boundaries after a spill
+                            # would split a key's counts across parts
+                            splitters = _retrain_exact(codes, k, D)
+                            spl = put_spl(splitters)
+                            stats["retrains"] += 1
+                            if verbose and pid == 0:
+                                print("  mesh: route overflow, splitters "
+                                      "retrained", flush=True)
+                            continue
+                        smax = min(float(D), slack_cap(sh))
+                        if cur_slack < smax:
+                            # capacity escalation within the budget: at
+                            # slack == D every chip holds EVERY source's
+                            # full shard (cap == sh, D | sh)
+                            cur_slack = min(2 * cur_slack, smax)
+                            stats["slack_escalations"] += 1
+                            if verbose and pid == 0:
+                                print("  mesh: route overflow, slack -> "
+                                      f"{cur_slack}", flush=True)
+                            continue
+                        split_needed = True
+                        break
+                    if split_needed:
+                        break
+                    round_rec += _spill_out(out, cap, sh, j * L, bidx)
+                    del out
+                if not split_needed:
+                    break
+                # budget-capped and still overflowing: halve the round
+                # (halving sh halves the route-buffer bound at any slack
+                # and raises slack_cap, so slack can keep escalating
+                # toward D at bounded memory)
+                spill.truncate(snap[0])
+                if ispill is not None:
+                    ispill.truncate(snap[1])
+                for p, ln in enumerate(snap[2]):
+                    del imeta[p][ln:]
+                nvalid_local = snap[3]
+                nsub *= 2
+                sh = _round_to_D(max(-(-shard_size // nsub), 1 << 10))
+                stats["batch_splits"] += 1
+                if nsub > 256:
+                    raise RuntimeError(
+                        "bucket capacity exceeded at minimum round size; "
+                        "raise FASTK_TPU_ROUTE_BUDGET_MB or slack")
                 if verbose and pid == 0:
-                    print("  mesh: route overflow, splitters retrained",
-                          flush=True)
-                out = fn(_local_shard_rows(codes, k, mesh, shard_size), spl)
-            while int(out["route_overflow"]) > 0 and D > 1 and cur_slack < D:
-                # capacity escalation: at slack == D every chip can hold
-                # EVERY source's full shard (cap == shard_size), so this
-                # always terminates without moving keyspace boundaries
-                cur_slack = min(2 * cur_slack, D)
-                fn, cap = build_fn()
-                stats["slack_escalations"] += 1
-                if verbose and pid == 0:
-                    print(f"  mesh: route overflow, slack -> {cur_slack}",
-                          flush=True)
-                out = fn(_local_shard_rows(codes, k, mesh, shard_size), spl)
-            if int(out["route_overflow"]) > 0:
-                raise RuntimeError("bucket capacity exceeded; raise slack")
-
-            # extract THIS host's chips and spill
-            nseg = _rows_of(out["nseg"])
-            segv = _rows_of(out["seg_valid"])
-            segc = _rows_of(out["seg_counts"])
-            segw = [_rows_of(out["seg_words"][j]) for j in range(W)]
-            if profiles:
-                ninst = _rows_of(out["n_inst"])
-                ipos = _rows_of(out["inst_pos"])
-                islot = _rows_of(out["inst_slot"])
-                iwords = [_rows_of(out["inst_words"][j]) for j in range(W)]
-            round_rec = 0
-            for li in range(n_local):
-                ns = int(nseg[li][0])
-                v = segv[li][:ns].astype(bool)
-                cw = (np.stack([segw[j][li][:ns][v] for j in range(W)],
-                               axis=1) if v.any()
-                      else np.zeros((0, W), np.uint32))
-                cc = segc[li][:ns][v].astype(np.uint32)
-                nvalid_local += int(cc.astype(np.int64).sum())
-                if edges[li] is None:
-                    if len(cw) == 0 and parts_per_chip > 1:
-                        continue  # nothing spilled yet: train on real keys
-                    edges[li] = _train_edges(
-                        cw[:, 0] if len(cw) else np.zeros(0, np.uint32),
-                        parts_per_chip)
-                cuts = ([0] + [int(np.searchsorted(cw[:, 0], e))
-                               for e in edges[li]] + [len(cc)])
-                for sp in range(parts_per_chip):
-                    spill.append(li * parts_per_chip + sp,
-                                 cw[cuts[sp]: cuts[sp + 1]],
-                                 cc[cuts[sp]: cuts[sp + 1]])
-                round_rec += len(cc)
-                if profiles:
-                    ni = int(ninst[li][0])
-                    iw = np.stack([iwords[j][li][:ni] for j in range(W)],
-                                  axis=1) if ni else np.zeros((0, W),
-                                                              np.uint32)
-                    src_chip = (islot[li][:ni] // cap).astype(np.int64)
-                    # batch-local position on the SOURCE host: feeding rank
-                    # of the source chip times shard_size plus local pos
-                    bpos = (rank_of[src_chip].astype(np.uint32) * shard_size
-                            + ipos[li][:ni])
-                    shost = proc_of[src_chip].astype(np.uint32)
-                    icuts = ([0] + [int(np.searchsorted(iw[:, 0], e))
-                                    for e in edges[li]] + [ni])
-                    for sp in range(parts_per_chip):
-                        lo, hi = icuts[sp], icuts[sp + 1]
-                        if hi > lo:
-                            p = li * parts_per_chip + sp
-                            ispill.append(
-                                p, np.concatenate(
-                                    [iw[lo:hi], bpos[lo:hi, None]], axis=1),
-                                shost[lo:hi])
-                            imeta[p].append((bidx, hi - lo))
-                    round_rec += ni
+                    print(f"  mesh: round split into {nsub} sub-slices "
+                          f"(shard {sh})", flush=True)
             stats["max_round_records"] = max(stats["max_round_records"],
                                              round_rec)
             stats["total_spilled"] += round_rec
             if verbose and pid == 0:
                 print(f"  mesh round {bidx + 1}: {round_rec} records "
                       "spilled", flush=True)
-            del batch, out
+            del batch
             nxt = next(gen, None)
             batch = nxt[0] if nxt is not None else None
             bidx += 1
@@ -572,25 +691,64 @@ def count_files_mesh(
                                 nparts=min(out_nparts, max(1, nreads)))
             else:
                 profs = []
+            chips_of = [np.flatnonzero(proc_of == q) for q in range(nprocs)]
             for b in range(nb):
                 # rows destined for each host, from MY chips' joins
-                outs = []
-                for dst in range(nprocs):
-                    pos, cnt = pspill.load(dst * (1 << 32) + b)
-                    if len(pos):
-                        outs.append(np.concatenate([
-                            np.full((len(pos), 1), dst, np.uint32),
-                            pos.astype(np.uint32)[:, None],
-                            cnt.astype(np.uint32)[:, None]], axis=1))
-                rows = (np.concatenate(outs) if outs
-                        else np.zeros((0, 3), np.uint32))
-                if nprocs > 1:
-                    rows = np.concatenate(_allgather_ragged(rows))
+                parcels = [pspill.load(q * (1 << 32) + b)
+                           for q in range(nprocs)]
+                if nprocs == 1:
+                    pos64, cnt16 = parcels[0]
+                    mine = np.stack([pos64.astype(np.uint32),
+                                     cnt16.astype(np.uint32)], axis=1)
+                else:
+                    # OWNER-ADDRESSED exchange: each host's rows for host q
+                    # spread over its local chips x q's chips, one device
+                    # all_to_all delivers exactly the rows each host owns
+                    # (the former allgather shipped EVERY row to EVERY
+                    # host). Lane depth L is agreed per round (pow2 to
+                    # bound recompiles); padding is sentinel-marked.
+                    lane_need = 0
+                    for q in range(nprocs):
+                        lanes = n_local * len(chips_of[q])
+                        lane_need = max(
+                            lane_need, -(-len(parcels[q][0]) // lanes))
+                    lane_need = int(np.asarray(
+                        multihost_utils.process_allgather(
+                            np.array([lane_need], np.int64))).max())
+                    L = max(256, 1 << int(np.ceil(np.log2(
+                        max(lane_need, 1)))))
+                    send = np.full((n_local, D, L, 2), _POS_SENT,
+                                   dtype=np.uint32)
+                    for q in range(nprocs):
+                        pos64, cnt16 = parcels[q]
+                        nq = len(pos64)
+                        if nq == 0:
+                            continue
+                        rows_q = np.stack([pos64.astype(np.uint32),
+                                           cnt16.astype(np.uint32)], axis=1)
+                        lanes = [(si, dj) for si in range(n_local)
+                                 for dj in chips_of[q]]
+                        chunk = -(-nq // len(lanes))
+                        for ln, (si, dj) in enumerate(lanes):
+                            part = rows_q[ln * chunk: (ln + 1) * chunk]
+                            if len(part):
+                                send[si, dj, : len(part)] = part
+                    sharding = NamedSharding(mesh, P(mesh.axis_names[0]))
+                    garr = jax.make_array_from_process_local_data(
+                        sharding, send.reshape(n_local * D, L, 2),
+                        (D * D, L, 2))
+                    recv = _exchange_fn(mesh, L)(garr)
+                    got = [np.asarray(s.data).reshape(-1, 2)
+                           for s in recv.addressable_shards]
+                    mine = np.concatenate(got) if got else \
+                        np.zeros((0, 2), np.uint32)
+                    mine = mine[mine[:, 0] != _POS_SENT]
+                    stats["profile_rows_returned"] += len(mine)
+                    stats["profile_rows_padded"] += n_local * D * L
                 if b < len(metas):
                     meta = metas[b]
-                    mine = rows[rows[:, 0] == pid]
                     buf = np.zeros(meta.codes_len, dtype=np.uint16)
-                    buf[mine[:, 1]] = mine[:, 2].astype(np.uint16)
+                    buf[mine[:, 0]] = mine[:, 1].astype(np.uint16)
                     if pw is not None:
                         plen = np.maximum(meta.rlen - k + 1, 0)
                         blob, offs = encode_profiles_bulk(

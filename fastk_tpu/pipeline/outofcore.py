@@ -140,6 +140,16 @@ class _Spill:
         for f in self.files:
             f.flush()
 
+    def truncate(self, nrec: List[int]) -> None:
+        """Roll every part back to an exact record count (a failed mesh
+        round re-runs after truncating its partial spills)."""
+        rb = 4 * (self.W + 1)
+        for p, nr in enumerate(nrec):
+            self.files[p].flush()
+            os.truncate(self.paths[p], nr * rb)
+            self.files[p].seek(nr * rb)
+            self.nrec[p] = nr
+
     def load(self, p: int) -> Tuple[np.ndarray, np.ndarray]:
         self.files[p].flush()
         rec = np.fromfile(self.paths[p], dtype=np.uint32

@@ -153,6 +153,64 @@ def test_mesh_skewed_batch_recovers(tmp_path):
     assert got.mesh_stats["slack_escalations"] >= 1
 
 
+def test_mesh_single_key_batch_no_escalation(tmp_path):
+    """Adversarial COUNT batch: every position one canonical k-mer, all
+    routed to one chip of the 8-device mesh. Pre-routing dedup (each
+    source exchanges its shard's UNIQUES with local counts) makes this a
+    D-record exchange, so it completes under a hard slack cap of 2 with
+    no escalation at all — the slack=D memory cliff cannot be reached on
+    the count path."""
+    from fastk_tpu.parallel.meshooc import count_files_mesh
+    from fastk_tpu.pipeline.count import count_files
+
+    p = tmp_path / "one.fasta"
+    _write_fasta(p, ["a" * 200] * 300)  # one canonical 17-mer everywhere
+    want = count_files([str(p)], 17, table_min=1, batch_bases=30000)
+    os.environ["FASTK_TPU_ROUTE_BUDGET_MB"] = "0"  # slack_cap floor == 2
+    try:
+        got = count_files_mesh([str(p)], 17, table_min=1,
+                               batch_bases=30000, sort_path=str(tmp_path))
+    finally:
+        del os.environ["FASTK_TPU_ROUTE_BUDGET_MB"]
+    assert want.hist == got.hist
+    assert np.array_equal(want.table.packed, got.table.packed)
+    assert np.array_equal(want.table.counts, got.table.counts)
+    assert got.mesh_stats["slack_escalations"] == 0
+    assert got.mesh_stats["batch_splits"] == 0
+
+
+def test_mesh_instance_skew_splits_round(tmp_path):
+    """Adversarial INSTANCE batch (profiles: per-position records cannot
+    dedup) under a tiny route-buffer budget: slack caps below D, the
+    round splits into sub-slices (halved shard => halved buffer bound),
+    and results stay exact — the bounded-memory recovery for the
+    slack=D cliff."""
+    from fastk_tpu.parallel.meshooc import count_files_mesh
+    from fastk_tpu.pipeline.count import count_files
+
+    rng = np.random.default_rng(11)
+    g = rng.integers(0, 4, size=2000)
+    reads = _rand_reads(rng, g, 20, 100) + ["a" * 100] * 400
+    p = tmp_path / "skew.fasta"
+    _write_fasta(p, reads)
+    want = count_files([str(p)], 17, table_min=1, profiles=True,
+                       batch_bases=60000)
+    # 1 MB: slack caps below D at the full shard; halving the shard
+    # doubles the cap until slack can reach D at bounded memory
+    os.environ["FASTK_TPU_ROUTE_BUDGET_MB"] = "1"
+    try:
+        got = count_files_mesh([str(p)], 17, table_min=1, profiles=True,
+                               batch_bases=60000, sort_path=str(tmp_path))
+    finally:
+        del os.environ["FASTK_TPU_ROUTE_BUDGET_MB"]
+    assert want.hist == got.hist
+    assert np.array_equal(want.table.packed, got.table.packed)
+    assert np.array_equal(want.table.counts, got.table.counts)
+    for a, b in zip(want.profiles, got.profiles):
+        assert np.array_equal(a, b)
+    assert got.mesh_stats["batch_splits"] >= 1
+
+
 _WORKER = r"""
 import os, sys, json
 import numpy as np
@@ -174,7 +232,7 @@ write_histogram(out.slice_base + ".h", out.hist)
 with open(sys.argv[5], "w") as f:
     json.dump(dict(nreads=out.nreads, totlen=out.totlen,
                    entries=out.table_entries,
-                   slice_base=out.slice_base), f)
+                   slice_base=out.slice_base, stats=out.mesh_stats), f)
 """
 
 
@@ -255,6 +313,15 @@ def test_mesh_two_process_slices_splice(data, tmp_path):
     assert len(pa) == len(pb)
     for a, b in zip(pa, pb):
         assert np.array_equal(a, b)
+
+    # phase 3 is OWNER-ADDRESSED: across hosts the returned profile rows
+    # sum to the instance total exactly once (the former allgather shipped
+    # nprocs x rows: every host received everything and filtered)
+    total_inst = sum(int((x > 0).sum()) for x in pb)  # valid positions
+    stats = [json.load(open(o))["stats"] for o in outs]
+    returned = [s["profile_rows_returned"] for s in stats]
+    assert sum(returned) == total_inst
+    assert all(0 < r < total_inst for r in returned)
 
 
 def test_relative_sharded_streamed(data, tmp_path):

@@ -72,7 +72,16 @@ from fastk_tpu.parallel.multihost import (
     shard_files,
 )
 from fastk_tpu.pipeline.count import CountOutput, _profiles_from_meta
-from fastk_tpu.pipeline.outofcore import _BatchMeta, _PosSpill, _Spill, _train_edges
+from fastk_tpu.pipeline.outofcore import (
+    _BatchMeta,
+    _PosSpill,
+    _Spill,
+    _load_manifest,
+    _manifest_path,
+    _run_signature,
+    _save_manifest,
+    _train_edges,
+)
 
 
 def default_mesh() -> Mesh:
@@ -164,6 +173,56 @@ def _retrain_exact(codes: np.ndarray, k: int, D: int,
                  for t in range(1, D)]].astype(np.uint32)
 
 
+class _MeshWatchdog:
+    """Fault containment for lockstep collectives: when a peer process
+    dies, the survivors' next allgather/all_to_all can block forever.
+    With FASTK_TPU_MESH_TIMEOUT=<seconds> set, a monitor thread aborts
+    THIS host with a clear message once a round makes no progress within
+    the timeout, instead of hanging a whole cluster job; a rerun with
+    resume=True then restarts from the last round every host completed
+    (the reference's multi-node recovery is likewise re-running the
+    failed slice job, README.md:299-331). Disabled (timeout 0) by
+    default: legitimate giant rounds must not be killed by a guess."""
+
+    EXIT_CODE = 17
+
+    def __init__(self):
+        import threading
+        import time as _time
+
+        self.timeout = float(
+            os.environ.get("FASTK_TPU_MESH_TIMEOUT", "0") or 0)
+        self._time = _time
+        self._last = _time.monotonic()
+        self._stop = False
+        self._thread = None
+        if self.timeout > 0:
+            self._thread = threading.Thread(target=self._run, daemon=True)
+            self._thread.start()
+
+    def beat(self) -> None:
+        self._last = self._time.monotonic()
+
+    def _run(self) -> None:
+        import sys
+
+        while not self._stop:
+            self._time.sleep(min(1.0, self.timeout / 4))
+            if self._stop:
+                return
+            if self._time.monotonic() - self._last > self.timeout:
+                print(
+                    f"fastk_tpu mesh: no progress in {self.timeout:.0f}s — "
+                    "a peer process likely failed; aborting this host. "
+                    "Restart all hosts with resume=-R to continue from "
+                    "the last completed round.", file=sys.stderr,
+                    flush=True)
+                os._exit(self.EXIT_CODE)
+
+    def stop(self) -> None:
+        self._stop = True
+
+
 _POS_SENT = np.uint32(0xFFFFFFFF)  # padding marker in the row exchange
 
 _xchg_cache: dict = {}
@@ -211,6 +270,7 @@ def count_files_mesh(
     hc: bool = False,
     bc: int = 0,
     verbose: bool = False,
+    resume: bool = False,
 ) -> CountOutput:
     """Count across the global mesh with bounded per-host memory (see
     module doc). Returns a CountOutput whose hist/nreads/totlen are GLOBAL
@@ -218,7 +278,14 @@ def count_files_mesh(
     slices (table=None, table_entries set to the global total) or, without
     out_base, returned as THIS HOST's keyspace slice (table) and THIS
     HOST's reads' profiles — callers wanting the whole result in RAM
-    concatenate slices (count_files_multihost does exactly that)."""
+    concatenate slices (count_files_multihost does exactly that).
+
+    resume: keep each host's phase-1 spill + a per-ROUND manifest on
+    failure; a rerun (same inputs/config on all hosts) agrees on
+    min(batches_done) across hosts, truncates every spill to that round,
+    and re-enters phase 1 after it — the multi-host analog of the ooc
+    `-R` (and of the reference's re-run-the-failed-slice-job story,
+    README.md:299-331, at round instead of job granularity)."""
     from jax.experimental import multihost_utils
 
     pid, nprocs = jax.process_index(), jax.process_count()
@@ -244,17 +311,43 @@ def count_files_mesh(
     if n_local == 0:
         raise ValueError("this process addresses no devices of the mesh")
     my_paths = shard_files(paths, pid, nprocs) if nprocs > 1 else list(paths)
+    wd = _MeshWatchdog()
 
     # shard geometry is set by the first round's cross-host agreement and
     # grows (pow2-stepped) when a later batch outgrows it
     shard_size = 0
     step = 1 << 14
 
+    # crash-resume state: a deterministic per-host identity (global paths
+    # + config + mesh shape + this host's rank) keys the manifest; hosts
+    # then AGREE on min(batches_done) — a host that got further than the
+    # crash point truncates its spill back to the agreed round
+    sig = _run_signature(
+        list(paths), k, ("mesh", D, nprocs, parts_per_chip), table_min,
+        profiles, hc, bc, batch_bases)
+    base = os.path.join(sort_path, f"fastk_tpu_mesh.{sig}.{pid}")
+    state = _load_manifest(base) if resume else None
+    if state is not None and state.get("sig") != sig:
+        state = None
+    bdone = int(state["batches_done"]) if state else 0
+    if resume and nprocs > 1:
+        from jax.experimental import multihost_utils as _mhu
+
+        bdone = int(np.asarray(_mhu.process_allgather(
+            np.array([bdone], np.int64))).min())
+    if bdone == 0:
+        state = None
+
     gen = (b for b in batched_reads(my_paths, batch_bases, hc=hc, bc=bc))
     first = next(gen, None)
     first_codes = (first[0].codes if first is not None
                    else np.full(1024, 4, np.uint8))
-    splitters = _train_mesh_splitters(first_codes, k, D)
+    if state is not None:
+        # splitters define chip ownership of already-spilled keys and
+        # MUST NOT move on resume
+        splitters = np.array(state["splitters"], dtype=np.uint32)
+    else:
+        splitters = _train_mesh_splitters(first_codes, k, D)
 
     def put_spl(s):
         return jax.device_put(jnp.asarray(s, dtype=jnp.uint32),
@@ -292,26 +385,51 @@ def count_files_mesh(
         # cap = shard - shard % D, an advisor-found termination hole)
         return -(-x // D) * D
 
-    base = os.path.join(sort_path, f"fastk_tpu_mesh.{pid}.{os.getpid()}")
-    for d in (base, base + ".inst", base + ".pos"):
-        if os.path.isdir(d):
-            shutil.rmtree(d, ignore_errors=True)
+    # phase-2/3 .pos state is never resumable; base dirs are wiped only
+    # when starting fresh (stale leftovers of an unresumed crash)
+    if os.path.isdir(base + ".pos"):
+        shutil.rmtree(base + ".pos", ignore_errors=True)
+    if state is None:
+        for d in (base, base + ".inst"):
+            if os.path.isdir(d):
+                shutil.rmtree(d, ignore_errors=True)
     nparts_local = n_local * parts_per_chip
-    spill = _Spill(base, nparts_local, W)
+    nrec_hist: List[List[int]] = (
+        [list(x) for x in state["nrec_hist"][:bdone]] if state else [])
+    nvalid_hist: List[int] = (
+        [int(x) for x in state["nvalid_hist"][:bdone]] if state else [])
+    spill = _Spill(base, nparts_local, W,
+                   resume_nrec=nrec_hist[bdone - 1] if state else None)
     # instance records: (W key words, position, source-host) per row —
     # reuse _Spill with W+1 "word" columns and the count column = src host
-    ispill = _Spill(base + ".inst", nparts_local, W + 1) if profiles else None
+    if profiles and state is not None:
+        # truncate the instance spill via its own per-(round, count)
+        # append metadata — entries past the agreed round are dropped
+        imeta = [[(int(b), int(n)) for b, n in lst if int(b) < bdone]
+                 for lst in state["imeta"]]
+        itrunc = [sum(n for _, n in lst) for lst in imeta]
+        ispill = _Spill(base + ".inst", nparts_local, W + 1,
+                        resume_nrec=itrunc)
+    else:
+        imeta = [[] for _ in range(nparts_local)]
+        ispill = (_Spill(base + ".inst", nparts_local, W + 1)
+                  if profiles else None)
     pspill = _PosSpill(base + ".pos") if profiles else None
-    imeta: List[List[Tuple[int, int]]] = [[] for _ in range(nparts_local)]
     # per-chip part edges, trained on the first batch's uniques per chip
-    edges: List[Optional[np.ndarray]] = [None] * n_local
+    edges: List[Optional[np.ndarray]] = (
+        [np.array(e, dtype=np.uint32) if e is not None else None
+         for e in state["edges"]] if state else [None] * n_local)
 
     metas: List[_BatchMeta] = []
-    nvalid_local = 0
+    nvalid_local = nvalid_hist[bdone - 1] if state else 0
     nshort = 0
+    keep_spill = False
     stats = dict(max_round_records=0, total_spilled=0, retrains=0,
                  slack_escalations=0, batch_splits=0,
                  profile_rows_returned=0, profile_rows_padded=0)
+    if verbose and bdone:
+        print(f"  mesh resume: phase 1 re-enters after round {bdone}",
+              flush=True)
     _order = {d: i for i, d in enumerate(mesh.devices.flat)}
 
     def _rows_of(arr):
@@ -390,6 +508,21 @@ def count_files_mesh(
         batch = first[0] if first is not None else None
         bidx = 0
         while True:
+            wd.beat()
+            if bidx < bdone:
+                # round already spilled by the interrupted run: re-read
+                # the batch (phase 3 needs its boff/rlen), skip all
+                # device work and collectives — every host skips the
+                # same rounds (bdone was agreed above)
+                if batch is not None:
+                    metas.append(_BatchMeta(np.asarray(batch.boff),
+                                            np.asarray(batch.rlen),
+                                            len(batch.codes)))
+                    nshort += int((np.asarray(batch.rlen) < k).sum())
+                    nxt = next(gen, None)
+                    batch = nxt[0] if nxt is not None else None
+                bidx += 1
+                continue
             have = 0 if batch is None else 1
             # a batch can overshoot batch_bases (reads are never split):
             # agree on a shard size that fits EVERY host's batch this round
@@ -502,6 +635,24 @@ def count_files_mesh(
             if verbose and pid == 0:
                 print(f"  mesh round {bidx + 1}: {round_rec} records "
                       "spilled", flush=True)
+            if resume:
+                # a round enters the manifest only after its records are
+                # flushed past userspace (a SIGKILL can then never
+                # persist a manifest claiming more than the files hold);
+                # per-round nrec snapshots let a LATER resume truncate
+                # back to whatever round the slowest host completed
+                spill.flush()
+                if ispill is not None:
+                    ispill.flush()
+                nrec_hist.append(list(spill.nrec))
+                nvalid_hist.append(nvalid_local)
+                _save_manifest(base, dict(
+                    sig=sig, batches_done=bidx + 1,
+                    nrec_hist=nrec_hist, nvalid_hist=nvalid_hist,
+                    imeta=imeta,
+                    edges=[None if e is None else [int(x) for x in e]
+                           for e in edges],
+                    splitters=[int(x) for x in splitters]))
             del batch
             nxt = next(gen, None)
             batch = nxt[0] if nxt is not None else None
@@ -600,6 +751,7 @@ def count_files_mesh(
                   f"{len(groups)} merges", flush=True)
 
         for grp in groups:
+                wd.beat()
                 p = grp[0]
                 loads = [spill.load(q) for q in grp]
                 words = np.concatenate([w for w, _ in loads])
@@ -693,6 +845,7 @@ def count_files_mesh(
                 profs = []
             chips_of = [np.flatnonzero(proc_of == q) for q in range(nprocs)]
             for b in range(nb):
+                wd.beat()
                 # rows destined for each host, from MY chips' joins
                 parcels = [pspill.load(q * (1 << 32) + b)
                            for q in range(nprocs)]
@@ -767,12 +920,22 @@ def count_files_mesh(
         out.slice_base = slice_base
         out.mesh_stats = stats
         return out
+    except BaseException:
+        # with resume on, this host's spill + manifest survive for a rerun
+        keep_spill = resume
+        raise
     finally:
-        spill.close()
+        wd.stop()
+        spill.close(remove=not keep_spill)
         if ispill is not None:
-            ispill.close()
+            ispill.close(remove=not keep_spill)
         if pspill is not None:
-            pspill.close()
+            pspill.close()  # phase-3 spill is never resumed from
+        if not keep_spill:
+            try:
+                os.unlink(_manifest_path(base))
+            except OSError:
+                pass
         for d in (base, base + ".inst", base + ".pos"):
             try:
                 os.rmdir(d)

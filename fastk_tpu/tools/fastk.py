@@ -314,7 +314,7 @@ def _run_mesh(cfg, out_base, rel, batch_bases, nparts, part_cap, est_bases,
             profiles=cfg["p"], batch_bases=batch_bases,
             sort_path=cfg["P"], out_base=out_base, out_nparts=nparts,
             part_cap=part_cap, parts_per_chip=ppc, hc=cfg["c"],
-            bc=cfg["bc"], verbose=cfg["v"])
+            bc=cfg["bc"], verbose=cfg["v"], resume=cfg["R"])
     multihost_utils.sync_global_devices("fastk_mesh_slices_done")
     if pid == 0:
         from fastk_tpu.tools.fastcat import (

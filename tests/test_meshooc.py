@@ -324,6 +324,125 @@ def test_mesh_two_process_slices_splice(data, tmp_path):
     assert all(0 < r < total_inst for r in returned)
 
 
+_WORKER_RESUME = r"""
+import os, sys, json
+import numpy as np
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "") +
+                           " --xla_force_host_platform_device_count=2")
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(coordinator_address=sys.argv[1],
+                           num_processes=2, process_id=int(sys.argv[2]))
+import fastk_tpu.parallel.meshooc as mo
+from fastk_tpu.formats.hist import write_histogram
+
+die_at = int(os.environ.get("FK_TEST_DIE_AT_ROUND", "-1"))
+if die_at >= 0 and int(sys.argv[2]) == 1:
+    real = mo._local_shard_rows
+    calls = [0]
+    def dying(*a, **k):
+        if calls[0] >= die_at:
+            os._exit(9)           # simulated host crash mid-round
+        calls[0] += 1
+        return real(*a, **k)
+    mo._local_shard_rows = dying
+
+paths = json.loads(sys.argv[3])
+out_base = sys.argv[4]
+out = mo.count_files_mesh(paths, 17, mesh=mo.default_mesh(), table_min=1,
+                          profiles=True, batch_bases=3000,
+                          out_base=out_base, out_nparts=2,
+                          sort_path=os.path.dirname(out_base), resume=True)
+write_histogram(out.slice_base + ".h", out.hist)
+with open(sys.argv[5], "w") as f:
+    json.dump(dict(entries=out.table_entries), f)
+"""
+
+
+@pytest.mark.slow
+def test_mesh_kill_resume_two_process(data, tmp_path):
+    """Kill one of two mesh processes mid-round: the survivor must exit
+    with a clear error within the watchdog timeout (no infinite
+    process_allgather hang), both hosts' manifests + spills survive, and
+    a resume rerun agrees on min(batches_done) and produces outputs
+    byte-equal to the single-chip reference."""
+    import glob
+
+    from fastk_tpu.formats.hist import read_histogram
+    from fastk_tpu.formats.ktab import read_ktab
+    from fastk_tpu.formats.prof import read_profiles
+    from fastk_tpu.parallel.multihost import shard_files
+    from fastk_tpu.pipeline.outofcore import count_files_ooc
+    from fastk_tpu.tools.fastcat import (
+        cat_profiles_spliced,
+        cat_tables_spliced,
+        cat_tables_streamed,
+    )
+
+    worker = tmp_path / "worker_resume.py"
+    worker.write_text(_WORKER_RESUME)
+    out_base = str(tmp_path / "mr")
+    outs = [str(tmp_path / f"r{i}.json") for i in range(2)]
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {**os.environ, "FASTK_TPU_MESH_TIMEOUT": "20"}
+    env.pop("XLA_FLAGS", None)
+    env.pop("JAX_PLATFORMS", None)
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+
+    def run(env2, timeout):
+        with socket.socket() as s:
+            s.bind(("127.0.0.1", 0))
+            port = s.getsockname()[1]
+        coord = f"127.0.0.1:{port}"
+        procs = [subprocess.Popen(
+            [sys.executable, str(worker), coord, str(i), json.dumps(data),
+             out_base, outs[i]], env=env2, stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE) for i in range(2)]
+        rcs, errs = [], []
+        for p in procs:
+            try:
+                p.wait(timeout=timeout)
+            except subprocess.TimeoutExpired:
+                for q in procs:
+                    q.kill()
+                    q.wait()
+                pytest.fail("mesh worker exceeded containment deadline")
+            rcs.append(p.returncode)
+            errs.append(p.stderr.read().decode())
+        return rcs, errs
+
+    # 1) crash run: pid 1 dies entering round 2; pid 0 must NOT hang
+    rcs, errs = run({**env, "FK_TEST_DIE_AT_ROUND": "1"}, timeout=120)
+    assert rcs[1] == 9
+    assert rcs[0] != 0  # watchdog abort (17) or collective error — not 0
+    # both hosts kept a resumable manifest + spill
+    assert glob.glob(str(tmp_path / "fastk_tpu_mesh.*" / "manifest.json"))
+
+    # 2) resume rerun completes and matches the single-chip reference
+    rcs, errs = run(env, timeout=600)
+    assert rcs == [0, 0], errs
+
+    order = shard_files(data, 0, 2) + shard_files(data, 1, 2)
+    want = count_files_ooc(order, 17, parts=2, sort_path=str(tmp_path),
+                           table_min=1, profiles=True, batch_bases=3000,
+                           out_base=str(tmp_path / "rref"), out_nparts=2)
+    slices = [out_base + ".0", out_base + ".1"]
+    tgt = str(tmp_path / "rspliced")
+    if not cat_tables_spliced(slices, tgt, keep=True):
+        cat_tables_streamed(slices, tgt, 2)
+    cat_profiles_spliced(slices, tgt, keep=True)
+    assert read_histogram(out_base + ".0.h") == want.hist
+    ta, tb = read_ktab(tgt), read_ktab(str(tmp_path / "rref"))
+    assert np.array_equal(ta.packed, tb.packed)
+    assert np.array_equal(ta.counts, tb.counts)
+    pa, pb = read_profiles(tgt), read_profiles(str(tmp_path / "rref"))
+    for a, b in zip(pa, pb):
+        assert np.array_equal(a, b)
+    # successful resume cleaned the manifests up
+    assert not glob.glob(
+        str(tmp_path / "fastk_tpu_mesh.*" / "manifest.json"))
+
+
 def test_relative_sharded_streamed(data, tmp_path):
     """Multi-chip -p:<table> with streamed ProfWriter output (disk spool,
     bounded RAM) equals the single-chip relative run."""

@@ -59,16 +59,33 @@ def main() -> int:
     fasta = os.path.join(d, "in.fasta")
     make_fasta(fasta, args.mb << 20)
 
+    # the BASELINE.md north-star differential: time-to-.ktab/.prof of the
+    # reference FastK binary vs our CLI on the SAME input and box, both
+    # timed as a user would (process wall). The oracle gets -T4 (its
+    # default-ish); this box has 1 host core, which throttles BOTH sides'
+    # host work (parse for us, everything for it).
+    import json
+    import time
+
+    t0 = time.perf_counter()
     r = subprocess.run([os.path.join(ORACLE, "FastK"), "-k40", "-t3", "-p",
                         "-T4", f"-P{d}", "-v", fasta], cwd=d,
                        capture_output=True, text=True)
+    t_oracle = time.perf_counter() - t0
     assert r.returncode == 0, r.stderr[-800:]
+    t0 = time.perf_counter()
     r = subprocess.run([sys.executable, "-m", "fastk_tpu.tools.fastk",
                         "-k40", "-t3", "-p", "-T4", f"-P{d}", "-v", fasta,
                         f"-N{d}/ours"],
                        cwd=os.path.dirname(HERE), capture_output=True,
                        text=True)
+    t_ours = time.perf_counter() - t0
     assert r.returncode == 0, r.stderr[-800:]
+    print(json.dumps(dict(
+        metric="e2e wall-clock, FastK -k40 -t3 -p (reference binary vs our "
+               f"CLI, {args.mb}MB FASTA, same box)",
+        oracle_s=round(t_oracle, 1), ours_s=round(t_ours, 1),
+        speedup_vs_oracle=round(t_oracle / t_ours, 2))), flush=True)
 
     import fastk_tpu as fk
     from fastk_tpu.formats.prof import ProfileIndex

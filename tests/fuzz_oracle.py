@@ -309,7 +309,8 @@ def _run_ours(args, batch_bases: int) -> int:
         else:
             os.environ.pop("FASTK_TPU_BATCH_BASES", None)
 
-def run_trial(seed: int, workdir: str, keep: bool = False) -> str | None:
+def run_trial(seed: int, workdir: str, keep: bool = False,
+              force_k: int | None = None) -> str | None:
     """Returns None on success, else a failure description."""
     rng = np.random.default_rng(seed)
     d = os.path.join(workdir, f"t{seed}")
@@ -349,7 +350,13 @@ def run_trial(seed: int, workdir: str, keep: bool = False) -> str | None:
             p += ".gz"
         srcs.append(p)
 
-    k = int(rng.choice([11, 12, 16, 17, 25, 31, 32, 33, 40, 48, 63, 64, 65]))
+    if force_k is not None:
+        k = force_k
+    else:
+        # 96/127: the reference's k frontier (it breaks ~128,
+        # README.md:239) — keeps the 5..8-word path oracle-checked
+        k = int(rng.choice([11, 12, 16, 17, 25, 31, 32, 33, 40, 48, 63,
+                            64, 65, 96, 127]))
     t = int(rng.choice([1, 1, 2, 4]))
     T = int(rng.choice([1, 2, 3, 4]))
     flags = [f"-k{k}", f"-t{t}", f"-T{T}"]

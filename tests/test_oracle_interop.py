@@ -543,4 +543,10 @@ def test_fuzz_oracle_live(tmp_path):
         msg = fuzz_oracle.run_trial(seed, str(tmp_path))
         if msg:
             fails.append(msg)
+    # pinned high-k trials: the multi-word path (5..8 words) differential
+    # at the reference's k frontier (VERDICT r4 item 9)
+    for seed, fk in ((101, 96), (102, 127), (103, 96), (104, 127)):
+        msg = fuzz_oracle.run_trial(seed, str(tmp_path), force_k=fk)
+        if msg:
+            fails.append(msg)
     assert not fails, fails

@@ -31,6 +31,24 @@ def test_symmex_matches_oracle(tmp_path):
     assert np.array_equal(got.counts, want.counts)
 
 
+def test_symmex_tiny_k(tmp_path):
+    """k <= 4 tables pack to a single key byte (kb == 1), narrower than
+    the pass-1 prefix histogram; the zero-padded fold must handle it
+    (advisor r4: IndexError on packed[:, 1])."""
+    from fastk_tpu.formats.ktab import write_ktab
+    from fastk_tpu.tools import symmex
+
+    packed = np.array([[0b00011011 & 0xFC]], np.uint8)  # "ACG" + pad
+    t = KmerTable(3, 1, packed, np.array([7], np.uint16))
+    src = str(tmp_path / "tiny3")
+    write_ktab(src, t)
+    out = str(tmp_path / "sym3")
+    assert symmex.main(["-T1", src + ".ktab", out]) == 0
+    got = read_ktab(out)
+    assert len(got) == 2  # ACG + its RC CGT, both count 7
+    assert (got.counts == 7).all()
+
+
 def _brute_merge(a: KmerTable, b: KmerTable):
     """Independent model: dict-based sum-merge with 32767 clip."""
     d = {}

@@ -264,24 +264,24 @@ def sharded_count_fn(mesh: Mesh, k: int, shard_size: int, slack: float = 1.6,
       order with their source position and receive slot — slot // cap is
       the source chip. The out-of-core mesh profile path spills these).
 
-    pre_dedup (default: on unless positions/instances are wanted): sort +
-    segment-reduce each chip's shard LOCALLY before routing, exchanging
-    (key, local-count) uniques instead of raw instances. Per-source
-    routing volume is then bounded by the shard's unique keys, so a hot
-    k-mer routes as ONE weighted record and the per-source receive lane
-    cannot overflow on count skew — the role of the reference's super-mer
-    dedup-before-weighted-sort (count.c:1-18), applied at the exchange.
-    Instances (want_inst) are intrinsically per-position, so that stream
-    keeps raw routing.
+    pre_dedup (opt-in; count-only): sort + segment-reduce each chip's
+    shard LOCALLY before routing, exchanging (key, local-count) uniques
+    instead of raw instances. Per-source routing volume is then bounded
+    by the shard's unique keys, so a hot k-mer routes as ONE weighted
+    record and the per-source receive lane cannot overflow on count skew
+    — the role of the reference's super-mer dedup-before-weighted-sort
+    (count.c:1-18), applied at the exchange. NOT the default: the local
+    sort is pure overhead on balanced data (static shapes — the receive
+    sort's operand size never shrinks), so the mesh driver enables it as
+    an overflow-recovery mode (meshooc escalation ladder). Instances
+    (want_inst) are intrinsically per-position and keep raw routing.
     """
     axis = mesh.axis_names[0]
     D = mesh.devices.size
     W = nwords(k)
     cap = int(shard_size // D * slack) if D > 1 else shard_size
     D_cap = D * cap
-    if pre_dedup is None:
-        pre_dedup = not (want_inst or want_positions)
-    dedup = pre_dedup and D > 1 and not (want_inst or want_positions)
+    dedup = bool(pre_dedup) and D > 1 and not (want_inst or want_positions)
 
     def step(codes, splitters):
         # codes: local shard [shard_size + pad]; positions are local

@@ -356,6 +356,7 @@ def count_files_mesh(
     spl = put_spl(splitters)
 
     cur_slack = slack
+    dedup_mode = False  # flips on via the overflow-recovery ladder
     # per-chip route-buffer budget: send+recv hold ~2*(W+2) uint32 lanes
     # of D*cap slots with cap = sh//D*slack, so bytes/chip ~ 8(W+2)·sh·sl.
     # Escalation stops at this budget; past it a round splits in half
@@ -369,13 +370,13 @@ def count_files_mesh(
 
     fns: dict = {}
 
-    def get_fn(sh: int, sl: float):
+    def get_fn(sh: int, sl: float, dd: bool):
         # cap must mirror sharded_count_fn's internal slot geometry: the
         # host decodes inst_slot // cap as the source chip
-        key = (sh, round(sl, 6))
+        key = (sh, round(sl, 6), dd)
         if key not in fns:
             fns[key] = (sharded_count_fn(mesh, k, sh, slack=sl,
-                                         want_inst=profiles),
+                                         want_inst=profiles, pre_dedup=dd),
                         int(sh // D * sl) if D > 1 else sh)
         return fns[key]
 
@@ -425,7 +426,7 @@ def count_files_mesh(
     nshort = 0
     keep_spill = False
     stats = dict(max_round_records=0, total_spilled=0, retrains=0,
-                 slack_escalations=0, batch_splits=0,
+                 slack_escalations=0, batch_splits=0, pre_dedup=0,
                  profile_rows_returned=0, profile_rows_padded=0)
     if verbose and bdone:
         print(f"  mesh resume: phase 1 re-enters after round {bdone}",
@@ -572,7 +573,7 @@ def count_files_mesh(
                 for j in range(nsub):
                     sub = codes[j * L: (j + 1) * L + pad]
                     while True:
-                        fn, cap = get_fn(sh, cur_slack)
+                        fn, cap = get_fn(sh, cur_slack, dedup_mode)
                         out = fn(_local_shard_rows(sub, k, mesh, sh), spl)
                         if int(out["route_overflow"]) == 0 or D == 1:
                             break
@@ -589,6 +590,20 @@ def count_files_mesh(
                             if verbose and pid == 0:
                                 print("  mesh: route overflow, splitters "
                                       "retrained", flush=True)
+                            continue
+                        if not dedup_mode and not profiles and D > 1:
+                            # count-skew recovery with ZERO memory
+                            # growth: exchange locally-deduplicated
+                            # (key, count) uniques — a hot k-mer routes
+                            # as one weighted record. Sticky for the
+                            # rest of the run (hot keys are a property
+                            # of the data); not the default because the
+                            # local sort taxes balanced batches.
+                            dedup_mode = True
+                            stats["pre_dedup"] = 1
+                            if verbose and pid == 0:
+                                print("  mesh: route overflow, local "
+                                      "pre-dedup enabled", flush=True)
                             continue
                         smax = min(float(D), slack_cap(sh))
                         if cur_slack < smax:

@@ -153,13 +153,14 @@ def test_mesh_skewed_batch_recovers(tmp_path):
     assert got.mesh_stats["slack_escalations"] >= 1
 
 
-def test_mesh_single_key_batch_no_escalation(tmp_path):
+def test_mesh_single_key_batch_dedup_recovery(tmp_path):
     """Adversarial COUNT batch: every position one canonical k-mer, all
-    routed to one chip of the 8-device mesh. Pre-routing dedup (each
-    source exchanges its shard's UNIQUES with local counts) makes this a
-    D-record exchange, so it completes under a hard slack cap of 2 with
-    no escalation at all — the slack=D memory cliff cannot be reached on
-    the count path."""
+    routed to one chip of the 8-device mesh — per-source skew that no
+    slack under D can absorb. The recovery ladder flips on pre-routing
+    dedup (each source exchanges its shard's UNIQUES with local counts),
+    making it a D-record exchange: the run completes under a hard slack
+    cap of 2 with no round splits, so the slack=D memory cliff is never
+    approached on the count path."""
     from fastk_tpu.parallel.meshooc import count_files_mesh
     from fastk_tpu.pipeline.count import count_files
 
@@ -175,7 +176,7 @@ def test_mesh_single_key_batch_no_escalation(tmp_path):
     assert want.hist == got.hist
     assert np.array_equal(want.table.packed, got.table.packed)
     assert np.array_equal(want.table.counts, got.table.counts)
-    assert got.mesh_stats["slack_escalations"] == 0
+    assert got.mesh_stats["pre_dedup"] == 1
     assert got.mesh_stats["batch_splits"] == 0
 
 

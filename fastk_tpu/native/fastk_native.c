@@ -1105,6 +1105,19 @@ long fk_logex_windows(int kb, int kmer, int ns,
                      out_recs, cap, h2, do_hist, hlow, hhigh, hspan,    \
                      hbins, hsum, out_u) < 0) return -1; } while (0)
 
+  if (ns == 1)
+    { FkCur *A = cur;
+      int alive = A->ord < A->end;
+      while (alive)
+        { memcpy(key, A->key, kb);
+          cnt[0] = fk_cur_count(A);
+          FK_LX_EMIT();
+          alive = fk_cur_advance(A);
+          if (alive < 0) return -1;
+        }
+      return 0;
+    }
+
   if (ns == 2)
     { FkCur *A = cur, *B = cur + 1;
       int alive_a = A->ord < A->end, alive_b = B->ord < B->end;

@@ -168,10 +168,34 @@ def _run(cfg, out_base):
     if env_cap:
         batch_bases = min(batch_bases, max(1 << 20, int(env_cap)))
 
+    def _gz_density(f: str) -> float | None:
+        """Measured expansion of a gzip member from its first few MB (the
+        reference's Get_First_Block `ratio` trick, io.c:2606-2630 /
+        FastK.c:417-429, applied to the container instead of the whole
+        block): decompressed_bytes / compressed_bytes_consumed."""
+        import gzip
+
+        try:
+            with open(f, "rb") as raw:
+                with gzip.GzipFile(fileobj=raw) as g:
+                    data = g.read(4 << 20)
+                used = raw.tell()
+            if not data or used <= 0:
+                return None
+            return len(data) / used
+        except OSError:
+            return None
+
+    heuristic = []
+
     def _est_base_bytes(f: str) -> int:
         """Estimated BASE count of an input: on-disk size corrected for
-        the container (gz compresses sequence ~4x; Dazzler stubs point at
-        a hidden 2-bit .bps holding 4 bases/byte; BAM/CRAM pack+compress)."""
+        the container. gz expansion is MEASURED from the file's head
+        (sequence is roughly half the text for FASTQ, most of it for
+        FASTA); Dazzler stubs point at a hidden 2-bit .bps holding 4
+        bases/byte; BAM/CRAM keep a x6 heuristic (a high-coverage CRAM
+        can beat it badly — the plan's consolidation/sub-split machinery
+        absorbs the error, and the verbose line flags the guess)."""
         if not os.path.exists(f):
             return 0
         sz = os.path.getsize(f)
@@ -184,12 +208,25 @@ def _run(cfg, out_base):
                 return os.path.getsize(bps) * 4
             return sz
         if low.endswith(".gz"):
-            return sz * 4
+            dens = _gz_density(f)
+            if dens is None:
+                heuristic.append(os.path.basename(f))
+                return sz * 4
+            seq_frac = 0.5 if ".fastq" in low or ".fq" in low else 0.9
+            return int(sz * dens * seq_frac)
         if low.endswith((".bam", ".cram")):
+            heuristic.append(os.path.basename(f))
             return sz * 6
         return sz
 
     est_bases = sum(_est_base_bytes(f) for f in cfg["inputs"])
+    if cfg["v"] and heuristic:
+        print("  base estimate for "
+              + ", ".join(heuristic[:4])
+              + (" ..." if len(heuristic) > 4 else "")
+              + " is a container heuristic (x6); the measured first-batch"
+              " plan and part sub-splitting absorb the error",
+              file=sys.stderr)
     parts, part_cap = _ooc_plan(est_bases, cfg["M"], profiles=cfg["p"])
 
     nparts = max(1, cfg["T"])

@@ -448,6 +448,7 @@ def logex_apply_streamed(
     out_nparts: int = 4,
     do_table: bool = True,
     window: Optional[int] = None,
+    nthreads: int = 1,
 ):
     """logex_apply over STREAMED tables: sources advance through bounded
     keyspace windows (formats.twindow) and each assignment's output table
@@ -513,7 +514,7 @@ def logex_apply_streamed(
     # the reference's Logex runs the same stream merge its Fastmerge does
     # for this expression shape (Logex.c:972-1215 vs Fastmerge.c:168-450)
     if (use_native and do_table and hist_range is None
-            and len(parsed) == 1
+            and len(parsed) == 1 and nthreads <= 1
             and _sum_union_vars(parsed[0][1]) == set(range(ntabs))):
         name = parsed[0][0]
         w = writers[name]
@@ -546,53 +547,124 @@ def logex_apply_streamed(
     # assignments, -h histograms) compiles to an RPN program evaluated
     # per union key inside the native cursor merge (fk_logex_windows) —
     # one pass from part memmaps to writer rows, no numpy materialization.
+    # With nthreads > 1 the OUTPUT PART ranges split across worker
+    # threads (the reference's Logex thread split, Logex.c:1447-1478):
+    # each worker walks its contiguous keyspace range with its own
+    # cursors and writes its own part files (ctypes releases the GIL, so
+    # the C merges run truly parallel); the stub assembles from the
+    # summed per-thread prefix histograms.
     # The windowed-numpy evaluate below remains as the no-native fallback.
     progs = ([compile_program(n) for _, n in parsed] if use_native else [])
     if use_native and len(parsed) <= 16 and all(
             p is not None for p in progs):
+        from fastk_tpu.formats.ktab import KtabDirectWriter, part_path
+        from fastk_tpu.formats.twindow import key_at
+
         nasg = len(parsed)
         solo_ok = solo_ok_mask([n for _, n in parsed], ntabs)
-        h2 = np.zeros((nasg, 1 << 16), np.int64) if do_table else None
+        span = (high - low + 1) if hist_range is not None else 1
+        T = max(1, int(nthreads))
         if do_table:
-            for name, _ in parsed:
-                if writers[name].ibyte <= 2:
-                    writers[name].skip_prefix = True
-        hbins = hsum = None
-        if hist_range is not None:
-            hbins = np.zeros((nasg, high - low + 1), np.int64)
-            hsum = np.zeros((nasg, 2), np.int64)
+            T = min(T, out_nparts)
+        if do_table:
+            starts = [r * out_nparts // T for r in range(T + 1)]
+            key_ranges = [
+                (cut_keys[starts[r] - 1] if starts[r] > 0 else None,
+                 cut_keys[starts[r + 1] - 1] if starts[r + 1] < out_nparts
+                 else None) for r in range(T)]
+        else:
+            # histogram-only: split at pivot quantile keys
+            pivot = max(streams, key=lambda s: s.nels)
+            if pivot.nels == 0:
+                T = 1
+            qs = [key_at(pivot, pivot.nels * r // T).ljust(kb, b"\x00")
+                  for r in range(1, T)]
+            key_ranges = [(qs[r - 1] if r > 0 else None,
+                           qs[r] if r < T - 1 else None) for r in range(T)]
+
+        def _work(r):
+            lo_key, hi_key = key_ranges[r]
+            strs = ([KmerStream(p) for p in source_paths] if T > 1
+                    else streams)
+            h2_r = np.zeros((nasg, 1 << 16), np.int64) if do_table else None
+            hbins_r = (np.zeros((nasg, span), np.int64)
+                       if hist_range is not None else None)
+            hsum_r = (np.zeros((nasg, 2), np.int64)
+                      if hist_range is not None else None)
+            ws = {}
+            ok_r = False
+            try:
+                if do_table:
+                    local = cut_keys[starts[r]: starts[r + 1] - 1]
+                    for name, _ in parsed:
+                        w = KtabDirectWriter(name, kmer, 1, ib_out, local,
+                                             part_base=starts[r],
+                                             write_stub=False)
+                        if ib_out <= 2:
+                            w.skip_prefix = True
+                        ws[name] = w
+                for ranges in stream_window_ranges(
+                        strs, window or DEFAULT_WINDOW, lo_key, hi_key):
+                    recs = native.logex_windows(
+                        strs, ranges, kb, kmer, progs, need_gc, solo_ok,
+                        do_table, h2_r, hist_range, hbins_r, hsum_r)
+                    assert recs is not None  # limits checked above
+                    if do_table:
+                        for (name, _), rec in zip(parsed, recs):
+                            ws[name].add_records(rec)
+                for w in ws.values():
+                    w.close()
+                ok_r = True
+            finally:
+                if not ok_r:
+                    for w in ws.values():
+                        try:
+                            w.abort()
+                        except Exception:
+                            pass
+            return ws, h2_r, hbins_r, hsum_r
+
         ok2 = False
         try:
-            for ranges in stream_window_ranges(
-                    streams, window or DEFAULT_WINDOW):
-                recs = native.logex_windows(
-                    streams, ranges, kb, kmer, progs, need_gc, solo_ok,
-                    do_table, h2, hist_range, hbins, hsum)
-                assert recs is not None  # limits checked above
-                if do_table:
-                    for (name, _), rec in zip(parsed, recs):
-                        writers[name].add_records(rec)
-            for a, (name, _) in enumerate(parsed):
-                if do_table:
-                    w = writers[name]
-                    if w.skip_prefix:
-                        w.set_pindex(h2[a] if w.ibyte == 2 else
-                                     h2[a].reshape(256, 256).sum(axis=1))
-                    w.close()
+            if T == 1:
+                results = [_work(0)]
+            else:
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(T) as pool:
+                    results = list(pool.map(_work, range(T)))
+            if do_table:
+                for a, (name, _) in enumerate(parsed):
+                    pind = np.zeros(1 << (8 * ib_out), np.int64)
+                    for ws, h2_r, _hb, _hs in results:
+                        w = ws[name]
+                        if w.skip_prefix:
+                            pind += (h2_r[a] if ib_out == 2 else
+                                     h2_r[a].reshape(256, 256).sum(axis=1))
+                        else:
+                            pind += w._pindex
+                    from fastk_tpu.formats.ktab import write_direct_stub
+
+                    write_direct_stub(name, kmer, out_nparts, 1, ib_out,
+                                      pind)
             ok2 = True
         finally:
-            if not ok2:
-                for name, w in writers.items():
-                    try:
-                        w.abort()
-                    except Exception:
-                        pass
+            if not ok2 and do_table:
+                # remove any part files the finished workers left behind
+                for name, _ in parsed:
+                    for p in range(out_nparts):
+                        try:
+                            os.unlink(part_path(name, ".ktab", p + 1))
+                        except OSError:
+                            pass
         out = []
         for a, (name, _) in enumerate(parsed):
             h = None
             if hist_range is not None:
-                h = Histogram(kmer, low, high, hbins[a].copy(),
-                              int(hsum[a, 0]), int(hsum[a, 1]))
+                hbins_t = sum(res[2][a] for res in results)
+                hsum_t = sum(res[3][a] for res in results)
+                h = Histogram(kmer, low, high, np.asarray(hbins_t),
+                              int(hsum_t[0]), int(hsum_t[1]))
             out.append((name, h))
         return out
 

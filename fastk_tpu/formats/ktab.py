@@ -381,10 +381,17 @@ class KtabDirectWriter:
     record byte is touched exactly once and memory stays O(chunk).
 
     cut_keys: nparts-1 non-decreasing full-width keys (suffix past ibyte
-    zeroed); part p takes records in [cut[p-1], cut[p])."""
+    zeroed); part p takes records in [cut[p-1], cut[p]).
+
+    part_base/write_stub: a writer may cover a SLICE of the output's
+    parts (files numbered from part_base+1) without writing the stub —
+    the threaded tools give each worker thread a contiguous part range
+    and assemble the stub from the summed per-thread prefix histograms
+    (the reference's table tools split output parts across threads the
+    same way, e.g. Fastmerge.c:365-390)."""
 
     def __init__(self, path: str, kmer: int, minval: int, ibyte: int,
-                 cut_keys):
+                 cut_keys, part_base: int = 0, write_stub: bool = True):
         self.path = path
         self.kmer = kmer
         self.minval = minval
@@ -393,6 +400,8 @@ class KtabDirectWriter:
         self.cuts = [bytes(c) for c in cut_keys]
         assert all(len(c) == self.kb for c in self.cuts)
         self.nparts = len(self.cuts) + 1
+        self.part_base = part_base
+        self.write_stub = write_stub
         self.n = 0
         self._p = 0  # current part
         self._f = None  # current part file
@@ -402,7 +411,8 @@ class KtabDirectWriter:
         self.skip_prefix = False  # caller supplies pindex via set_pindex
 
     def _open_part(self) -> None:
-        self._f = open(part_path(self.path, ".ktab", self._p + 1), "wb")
+        self._f = open(part_path(self.path, ".ktab",
+                                 self.part_base + self._p + 1), "wb")
         self._f.write(struct.pack("<i", self.kmer))
         self._f.write(struct.pack("<q", 0))  # nels patched on part close
         self._part_n = 0
@@ -494,6 +504,8 @@ class KtabDirectWriter:
         if self._h2 is not None:  # fold the native assembler's histogram
             self._pindex += (self._h2 if self.ibyte == 2
                              else self._h2.reshape(256, 256).sum(axis=1))
+        if not self.write_stub:
+            return  # a part-slice worker; the owner assembles the stub
         pindex = np.cumsum(self._pindex)
         with open(stub_path(self.path, ".ktab"), "wb") as f:
             f.write(struct.pack("<iiii", self.kmer, self.nparts,
@@ -506,7 +518,8 @@ class KtabDirectWriter:
             self._f = None
         for p in range(self._p + 1):
             try:
-                os.unlink(part_path(self.path, ".ktab", p + 1))
+                os.unlink(part_path(self.path, ".ktab",
+                                    self.part_base + p + 1))
             except OSError:
                 pass
 
@@ -518,6 +531,17 @@ class KtabDirectWriter:
             self.close()
         else:
             self.abort()
+
+
+def write_direct_stub(path: str, kmer: int, nparts: int, minval: int,
+                      ibyte: int, pindex_counts: np.ndarray) -> None:
+    """Write a .ktab stub from an (un-cumulated) prefix histogram — the
+    assembly step after part-sliced threaded writers (KtabDirectWriter
+    with write_stub=False) finish their ranges."""
+    pindex = np.cumsum(np.asarray(pindex_counts, dtype=np.int64))
+    with open(stub_path(path, ".ktab"), "wb") as f:
+        f.write(struct.pack("<iiii", kmer, nparts, minval, ibyte))
+        pindex.astype("<i8").tofile(f)
 
 
 def write_ktab(

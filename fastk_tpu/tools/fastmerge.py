@@ -127,7 +127,7 @@ def main(argv=None):
     target, sources = pos[0], pos[1:]
     return merge_streamed(sources, target, max(1, nthreads * per_thread),
                           do_hist, do_table, slice_spec,
-                          cache_dir=cache_dir)
+                          cache_dir=cache_dir, nthreads=max(1, nthreads))
 
 
 def _cache_slice(s, lo_key, hi_key, cache_base: str):
@@ -175,8 +175,12 @@ def _cache_slice(s, lo_key, hi_key, cache_base: str):
 
 
 def merge_streamed(sources, target, nparts, do_hist, do_table, slice_spec,
-                   window=None, cache_dir=None):
-    """Windowed streaming merge: O(window) memory at any table scale."""
+                   window=None, cache_dir=None, nthreads: int = 1):
+    """Windowed streaming merge: O(window) memory at any table scale.
+    nthreads > 1 splits the OUTPUT PART ranges across worker threads
+    (each walks its contiguous keyspace range with its own cursors and
+    writes its own parts; the fused C merges release the GIL) — the
+    reference's Fastmerge thread split (Fastmerge.c:365-450)."""
     from fastk_tpu.formats.hist import HIST_HIGH
     from fastk_tpu.formats.ktab import KmerStream
     from fastk_tpu.formats.twindow import (
@@ -250,7 +254,71 @@ def merge_streamed(sources, target, nparts, do_hist, do_table, slice_spec,
     bins = np.zeros(HIST_HIGH + 1, dtype=np.int64)
     from fastk_tpu import native
 
-    if native.load() is not None and len(streams) <= 64 and kb <= 62:
+    T = max(1, int(nthreads))
+    if ktw is None or T > nparts:
+        T = min(T, nparts) if ktw is not None else 1
+    if (native.load() is not None and len(streams) <= 64 and kb <= 62
+            and T > 1 and ktw is not None):
+        # threaded fused merge: worker r owns output parts
+        # [starts[r], starts[r+1]) — a contiguous keyspace range bounded
+        # by the part cut keys (combined with the -S slice bounds at the
+        # ends); each worker runs fk_merge_windows over its own cursors
+        # into its own KtabDirectWriter slice; the stub assembles from
+        # the summed per-thread prefix histograms
+        from concurrent.futures import ThreadPoolExecutor
+
+        from fastk_tpu.formats.ktab import (KtabDirectWriter,
+                                            write_direct_stub)
+        from fastk_tpu.formats.twindow import stream_window_ranges
+
+        ib_out = ktw.ibyte
+        cut_keys = ktw.cuts
+        ktw = None  # replaced by per-thread slice writers
+        starts = [r * nparts // T for r in range(T + 1)]
+        key_ranges = [
+            (cut_keys[starts[r] - 1] if starts[r] > 0 else lo_key,
+             cut_keys[starts[r + 1] - 1] if starts[r + 1] < nparts
+             else hi_key) for r in range(T)]
+        roots = [s.path for s in streams]
+
+        def _work(r):
+            lo_r, hi_r = key_ranges[r]
+            strs = [KmerStream(p) for p in roots]
+            h2_r = np.zeros(1 << 16, np.int64)
+            bins_r = np.zeros(HIST_HIGH + 1, np.int64)
+            w = KtabDirectWriter(target, kmer, minval, ib_out,
+                                 cut_keys[starts[r]: starts[r + 1] - 1],
+                                 part_base=starts[r], write_stub=False)
+            if ib_out <= 2:
+                w.skip_prefix = True
+            ok_r = False
+            try:
+                for ranges in stream_window_ranges(
+                        strs, window or DEFAULT_WINDOW, lo_r, hi_r):
+                    rec = native.merge_windows(strs, ranges, kb, h2_r,
+                                               bins_r)
+                    assert rec is not None
+                    w.add_records(rec)
+                w.close()
+                ok_r = True
+            finally:
+                if not ok_r:
+                    try:
+                        w.abort()
+                    except Exception:
+                        pass
+            return w, h2_r, bins_r
+
+        with ThreadPoolExecutor(T) as pool:
+            results = list(pool.map(_work, range(T)))
+        pind = np.zeros(1 << (8 * ib_out), np.int64)
+        for w, h2_r, bins_r in results:
+            pind += ((h2_r if ib_out == 2
+                      else h2_r.reshape(256, 256).sum(axis=1))
+                     if w.skip_prefix else w._pindex)
+            bins += bins_r
+        write_direct_stub(target, kmer, nparts, minval, ib_out, pind)
+    elif native.load() is not None and len(streams) <= 64 and kb <= 62:
         # fused native window: part memmaps -> writer-format records with
         # clipped sums, prefix histogram and count histogram in ONE pass.
         # The native 2-byte prefix histogram feeds the direct writer's

@@ -81,10 +81,13 @@ def main(argv=None):
         if seen != (1 << len(sources)) - 1:
             die("logex: There are tables not referred to by an expression")
 
-        # tables stream window-by-window; outputs stream through KtabWriter
+        # tables stream window-by-window; outputs stream through the
+        # direct writers; -T workers each own a contiguous part range
+        # (the reference's thread split, Logex.c:1447-1478)
         results = logex_apply_streamed(
             parsed_assignments, sources, hist_range,
-            out_nparts=max(1, nthreads), do_table=do_table)
+            out_nparts=max(1, nthreads), do_table=do_table,
+            nthreads=max(1, nthreads))
     except ParseError as e:
         die(f"logex: Expression syntax error: {e}")
     except ValueError as e:

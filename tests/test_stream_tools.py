@@ -194,6 +194,53 @@ def test_logex_hist_only_fused(tabs, tmp_path):
     assert not os.path.exists(str(tmp_path / "H") + ".ktab")
 
 
+def test_logex_threaded_matches_serial(tabs, tmp_path):
+    """nthreads > 1 splits output part ranges across worker threads; the
+    resulting file-sets must be byte-identical to the serial run (same
+    cut keys => same parts)."""
+    import filecmp as fc
+
+    from fastk_tpu.algebra import logex_apply_streamed
+
+    d, tables, paths = tabs
+    exprs = [("T1U", "A|+B|+C"), ("T1I", "A&.B"), ("T1F", "A[3-500]{20-80}")]
+    ser = logex_apply_streamed(
+        [(str(tmp_path / n), e) for n, e in exprs], paths,
+        hist_range=(1, 90), out_nparts=3, window=64, nthreads=1)
+    par = logex_apply_streamed(
+        [(str(tmp_path / ("p" + n)), e) for n, e in exprs], paths,
+        hist_range=(1, 90), out_nparts=3, window=64, nthreads=3)
+    for (sn, sh), (pn, ph) in zip(ser, par):
+        assert sh == ph
+        assert fc.cmp(sn + ".ktab", pn + ".ktab", shallow=False)
+        for p in range(1, 4):
+            a = os.path.join(os.path.dirname(sn),
+                             f".{os.path.basename(sn)}.ktab.{p}")
+            b = os.path.join(os.path.dirname(pn),
+                             f".{os.path.basename(pn)}.ktab.{p}")
+            assert fc.cmp(a, b, shallow=False), (sn, p)
+
+
+@pytest.mark.parametrize("slice_spec", [None, (2, 3)])
+def test_fastmerge_threaded_matches_serial(tabs, tmp_path, slice_spec):
+    import filecmp as fc
+
+    from fastk_tpu.tools.fastmerge import merge_streamed
+
+    d, tables, paths = tabs
+    a = str(tmp_path / "ser")
+    b = str(tmp_path / "par")
+    assert merge_streamed(paths, a, 3, True, True, slice_spec,
+                          window=64, nthreads=1) == 0
+    assert merge_streamed(paths, b, 3, True, True, slice_spec,
+                          window=64, nthreads=3) == 0
+    assert fc.cmp(a + ".ktab", b + ".ktab", shallow=False)
+    assert fc.cmp(a + ".hist", b + ".hist", shallow=False)
+    for p in range(1, 4):
+        assert fc.cmp(str(tmp_path / f".ser.ktab.{p}"),
+                      str(tmp_path / f".par.ktab.{p}"), shallow=False), p
+
+
 def test_logex_sum_union_fast_path(tabs, tmp_path):
     """`X = A|+B|+C` without -h takes the fused fastmerge window engine;
     the output table must equal the generic evaluator's."""

@@ -324,20 +324,40 @@ def unique_batch_inst(codes: jnp.ndarray, k: int, size: int):
         jnp.where(slot < nuniq, w, _ones(w)) for w in seg["seg_words"]), k)
     return dict(seg_words=seg_words, seg_counts=seg_counts, nseg=seg["nseg"],
                 nuniq=nuniq, nvalid=jnp.int32(size) - ninv,
-                s_words=widen_words(s_words, k), s_pos=s_pos)
+                s_words=widen_words(s_words, k), s_pos=s_pos,
+                # segment index of each sorted instance: the out-of-core
+                # spill stores (s_seg, s_pos) pairs instead of full keys —
+                # instances reference their slice's spilled unique records
+                # by index, 8B/instance instead of (W+1)*4, and phase 2
+                # resolves counts from the merge itself (want_back) with
+                # no table join or query upload at all
+                s_seg=seg["elem_seg"].astype(jnp.uint32))
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3))
-def merge_unique_blocks(words, counts, size: int, k: int = 0):
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+def merge_unique_blocks(words, counts, size: int, k: int = 0,
+                        want_back: bool = False):
     """Merge concatenated per-batch unique blocks into global sorted uniques.
 
     words: tuple of W uint32[size] (all-ones = empty slot), counts int32[size]
     (0 at empty slots). Returns the same layout globally deduplicated, plus
     the device histogram of merged counts. Pass k to enable the narrow
-    last-word sort operand (see narrow_words)."""
+    last-word sort operand (see narrow_words).
+
+    want_back: additionally return rec_counts — each INPUT record's merged
+    (global) count, clipped at HIST_HIGH, in input order. This is how the
+    out-of-core profile path resolves instance counts WITHOUT a separate
+    table join: instances reference their batch's spilled unique records
+    by segment index, so the per-record merged count IS the instance
+    count (replaces profile_join_keys' table+query sort and its query
+    upload entirely). Gather-free: per-segment totals broadcast to
+    records by two fill-forwards over the sorted order (start-prefix and
+    end-prefix cumsums), then one value sort back to input order."""
     nw = narrow_words(words, k) if k else words
-    s = jax.lax.sort((*nw, counts), num_keys=len(nw), is_stable=False)
-    s_words, s_counts = s[:-1], s[-1]
+    vals_in = (counts,) + ((jnp.arange(size, dtype=jnp.uint32),)
+                           if want_back else ())
+    s = jax.lax.sort((*nw, *vals_in), num_keys=len(nw), is_stable=False)
+    s_words, s_counts = s[: len(nw)], s[len(nw)]
     seg = segment_reduce(s_words, size, weights=s_counts, carry_words=True)
     # empty slots (all-ones keys, weight 0) form the trailing segment with
     # count 0 unless none exist; exclude empties AND anything with count 0
@@ -352,8 +372,25 @@ def merge_unique_blocks(words, counts, size: int, k: int = 0):
         seg_words = widen_words(seg_words, k)
     vals = jnp.where(real, jnp.minimum(seg_counts, HIST_HIGH), HIST_HIGH + 1)
     hist = bincount_by_sort(vals, HIST_HIGH + 1)
-    return dict(seg_words=seg_words, seg_counts=seg_counts, nuniq=nuniq,
-                hist=hist)
+    out = dict(seg_words=seg_words, seg_counts=seg_counts, nuniq=nuniq,
+               hist=hist)
+    if want_back:
+        s_orig = s[len(nw) + 1]
+        starts = jnp.zeros(size, dtype=bool)
+        for w in s_words:
+            starts = starts | (w != jnp.roll(w, 1))
+        starts = starts.at[0].set(True)
+        cs = jax.lax.cumsum(s_counts.astype(jnp.int32))
+        # segment total at record i = cs[last record of its segment]
+        #                           - cs[record before its segment start]
+        cs_before = jnp.roll(cs, 1).at[0].set(0)
+        cs_start = fill_forward(starts, cs_before, size)
+        last = jnp.concatenate(
+            [starts[1:], jnp.ones((1,), bool)])  # segment-final records
+        cs_end = jnp.flip(fill_forward(jnp.flip(last), jnp.flip(cs), size))
+        tot = jnp.minimum(cs_end - cs_start, HIST_HIGH)
+        out["rec_counts"] = positions_inverse(s_orig, tot)
+    return out
 
 
 def _join_counts(table_words, table_counts, q_folded, q_pos=None):

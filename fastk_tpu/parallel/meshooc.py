@@ -240,7 +240,9 @@ def _exchange_fn(mesh: Mesh, L: int):
 
     from jax import shard_map
 
-    key = (id(mesh), L)
+    # key on device identity, not id(mesh): a recycled object address
+    # must not resurrect a program bound to a dead mesh
+    key = (tuple(d.id for d in mesh.devices.flat), L)
     if key in _xchg_cache:
         return _xchg_cache[key]
     axis = mesh.axis_names[0]

@@ -284,7 +284,10 @@ def count_files_ooc(
                          table_min, profiles, hc, bc, batch_bases)
     base = os.path.join(sort_path, f"fastk_tpu_ooc.{sig}")
     state = _load_manifest(base) if resume else None
-    if state is not None and state.get("sig") != sig:
+    if state is not None and (state.get("sig") != sig
+                              or state.get("fmt") != 2):
+        # fmt 2: instance spill is (seg_rel, pos) with (bidx, n, uoff)
+        # imeta triples; older manifests are not resumable
         state = None
     if state is not None and parts is None:
         parts = state.get("parts")  # resolved by the interrupted run
@@ -310,7 +313,7 @@ def count_files_ooc(
                        resume_nrec=state["nrec"] if state else None)
         # instance spill: value column = batch-local position; per-part
         # append metadata (batch idx, n) rebuilds the batch column on load
-        ispill = (_Spill(base + ".inst", parts, W,
+        ispill = (_Spill(base + ".inst", parts, 1,
                          resume_nrec=state["inrec"] if state else None)
                   if profiles else None)
         imeta = ([[tuple(x) for x in lst] for lst in state["imeta"]]
@@ -355,30 +358,39 @@ def count_files_ooc(
             if spill is None:
                 spill = _Spill(base, parts, W)
                 if profiles:
-                    ispill = _Spill(base + ".inst", parts, W)
+                    ispill = _Spill(base + ".inst", parts, 1)
                 imeta = [[] for _ in range(parts)]
             if edges is None:
                 edges = _train_edges(words[:, 0] if nu else
                                      np.zeros(0, np.uint32), parts)
             cuts = ([0] + [int(np.searchsorted(words[:, 0], e))
                            for e in edges] + [nu])
+            upre = list(spill.nrec)  # per-part unique offsets pre-append
             for p in range(parts):
                 spill.append(p, words[cuts[p]: cuts[p + 1]],
                              counts[cuts[p]: cuts[p + 1]])
             if profiles:
                 # valid instances lead the sorted stream (invalid fold to
                 # all-ones keys and sort last); + off makes positions
-                # batch-local across device slices
-                iw = np.stack(
-                    [np.asarray(w[:nval]) for w in res["s_words"]], axis=1)
+                # batch-local across device slices. Instances spill as
+                # (seg_rel, pos) — 8B each, no key bytes: seg_rel indexes
+                # this chunk's unique records within its part (offset
+                # upre[p], recorded in imeta), and phase 2 resolves
+                # counts straight from the merge (want_back), so no
+                # table join or query upload happens at all
+                s_seg = np.asarray(res["s_seg"][:nval]).astype(np.int64)
                 ipos = np.asarray(res["s_pos"][:nval]) + np.uint32(off)
-                icuts = ([0] + [int(np.searchsorted(iw[:, 0], e))
-                                for e in edges] + [nval])
+                icuts = ([0] + [int(np.searchsorted(s_seg, c))
+                                for c in cuts[1:-1]] + [nval])
                 for p in range(parts):
                     lo, hi = icuts[p], icuts[p + 1]
                     if hi > lo:
-                        ispill.append(p, iw[lo:hi], ipos[lo:hi])
-                        imeta[p].append((bidx, hi - lo))
+                        ispill.append(
+                            p,
+                            (s_seg[lo:hi] - cuts[p]).astype(
+                                np.uint32)[:, None],
+                            ipos[lo:hi])
+                        imeta[p].append((bidx, hi - lo, upre[p]))
             if verbose:
                 print(f"  batch {bidx + 1}: {nreads} reads, "
                       f"{nu} uniques spilled", flush=True)
@@ -390,7 +402,7 @@ def count_files_ooc(
                 if ispill is not None:
                     ispill.flush()
                 _save_manifest(base, dict(
-                    sig=sig, batches_done=bidx + 1, nrec=spill.nrec,
+                    sig=sig, fmt=2, batches_done=bidx + 1, nrec=spill.nrec,
                     inrec=ispill.nrec if ispill is not None else None,
                     imeta=imeta, nvalid=nvalid_total, parts=parts,
                     edges=[int(x) for x in edges]))
@@ -457,12 +469,14 @@ def count_files_ooc(
                                  << 20,
                                  16 * part_cap))
 
-        def _merge_range(words, counts, iw, ipos, bcol):
+        def _merge_range(words, counts, rows, ipos, bcol):
             nonlocal table_entries
             from fastk_tpu.ops.tables import pad_counted_pow2
 
+            nq = len(ipos) if profiles and ipos is not None else 0
             m_words, m_counts, cap = pad_counted_pow2(words, counts, W)
-            merged = merge_unique_blocks(m_words, m_counts, cap, k)
+            merged = merge_unique_blocks(m_words, m_counts, cap, k,
+                                         want_back=nq > 0)
             hist_arr[:] += np.asarray(merged["hist"]).astype(np.int64)
 
             nuniq = int(merged["nuniq"])
@@ -482,33 +496,23 @@ def count_files_ooc(
                     packed_parts.append(words_to_packed(u_words[keep], k))
                     count_parts.append(u_counts[keep])
                 del u_words, u_counts
-            if profiles:
-                nq = len(ipos)
-                if nq:
-                    # pow2 pads bound the distinct jit shapes on long runs
-                    capt = 1 << max(15, math.ceil(math.log2(max(nuniq, 2))))
-                    t_words = tuple(w[:capt] for w in merged["seg_words"])
-                    t_counts = jnp.minimum(
-                        merged["seg_counts"][:capt], HIST_HIGH)
-                    from fastk_tpu.ops.pack import fetch_u16
+            if profiles and nq:
+                from fastk_tpu.ops.pack import fetch_u16
 
-                    # query-chunked join: the join sorts table_pad +
-                    # query_pad rows TOGETHER, so an unchunked call at
-                    # full part_cap each would hit 2*part_cap rows and
-                    # blow the device budget; queries window freely
-                    # (each chunk joins the same merged table)
-                    qcap = int(os.environ.get("FASTK_TPU_JOIN_QCAP", str(1 << 25)))
-                    cnts = np.empty(nq, np.uint16)
-                    for q0 in range(0, nq, qcap):
-                        q1 = min(nq, q0 + qcap)
-                        qw, _qc, _cq = pad_counted_pow2(iw[q0:q1], None, W)
-                        cnts[q0:q1] = fetch_u16(profile_join_keys(
-                            t_words, t_counts, qw))[: q1 - q0]
-                    # route joined values back to their batches (pos order
-                    # restored in phase 3, one batch at a time)
-                    for b in np.unique(bcol):
-                        m = bcol == b
-                        pspill.append(int(b), ipos[m], cnts[m])
+                # instance counts come straight from the merge: rows
+                # index the group's spilled unique records, whose merged
+                # (clipped) counts rec_counts returns in input order —
+                # no table join, no query upload (the former
+                # profile_join_keys pass re-sorted table+queries and
+                # re-uploaded every instance key)
+                cvec = fetch_u16(
+                    merged["rec_counts"].astype(jnp.uint16))[: len(counts)]
+                cnts = cvec[rows]
+                # route joined values back to their batches (pos order
+                # restored in phase 3, one batch at a time)
+                for b in np.unique(bcol):
+                    m = bcol == b
+                    pspill.append(int(b), ipos[m], cnts[m])
 
         # consolidate consecutive near-empty parts into one device merge:
         # parts are keyspace-ordered, so a group is just a wider range and
@@ -537,15 +541,26 @@ def count_files_ooc(
             counts = np.concatenate([c for _, c in loads])
             del loads
             if profiles:
-                iloads = [ispill.load(p) for p in grp]
-                iw = np.concatenate([w for w, _ in iloads])
-                ipos = np.concatenate([c for _, c in iloads])
-                del iloads
+                # absolute unique-row index of each instance within the
+                # group's concatenated spill arrays: part base + chunk's
+                # unique offset (imeta) + the spilled seg_rel
+                pbase = np.cumsum([0] + [spill.nrec[q] for q in grp[:-1]])
+                rows_parts = []
+                for j, q in enumerate(grp):
+                    srel, ip = ispill.load(q)
+                    uoffs = np.repeat(
+                        np.array([u for _, _, u in imeta[q]], np.int64),
+                        [n_ for _, n_, _ in imeta[q]])
+                    rows_parts.append(
+                        (int(pbase[j]) + uoffs + srel[:, 0], ip))
+                rows = np.concatenate([r for r, _ in rows_parts])
+                ipos = np.concatenate([p_ for _, p_ in rows_parts])
+                del rows_parts
                 bcol = np.concatenate([np.repeat(
-                    np.array([b for b, _ in imeta[p]], np.int64),
-                    [cnt_n for _, cnt_n in imeta[p]]) for p in grp])
+                    np.array([b for b, _, _ in imeta[p]], np.int64),
+                    [cnt_n for _, cnt_n, _ in imeta[p]]) for p in grp])
             else:
-                iw = ipos = bcol = None
+                rows = ipos = bcol = None
             n = len(counts)
             load = max(n, len(ipos) if profiles else 0)
             p = grp[0]
@@ -554,7 +569,7 @@ def count_files_ooc(
                     print(f"  part {p + 1}/{parts}"
                           + (f" (+{len(grp) - 1})" if len(grp) > 1 else "")
                           + f": {n} records", flush=True)
-                _merge_range(words, counts, iw, ipos, bcol)
+                _merge_range(words, counts, rows, ipos, bcol)
                 continue
             # part overflow recovery: sub-split the part at word0 quantile
             # values (identical keys share word0, so sub-ranges still
@@ -580,16 +595,15 @@ def count_files_ooc(
                 if hi is not None:
                     m &= words[:, 0] < hi
                 if profiles:
-                    mi = np.ones(len(ipos), dtype=bool)
-                    if lo is not None:
-                        mi &= iw[:, 0] >= lo
-                    if hi is not None:
-                        mi &= iw[:, 0] < hi
-                    _merge_range(words[m], counts[m], iw[mi], ipos[mi],
-                                 bcol[mi])
+                    # an instance belongs to the sub-range of ITS unique
+                    # record; row indexes remap to the filtered array
+                    mi = m[rows]
+                    remap = np.cumsum(m) - 1
+                    _merge_range(words[m], counts[m], remap[rows[mi]],
+                                 ipos[mi], bcol[mi])
                 else:
                     _merge_range(words[m], counts[m], None, None, None)
-            del words, counts, iw, ipos, bcol
+            del words, counts, rows, ipos, bcol
 
         overflow = nvalid_total - int(
             (hist_arr[1:] * np.arange(1, HIST_HIGH + 1, dtype=np.int64)).sum())

@@ -127,6 +127,32 @@ def _ooc_plan(est_bases: int, M: float, profiles: bool) -> tuple:
     return max(2, math.ceil(est_bases / part_cap)), part_cap
 
 
+def _measure_dedup(inputs, k, batch_bases, hc, bc) -> float | None:
+    """First-batch device dedup ratio (uniques / valid instances) — the
+    reference's Get_First_Block `ratio` estimate (FastK.c:417-429) run on
+    the device. One bounded batch: parse, upload, unique_batch. None when
+    the measurement fails (caller keeps the conservative plan)."""
+    try:
+        from fastk_tpu.io.reader import batched_reads
+        from fastk_tpu.ops.count import unique_batch
+        from fastk_tpu.pipeline.count import _code_slices, _device_codes
+
+        gen = batched_reads(list(inputs), min(batch_bases, 64 << 20),
+                            hc=hc, bc=bc)
+        first = next(iter(gen), None)
+        if first is None:
+            return None
+        batch = first[0]
+        off, size, buf = next(_code_slices(batch.codes, k))
+        res = unique_batch(_device_codes(buf), k, size)
+        nval = int(res["nvalid"])
+        if nval <= 0:
+            return None
+        return int(res["nuniq"]) / nval
+    except Exception:
+        return None
+
+
 def _run(cfg, out_base):
     from fastk_tpu.formats.hist import write_histogram
     from fastk_tpu.formats.ktab import read_ktab, write_ktab
@@ -249,6 +275,30 @@ def _run(cfg, out_base):
             raise
 
     try:
+        measured_incore = False
+        if parts > 1 and rel is None and not cfg["R"]:
+            # the static plan assumed worst-case dedup (every position
+            # unique); MEASURE the first batch's device dedup ratio and
+            # keep the in-core path when the measured footprint fits —
+            # at 30-50X coverage this in-cores inputs the worst case
+            # would spill, skipping the whole spill round-trip (the
+            # reference sizes NPARTS from the same first-block ratio,
+            # FastK.c:417-429). -R keeps the conservative plan: the
+            # resume manifest is keyed to the ooc path.
+            ratio = _measure_dedup(cfg["inputs"], cfg["k"], batch_bases,
+                                   cfg["c"], cfg["bc"])
+            if ratio is not None:
+                in_bytes = est_bases * ((12 if cfg["p"] else 0)
+                                        + ratio * 56)
+                hbm = float(os.environ.get("FASTK_TPU_HBM_GB", "13")) * 1e9
+                if in_bytes <= min(hbm, cfg["M"] * 1e9):
+                    if cfg["v"]:
+                        print(f"  measured dedup ratio {ratio:.3f}: "
+                              "in-core (footprint "
+                              f"{in_bytes / 1e9:.1f}GB fits)",
+                              file=sys.stderr)
+                    parts = 1
+                    measured_incore = True
         if parts > 1 and rel is None:
             from fastk_tpu.pipeline.outofcore import count_files_ooc
 
@@ -275,18 +325,46 @@ def _run(cfg, out_base):
                 resume=cfg["R"],
             )
         else:
-            out = count_files(
-                cfg["inputs"], cfg["k"],
-                table_min=cfg["t"],
-                profiles=cfg["p"],
-                hc=cfg["c"],
-                bc=cfg["bc"],
-                batch_bases=batch_bases,
-                relative_table=rel,
-                verbose=cfg["v"],
-                out_base=out_base,
-                out_nparts=nparts,
-            )
+            def _in_core():
+                return count_files(
+                    cfg["inputs"], cfg["k"],
+                    table_min=cfg["t"],
+                    profiles=cfg["p"],
+                    hc=cfg["c"],
+                    bc=cfg["bc"],
+                    batch_bases=batch_bases,
+                    relative_table=rel,
+                    verbose=cfg["v"],
+                    out_base=out_base,
+                    out_nparts=nparts,
+                )
+
+            if measured_incore:
+                # the measured-footprint promotion can still lose to a
+                # pathological tail (dedup collapses mid-run): an HBM
+                # exhaustion demotes back to the out-of-core plan
+                try:
+                    out = _in_core()
+                except Exception as e:
+                    if "RESOURCE_EXHAUSTED" not in str(e):
+                        raise
+                    if cfg["v"]:
+                        print("  in-core attempt exhausted device memory;"
+                              " falling back to out-of-core",
+                              file=sys.stderr)
+                    _clean_outputs(out_base)
+                    from fastk_tpu.pipeline.outofcore import count_files_ooc
+
+                    out = count_files_ooc(
+                        cfg["inputs"], cfg["k"], None,
+                        est_bases=est_bases, sort_path=cfg["P"],
+                        table_min=cfg["t"], profiles=cfg["p"],
+                        hc=cfg["c"], bc=cfg["bc"],
+                        batch_bases=batch_bases, verbose=cfg["v"],
+                        out_base=out_base, out_nparts=nparts,
+                        part_cap=part_cap)
+            else:
+                out = _in_core()
 
         if out.nshort:
             # the reference's short-read warning (split.c:1533-1538)

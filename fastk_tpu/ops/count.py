@@ -514,7 +514,8 @@ def segmented_count(s_words, s_inv, size: int, want_elem_counts: bool = False,
     # restore full-width words for consumers (no-op unless narrowed)
     out = dict(seg_words=widen_words(seg["seg_words"], 0),
                seg_counts=seg_counts,
-               seg_valid=seg_valid, nseg=seg["nseg"], overflow=overflow)
+               seg_valid=seg_valid, nseg=seg["nseg"], overflow=overflow,
+               elem_seg=seg["elem_seg"])
     if want_hist:
         vals = jnp.where(seg_valid, jnp.minimum(seg_counts, HIST_HIGH),
                          HIST_HIGH + 1)

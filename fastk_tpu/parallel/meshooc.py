@@ -329,7 +329,8 @@ def count_files_mesh(
         profiles, hc, bc, batch_bases)
     base = os.path.join(sort_path, f"fastk_tpu_mesh.{sig}.{pid}")
     state = _load_manifest(base) if resume else None
-    if state is not None and state.get("sig") != sig:
+    if state is not None and (state.get("sig") != sig
+                              or state.get("fmt") != 2):
         state = None
     bdone = int(state["batches_done"]) if state else 0
     if resume and nprocs > 1:
@@ -403,19 +404,22 @@ def count_files_mesh(
         [int(x) for x in state["nvalid_hist"][:bdone]] if state else [])
     spill = _Spill(base, nparts_local, W,
                    resume_nrec=nrec_hist[bdone - 1] if state else None)
-    # instance records: (W key words, position, source-host) per row —
-    # reuse _Spill with W+1 "word" columns and the count column = src host
+    # instance records: (seg_rel, batch-pos, source-host) per row — seg
+    # indexes the owning chip-part's spilled unique records (the ooc
+    # seg-indexed spill: no key bytes ever reach the host; phase 2
+    # resolves counts from the merge itself)
     if profiles and state is not None:
-        # truncate the instance spill via its own per-(round, count)
-        # append metadata — entries past the agreed round are dropped
-        imeta = [[(int(b), int(n)) for b, n in lst if int(b) < bdone]
-                 for lst in state["imeta"]]
-        itrunc = [sum(n for _, n in lst) for lst in imeta]
-        ispill = _Spill(base + ".inst", nparts_local, W + 1,
+        # truncate the instance spill via its own per-(round, count,
+        # unique-offset) append metadata — entries past the agreed round
+        # are dropped
+        imeta = [[(int(b), int(n), int(u)) for b, n, u in lst
+                  if int(b) < bdone] for lst in state["imeta"]]
+        itrunc = [sum(n for _, n, _ in lst) for lst in imeta]
+        ispill = _Spill(base + ".inst", nparts_local, 2,
                         resume_nrec=itrunc)
     else:
         imeta = [[] for _ in range(nparts_local)]
-        ispill = (_Spill(base + ".inst", nparts_local, W + 1)
+        ispill = (_Spill(base + ".inst", nparts_local, 2)
                   if profiles else None)
     pspill = _PosSpill(base + ".pos") if profiles else None
     # per-chip part edges, trained on the first batch's uniques per chip
@@ -456,7 +460,7 @@ def count_files_mesh(
             ninst = _rows_of(out["n_inst"])
             ipos = _rows_of(out["inst_pos"])
             islot = _rows_of(out["inst_slot"])
-            iwords = [_rows_of(out["inst_words"][j]) for j in range(W)]
+            iseg = _rows_of(out["inst_seg"])
         round_rec = 0
         for li in range(n_local):
             ns = int(nseg[li][0])
@@ -474,6 +478,8 @@ def count_files_mesh(
                     parts_per_chip)
             cuts = ([0] + [int(np.searchsorted(cw[:, 0], e))
                            for e in edges[li]] + [len(cc)])
+            upre = [spill.nrec[li * parts_per_chip + sp]
+                    for sp in range(parts_per_chip)]
             for sp in range(parts_per_chip):
                 spill.append(li * parts_per_chip + sp,
                              cw[cuts[sp]: cuts[sp + 1]],
@@ -481,9 +487,7 @@ def count_files_mesh(
             round_rec += len(cc)
             if profiles:
                 ni = int(ninst[li][0])
-                iw = np.stack([iwords[j][li][:ni] for j in range(W)],
-                              axis=1) if ni else np.zeros((0, W),
-                                                          np.uint32)
+                s_seg = iseg[li][:ni].astype(np.int64)
                 src_chip = (islot[li][:ni] // cap).astype(np.int64)
                 # batch-local position on the SOURCE host: sub-slice
                 # offset + feeding rank of the source chip times the
@@ -492,17 +496,20 @@ def count_files_mesh(
                         + rank_of[src_chip].astype(np.int64) * sh
                         + ipos[li][:ni]).astype(np.uint32)
                 shost = proc_of[src_chip].astype(np.uint32)
-                icuts = ([0] + [int(np.searchsorted(iw[:, 0], e))
-                                for e in edges[li]] + [ni])
+                # an instance's segment id addresses the chip's unique
+                # list, which the same edges cut at `cuts` — so part
+                # membership is a seg-range test, no key bytes involved
+                icuts = ([0] + [int(np.searchsorted(s_seg, c))
+                                for c in cuts[1:-1]] + [ni])
                 for sp in range(parts_per_chip):
                     lo, hi = icuts[sp], icuts[sp + 1]
                     if hi > lo:
                         p = li * parts_per_chip + sp
-                        ispill.append(
-                            p, np.concatenate(
-                                [iw[lo:hi], bpos[lo:hi, None]], axis=1),
-                            shost[lo:hi])
-                        imeta[p].append((bidx, hi - lo))
+                        rec2 = np.stack(
+                            [(s_seg[lo:hi] - cuts[sp]).astype(np.uint32),
+                             bpos[lo:hi]], axis=1)
+                        ispill.append(p, rec2, shost[lo:hi])
+                        imeta[p].append((bidx, hi - lo, upre[sp]))
                 round_rec += ni
         return round_rec
 
@@ -664,7 +671,7 @@ def count_files_mesh(
                 nrec_hist.append(list(spill.nrec))
                 nvalid_hist.append(nvalid_local)
                 _save_manifest(base, dict(
-                    sig=sig, batches_done=bidx + 1,
+                    sig=sig, fmt=2, batches_done=bidx + 1,
                     nrec_hist=nrec_hist, nvalid_hist=nvalid_hist,
                     imeta=imeta,
                     edges=[None if e is None else [int(x) for x in e]
@@ -696,12 +703,14 @@ def count_files_mesh(
                               16 * part_cap))
                if stream and table_min is not None else None)
 
-        def _merge_range(words, counts, iw, ipos, isrc, bcol):
+        def _merge_range(words, counts, rows, ipos, isrc, bcol):
             nonlocal table_entries
             from fastk_tpu.ops.tables import pad_counted_pow2
 
+            nq = len(ipos) if profiles and ipos is not None else 0
             m_words, m_counts, capm = pad_counted_pow2(words, counts, W)
-            merged = merge_unique_blocks(m_words, m_counts, capm, k)
+            merged = merge_unique_blocks(m_words, m_counts, capm, k,
+                                         want_back=nq > 0)
             hist_arr[:] += np.asarray(merged["hist"]).astype(np.int64)
             nuniq = int(merged["nuniq"])
             if table_min is not None:
@@ -719,23 +728,15 @@ def count_files_mesh(
                 else:
                     packed_parts.append(words_to_packed(u_words[keep], k))
                     count_parts.append(u_counts[keep])
-            if profiles and len(ipos):
+            if profiles and nq:
                 from fastk_tpu.ops.pack import fetch_u16
 
-                capt = 1 << max(15, math.ceil(math.log2(max(nuniq, 2))))
-                t_words = tuple(w[:capt] for w in merged["seg_words"])
-                t_counts = jnp.minimum(merged["seg_counts"][:capt],
-                                       HIST_HIGH)
-                # query-chunked join (see pipeline.outofcore): bounds the
-                # joint table+query sort below the device budget
-                nq = len(ipos)
-                qcap = int(os.environ.get("FASTK_TPU_JOIN_QCAP", str(1 << 25)))
-                cnts = np.empty(nq, np.uint16)
-                for q0 in range(0, nq, qcap):
-                    q1 = min(nq, q0 + qcap)
-                    qw, _qc, _cq = pad_counted_pow2(iw[q0:q1], None, W)
-                    cnts[q0:q1] = fetch_u16(profile_join_keys(
-                        t_words, t_counts, qw))[: q1 - q0]
+                # instance counts straight from the merge (want_back):
+                # rows index the group's spilled unique records; no
+                # table join, no instance-key upload
+                cvec = fetch_u16(
+                    merged["rec_counts"].astype(jnp.uint16))[: len(counts)]
+                cnts = cvec[rows]
                 # bucket by (source host, batch): the _PosSpill key is
                 # src * 2^32 + batch; one stable sort groups the records
                 keyv = isrc.astype(np.int64) * (1 << 32) + bcol
@@ -775,20 +776,33 @@ def count_files_mesh(
                 counts = np.concatenate([c for _, c in loads])
                 del loads
                 if profiles:
-                    iloads = [ispill.load(q) for q in grp]
-                    irec = np.concatenate([r for r, _ in iloads])
-                    isrc = np.concatenate([sc for _, sc in iloads])
-                    del iloads
-                    iw, ipos = irec[:, :W], irec[:, W].astype(np.int64)
+                    pbase = np.cumsum(
+                        [0] + [spill.nrec[q] for q in grp[:-1]])
+                    rows_parts = []
+                    isrc_parts = []
+                    for j, q in enumerate(grp):
+                        rec2, sc = ispill.load(q)
+                        uoffs = np.repeat(
+                            np.array([u for _, _, u in imeta[q]],
+                                     np.int64),
+                            [n_ for _, n_, _ in imeta[q]])
+                        rows_parts.append(
+                            (int(pbase[j]) + uoffs + rec2[:, 0],
+                             rec2[:, 1].astype(np.int64)))
+                        isrc_parts.append(sc)
+                    rows = np.concatenate([r for r, _ in rows_parts])
+                    ipos = np.concatenate([p_ for _, p_ in rows_parts])
+                    isrc = np.concatenate(isrc_parts)
+                    del rows_parts, isrc_parts
                     bcol = np.concatenate([np.repeat(
-                        np.array([b for b, _ in imeta[q]], np.int64),
-                        [n for _, n in imeta[q]]) for q in grp])
+                        np.array([b for b, _, _ in imeta[q]], np.int64),
+                        [n for _, n, _ in imeta[q]]) for q in grp])
                 else:
-                    iw = ipos = isrc = bcol = None
+                    rows = ipos = isrc = bcol = None
                 n = len(counts)
                 load = max(n, len(ipos) if profiles else 0)
                 if load <= part_cap:
-                    _merge_range(words, counts, iw, ipos, isrc, bcol)
+                    _merge_range(words, counts, rows, ipos, isrc, bcol)
                     continue
                 # sub-split at word0 quantiles (skew backstop; identical
                 # keys share word0 so sub-ranges still partition; the
@@ -812,17 +826,17 @@ def count_files_mesh(
                     if hi is not None:
                         m &= words[:, 0] < hi
                     if profiles:
-                        mi = np.ones(len(ipos), dtype=bool)
-                        if lo is not None:
-                            mi &= iw[:, 0] >= lo
-                        if hi is not None:
-                            mi &= iw[:, 0] < hi
-                        _merge_range(words[m], counts[m], iw[mi], ipos[mi],
+                        # an instance belongs to its unique record's
+                        # sub-range; rows remap to the filtered array
+                        mi = m[rows]
+                        remap = np.cumsum(m) - 1
+                        _merge_range(words[m], counts[m],
+                                     remap[rows[mi]], ipos[mi],
                                      isrc[mi], bcol[mi])
                     else:
                         _merge_range(words[m], counts[m], None, None, None,
                                      None)
-                del words, counts, iw, ipos, isrc, bcol
+                del words, counts, rows, ipos, isrc, bcol
 
         if ktw is not None:
             ktw.close()

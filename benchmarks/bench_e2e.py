@@ -59,15 +59,24 @@ def main() -> int:
     configs = [("hist", []), ("hist+table", ["-t3"]),
                ("hist+table+profiles", ["-t3", "-p"])]
     for name, extra in configs:
-        o = wall([os.path.join(ORACLE, "FastK"), "-k40", "-T4",
-                  f"-P{d}", *extra, fasta], d)
-        u = wall([sys.executable, "-m", "fastk_tpu.tools.fastk", "-k40",
-                  "-T4", f"-P{d}", *extra, fasta, f"-N{d}/ours_{name}"],
-                 os.path.dirname(HERE))
+        # best-of-2 BOTH sides: the second run gives the oracle a warm
+        # page cache and ours a warm XLA compile cache (first-run remote
+        # compiles of new shapes cost ~30-60s each on this rig; real
+        # production runs amortize them)
+        o = min(wall([os.path.join(ORACLE, "FastK"), "-k40", "-T4",
+                      f"-P{d}", *extra, fasta], d) for _ in range(2))
+        cold = warm = None
+        for _ in range(2):
+            u = wall([sys.executable, "-m", "fastk_tpu.tools.fastk",
+                      "-k40", "-T4", f"-P{d}", *extra, fasta,
+                      f"-N{d}/ours_{name}"], os.path.dirname(HERE))
+            cold = u if cold is None else cold
+            warm = u if warm is None else min(warm, u)
         print(json.dumps(dict(config=name, oracle_s=round(o, 1),
-                              ours_s=round(u, 1),
-                              ratio_oracle_over_ours=round(o / u, 2))),
-              flush=True)
+                              ours_cold_s=round(cold, 1),
+                              ours_warm_s=round(warm, 1),
+                              ratio_oracle_over_ours_warm=round(
+                                  o / warm, 2))), flush=True)
     return 0
 
 

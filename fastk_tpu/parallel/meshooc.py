@@ -19,14 +19,16 @@ TPU-native equivalent as ONE program over a global device mesh:
   histogram, and stream the table slice through KtabWriter. Chips are
   keyspace-ordered, so each host's slice is sorted and the slices
   concatenate (Fastcat-style) into the global table.
-- Profiles: phase 1 also spills the owner-resident INSTANCE stream
-  ((key, source-chip, source-position) — the want_inst output) to per-chip
-  parts; phase 2 joins each part's instances against that part's merged
-  table ONCE (profile_join_keys) and buckets the resulting (position,
-  count) pairs by (source host, batch); phase 3 walks batches in lockstep,
-  exchanging each batch's pairs back to the host that owns those reads,
-  which rebuilds one batch's position->count buffer and streams encoded
-  profiles (ProfWriter). Exchange volume per round is O(batch).
+- Profiles: phase 1 also spills the owner-resident INSTANCE stream as
+  (segment-index, source-position, source-host) rows — instances
+  reference the owning chip-part's spilled unique records by index, so
+  key bytes never leave the device; phase 2 resolves every instance's
+  count straight from the cross-batch merge (want_back) and buckets the
+  (position, count) pairs by (source host, batch); phase 3 walks batches
+  in lockstep, delivering each batch's pairs OWNER-ADDRESSED (one
+  all_to_all of per-chip-pair row lanes) to the host that owns those
+  reads, which rebuilds one batch's position->count buffer and streams
+  encoded profiles (ProfWriter). Exchange volume per round is O(batch).
 
 Outputs: with ``out_base`` each host streams `.ktab`/`.prof` slice
 file-sets (named ``<out>.<pid>`` when multi-process, ``<out>`` alone when

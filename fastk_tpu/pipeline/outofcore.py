@@ -18,15 +18,19 @@ split.c:1407-1713), then counts bucket-by-bucket. The TPU version:
    merge of table.c:346-533 is free by construction); with ``out_base`` the
    slices stream straight into the .ktab part files (KtabWriter).
 5. Profiles (optional): phase 1's key sort also carries positions
-   (unique_batch_inst), so (key, position) INSTANCE records spill to their
-   keyspace part alongside the uniques (the TPU analog of the reference
-   carrying super-mer ordinals into the bucket files, split.c:1167-1277).
-   Phase 2 joins each part's instances against that part's merged table
-   ONCE (profile_join_keys) and spills the resulting (position, count)
-   pairs per BATCH; phase 3 walks batches in order, rebuilding one batch's
-   position->count buffer at a time and streaming encoded profiles out
-   (ProfWriter) — the analog of the reference's bounded-window fragment
-   merge (merge.c:88-759) with the window = one batch.
+   (unique_batch_inst), and instances spill as (segment-index, position)
+   pairs — 8 bytes each, no key bytes: an instance references its
+   slice's spilled unique record by index (the TPU analog of the
+   reference carrying super-mer ordinals into the bucket files,
+   split.c:1167-1277, with the ordinal pointing at the DEDUPED record).
+   Phase 2 resolves every instance's count straight from the cross-batch
+   merge (merge_unique_blocks want_back returns each input record's
+   merged count), so there is no table join and no instance-key
+   re-upload; the (position, count) pairs spill per BATCH and phase 3
+   walks batches in order, rebuilding one batch's position->count buffer
+   at a time and streaming encoded profiles out (ProfWriter) — the
+   analog of the reference's bounded-window fragment merge
+   (merge.c:88-759) with the window = one batch.
 
 Host memory therefore stays bounded by one batch + one part regardless of
 input size: no ReadBatch outlives its phase-1 device call, and no output

@@ -334,6 +334,25 @@ def unique_batch_inst(codes: jnp.ndarray, k: int, size: int):
                 s_seg=seg["elem_seg"].astype(jnp.uint32))
 
 
+@functools.partial(jax.jit, static_argnums=(2,))
+def compact_table_min(words, counts, tmin: int):
+    """Stable-compact entries with count >= tmin to the front (key order
+    preserved: inputs are key-sorted and the 1-bit compaction is stable),
+    counts clipped at HIST_HIGH. Returns dict(words, counts, nkeep).
+
+    The -t<min> table fetch then moves only the kept entries over the
+    device->host link — at -t3 on shotgun data the error tail
+    (singletons/doubletons) is most of the uniques, so the transfer
+    shrinks several-fold (the reference filters in table_write_thread,
+    count.c:564-616; here the filter runs before the bytes move)."""
+    keep = (counts >= tmin).astype(jnp.uint8)
+    clipped = jnp.minimum(counts, HIST_HIGH).astype(jnp.uint32)
+    out = jax.lax.sort(((1 - keep), *words, clipped),
+                       num_keys=1, is_stable=True)
+    return dict(words=tuple(out[1:-1]), counts=out[-1],
+                nkeep=jnp.sum(keep.astype(jnp.int32)))
+
+
 @functools.partial(jax.jit, static_argnums=(2, 3, 4))
 def merge_unique_blocks(words, counts, size: int, k: int = 0,
                         want_back: bool = False):

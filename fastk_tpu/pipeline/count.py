@@ -369,12 +369,29 @@ def count_files(
     table = None
     table_entries = None
     if table_min is not None:
-        nuniq = int(merged["nuniq"])
-        u_words = np.stack(
-            [np.asarray(w[:nuniq]) for w in merged["seg_words"]], axis=1)
-        u_counts = np.minimum(np.asarray(merged["seg_counts"][:nuniq]),
-                              HIST_HIGH).astype(np.uint16)
-        keepm = u_counts >= table_min
+        if table_min > 1:
+            # compact the >= table_min entries ON DEVICE before fetching:
+            # at -t3 on shotgun data most uniques are below threshold
+            # (singletons/doubletons are the error tail), so the fetch
+            # shrinks several-fold — a stable 1-bit compaction sort, the
+            # standard cheap primitive from the ops cost table
+            from fastk_tpu.ops.count import compact_table_min
+
+            kept = compact_table_min(
+                merged["seg_words"], merged["seg_counts"], table_min)
+            nkeep = int(kept["nkeep"])
+            u_words = np.stack(
+                [np.asarray(w[:nkeep]) for w in kept["words"]], axis=1)
+            u_counts = np.asarray(kept["counts"][:nkeep]).astype(np.uint16)
+            keepm = slice(None)
+        else:
+            nuniq = int(merged["nuniq"])
+            u_words = np.stack(
+                [np.asarray(w[:nuniq]) for w in merged["seg_words"]],
+                axis=1)
+            u_counts = np.minimum(np.asarray(merged["seg_counts"][:nuniq]),
+                                  HIST_HIGH).astype(np.uint16)
+            keepm = u_counts >= table_min
         packed = words_to_packed(u_words[keepm], k)
         tab = KmerTable(k, table_min, packed, u_counts[keepm])
         table_entries = len(tab)

@@ -485,14 +485,33 @@ def count_files_ooc(
 
             nuniq = int(merged["nuniq"])
             if table_min is not None:
-                u_words = np.stack(
-                    [np.asarray(w[:nuniq]) for w in merged["seg_words"]],
-                    axis=1)
-                u_counts = np.minimum(
-                    np.asarray(merged["seg_counts"][:nuniq]), HIST_HIGH
-                ).astype(np.uint16)
-                keep = u_counts >= table_min
-                table_entries += int(keep.sum())
+                if table_min > 1:
+                    # device-side threshold compaction: only the kept
+                    # entries cross the device->host link (ops.count
+                    # .compact_table_min; at -t3 the sub-threshold error
+                    # tail is most of the uniques)
+                    from fastk_tpu.ops.count import compact_table_min
+
+                    kept = compact_table_min(
+                        merged["seg_words"], merged["seg_counts"],
+                        table_min)
+                    nkeep = int(kept["nkeep"])
+                    u_words = np.stack(
+                        [np.asarray(w[:nkeep]) for w in kept["words"]],
+                        axis=1)
+                    u_counts = np.asarray(
+                        kept["counts"][:nkeep]).astype(np.uint16)
+                    keep = slice(None)
+                    table_entries += nkeep
+                else:
+                    u_words = np.stack(
+                        [np.asarray(w[:nuniq])
+                         for w in merged["seg_words"]], axis=1)
+                    u_counts = np.minimum(
+                        np.asarray(merged["seg_counts"][:nuniq]), HIST_HIGH
+                    ).astype(np.uint16)
+                    keep = u_counts >= table_min
+                    table_entries += int(keep.sum())
                 if ktw is not None:
                     ktw.add(words_to_packed(u_words[keep], k),
                             u_counts[keep])

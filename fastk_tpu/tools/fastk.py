@@ -288,8 +288,16 @@ def _run(cfg, out_base):
             ratio = _measure_dedup(cfg["inputs"], cfg["k"], batch_bases,
                                    cfg["c"], cfg["bc"])
             if ratio is not None:
-                in_bytes = est_bases * ((12 if cfg["p"] else 0)
-                                        + ratio * 56)
+                # measured-footprint envelopes: hist/table retain the
+                # unique blocks + final-merge transients (~56B per
+                # UNIQUE); profiles additionally keep the per-batch
+                # instance stream device-resident and pay the join
+                # transients (~28B/position + ~80B/unique, conservative
+                # — the r5 300MB -t -p attempt measured ~12GB peak)
+                if cfg["p"]:
+                    in_bytes = est_bases * (28 + ratio * 80)
+                else:
+                    in_bytes = est_bases * ratio * 56
                 hbm = float(os.environ.get("FASTK_TPU_HBM_GB", "13")) * 1e9
                 if in_bytes <= min(hbm, cfg["M"] * 1e9):
                     if cfg["v"]:
@@ -348,6 +356,13 @@ def _run(cfg, out_base):
                 except Exception as e:
                     if "RESOURCE_EXHAUSTED" not in str(e):
                         raise
+                    # the failed attempt's traceback frames pin its
+                    # device buffers; break the cycle and collect so the
+                    # out-of-core retry starts with free HBM
+                    import gc
+
+                    e.__traceback__ = None
+                    gc.collect()
                     if cfg["v"]:
                         print("  in-core attempt exhausted device memory;"
                               " falling back to out-of-core",

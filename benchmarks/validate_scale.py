@@ -13,6 +13,10 @@ Re-run 2026-08-20 (round 4, measured ooc plan + native ingest):
   2002/2002 profiles decode-identical. (The first round-4 attempt caught
   a real planner regression — profile parts must bound instances, not
   just uniques — fixed in the same round.)
+Re-run 2026-08-20 (round 5, seg-indexed instance spill + device -t
+  compaction + want_back count resolution): all comparisons identical
+  again; -t3 -p wall 547s vs 748s before the round-5 spill changes
+  (still tunnel-bound on this rig — see benchmarks/README e2e table).
 
 Usage: python benchmarks/validate_scale.py [--mb 300] (needs
 /tmp/fastk_oracle — see tests/make_golden.sh)."""

@@ -44,3 +44,61 @@ def test_sort_counted_parity(monkeypatch, force_device):
                        axis=1)
     assert np.array_equal(
         a[np.lexsort(a.T[::-1])], b[np.lexsort(b.T[::-1])])
+
+
+def test_merge_unique_blocks_want_back():
+    """want_back returns each INPUT record's merged (clipped) count in
+    input order — the seg-indexed profile spill's count resolution —
+    checked against a dict model incl. empty slots, duplicates across
+    blocks, and clipping."""
+    import jax.numpy as jnp
+
+    from fastk_tpu.ops.count import HIST_HIGH, merge_unique_blocks
+
+    rng = np.random.default_rng(17)
+    size = 1 << 10
+    n = 700
+    keys = rng.integers(0, 50, (n, 2)).astype(np.uint32)  # heavy dups
+    counts = rng.integers(1, 20000, n).astype(np.int32)
+    counts[5] = 30000
+    counts[6] = 30000  # same-key pair may clip
+    keys[6] = keys[5]
+    w0 = np.full(size, 0xFFFFFFFF, np.uint32)
+    w1 = np.full(size, 0xFFFFFFFF, np.uint32)
+    cc = np.zeros(size, np.int32)
+    w0[:n], w1[:n], cc[:n] = keys[:, 0], keys[:, 1], counts
+    merged = merge_unique_blocks(
+        (jnp.asarray(w0), jnp.asarray(w1)), jnp.asarray(cc), size,
+        want_back=True)
+    rec = np.asarray(merged["rec_counts"])[:n]
+
+    totals = {}
+    for i in range(n):
+        kk = (int(keys[i, 0]), int(keys[i, 1]))
+        totals[kk] = totals.get(kk, 0) + int(counts[i])
+    want = np.array([min(totals[(int(keys[i, 0]), int(keys[i, 1]))],
+                         HIST_HIGH) for i in range(n)])
+    assert np.array_equal(rec, want)
+
+
+def test_compact_table_min_device():
+    """compact_table_min keeps >= tmin entries in key order, clipped."""
+    import jax.numpy as jnp
+
+    from fastk_tpu.ops.count import HIST_HIGH, compact_table_min
+
+    rng = np.random.default_rng(23)
+    size = 1 << 9
+    nu = 300
+    w0 = np.sort(rng.choice(1 << 20, nu, replace=False).astype(np.uint32))
+    counts = rng.integers(1, 40000, nu).astype(np.int32)
+    pw = np.full(size, 0xFFFFFFFF, np.uint32)
+    pc = np.zeros(size, np.int32)
+    pw[:nu], pc[:nu] = w0, counts
+    kept = compact_table_min((jnp.asarray(pw),), jnp.asarray(pc), 3)
+    nk = int(kept["nkeep"])
+    keep = counts >= 3
+    assert nk == int(keep.sum())
+    assert np.array_equal(np.asarray(kept["words"][0])[:nk], w0[keep])
+    assert np.array_equal(np.asarray(kept["counts"])[:nk],
+                          np.minimum(counts[keep], HIST_HIGH))

@@ -3,7 +3,15 @@
 <NAMES>.hist where each table's name is uppercased if the region includes it
 and lowercased otherwise, joined by '_' (reference: Vennex.c:310-321). A
 k-mer's count in a region is the minimum of its counts over the member
-tables (reference: Venn2 Vennex.c:80-86)."""
+tables (reference: Venn2 Vennex.c:80-86).
+
+Each region is exactly a logex expression — min over members, zero if any
+non-member holds the key: ``(a &< b) - c``. All 2^n - 1 regions evaluate
+in ONE streamed pass of the fused native per-key engine
+(algebra.logex_apply_streamed, histogram-only), so tables larger than RAM
+work in O(window) memory — unlike the reference Vennex, which loads
+everything (and is deprecated because it crashes).
+"""
 
 from __future__ import annotations
 
@@ -13,8 +21,6 @@ import sys
 
 import numpy as np
 
-from fastk_tpu.algebra import merge_universe
-from fastk_tpu.formats.ktab import read_ktab
 from fastk_tpu.tools._cli import die
 
 USAGE = "Usage: vennex [-h[<int(1)>:]<int(100)>] <source_1>[.ktab] <source_2>[.ktab] ..."
@@ -42,38 +48,47 @@ def main(argv=None):
     if len(pos) < 2 or len(pos) > 4:
         die(USAGE)
 
-    tables, names = [], []
+    from fastk_tpu.algebra import logex_apply_streamed
+    from fastk_tpu.formats.ktab import KmerStream
+    from fastk_tpu.formats.paths import stub_path
+
+    roots, names = [], []
     for s in pos:
-        try:
-            tables.append(read_ktab(s))
-        except FileNotFoundError:
+        root = s[:-5] if s.endswith(".ktab") else s
+        if not os.path.exists(stub_path(root, ".ktab")):
             die(f"vennex: Cannot open {s}")
-        b = os.path.basename(s).split(".")[0]
-        names.append(b)
-    kmer = tables[0].kmer
-    if any(t.kmer != kmer for t in tables):
-        die("vennex: K-mer tables do not involve the same K")
+        roots.append(root)
+        names.append(os.path.basename(root).split(".")[0])
+    kmer = KmerStream(roots[0]).kmer
+    for r in roots[1:]:
+        if KmerStream(r).kmer != kmer:
+            die("vennex: K-mer tables do not involve the same K")
 
-    universe, cvecs = merge_universe(tables)
-    nway = len(tables)
-    present = np.zeros(len(universe), np.int32)
-    for c, v in enumerate(cvecs):
-        present |= (v > 0).astype(np.int32) << c
-
+    nway = len(roots)
+    assigns = []
+    fnames = []
     for region in range(1, 1 << nway):
-        sel = present == region
-        members = [cvecs[c][sel] for c in range(nway) if region & (1 << c)]
-        cnt = members[0]
-        for m in members[1:]:
-            cnt = np.minimum(cnt, m)
-        bins = np.bincount(np.clip(cnt, low, high) - low,
-                           minlength=high - low + 1).astype(np.int64)
-        name = "_".join(
+        mem = [chr(ord("a") + c) for c in range(nway) if region & (1 << c)]
+        non = [chr(ord("a") + c) for c in range(nway)
+               if not region & (1 << c)]
+        e = "&<".join(mem)
+        if len(mem) > 1:
+            e = "(" + e + ")"
+        for x in non:
+            e += "-" + x
+        fname = "_".join(
             names[c].upper() if region & (1 << c) else names[c].lower()
             for c in range(nway)) + ".hist"
+        assigns.append((fname, e))
+        fnames.append(fname)
+
+    results = logex_apply_streamed(assigns, roots, hist_range=(low, high),
+                                   do_table=False)
+    for fname, h in results:
+        bins = np.asarray(h.counts, dtype=np.int64)
         # deprecated-tool quirk: the boundary header fields duplicate the
         # boundary bins (Vennex.c:323-327) rather than holding instance sums
-        with open(name, "wb") as f:
+        with open(fname, "wb") as f:
             f.write(struct.pack("<iiiqq", kmer, low, high,
                                 int(bins[0]), int(bins[-1])))
             bins.astype("<i8").tofile(f)

@@ -152,6 +152,38 @@ def test_vennex_consistency(tmp_path, monkeypatch):
         assert np.array_equal(h.counts, want), fname
 
 
+def test_vennex_three_tables(tmp_path, monkeypatch):
+    """3-table Venn: 7 region histograms through the streamed engine,
+    each cross-checked against the in-memory logex evaluator."""
+    from fastk_tpu.algebra import logex_apply
+    from fastk_tpu.tools import vennex
+
+    monkeypatch.chdir(tmp_path)
+    a, b = read_ktab(SMALL), read_ktab(SMALL2)
+    # third table: SMALL thresholded (subset with different counts)
+    kb = a.packed.shape[1]
+    keep = a.counts >= 3
+    c = KmerTable(a.kmer, 1, a.packed[keep], a.counts[keep])
+    from fastk_tpu.formats.ktab import write_ktab
+
+    write_ktab(str(tmp_path / "tc"), c)
+    rc = vennex.main(["-h1:60", SMALL + ".ktab", SMALL2 + ".ktab",
+                      str(tmp_path / "tc.ktab")])
+    assert rc == 0
+    regions = {
+        "SMALL_small2_tc.hist": "A-B-C",
+        "SMALL_SMALL2_tc.hist": "(A&<B)-C",
+        "SMALL_SMALL2_TC.hist": "A&<B&<C",
+        "small_small2_TC.hist": "C-A-B",
+    }
+    for fname, expr in regions.items():
+        h = read_histogram(str(tmp_path / fname))
+        (_, t, _), = logex_apply([("x", expr)], [a, b, c])
+        want = np.bincount(np.clip(t.counts.astype(int), 1, 60) - 1,
+                           minlength=60)
+        assert np.array_equal(h.counts, want), fname
+
+
 def test_haplex_finds_snp_pair(tmp_path):
     from fastk_tpu.formats.ktab import pack_kmer
     from fastk_tpu.tools import haplex

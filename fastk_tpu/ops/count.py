@@ -322,16 +322,14 @@ def unique_batch_inst(codes: jnp.ndarray, k: int, size: int):
     seg_counts = jnp.where(slot < nuniq, seg["seg_counts"], 0)
     seg_words = widen_words(tuple(
         jnp.where(slot < nuniq, w, _ones(w)) for w in seg["seg_words"]), k)
+    # note for the out-of-core consumer: the per-instance segment index
+    # is NOT returned — the instance stream is the concatenation of the
+    # segments in order, so the host derives it for free as
+    # repeat(arange(nuniq), seg_counts) from the counts it already
+    # fetches; only s_pos (4B/instance) crosses the link
     return dict(seg_words=seg_words, seg_counts=seg_counts, nseg=seg["nseg"],
                 nuniq=nuniq, nvalid=jnp.int32(size) - ninv,
-                s_words=widen_words(s_words, k), s_pos=s_pos,
-                # segment index of each sorted instance: the out-of-core
-                # spill stores (s_seg, s_pos) pairs instead of full keys —
-                # instances reference their slice's spilled unique records
-                # by index, 8B/instance instead of (W+1)*4, and phase 2
-                # resolves counts from the merge itself (want_back) with
-                # no table join or query upload at all
-                s_seg=seg["elem_seg"].astype(jnp.uint32))
+                s_words=widen_words(s_words, k), s_pos=s_pos)
 
 
 @functools.partial(jax.jit, static_argnums=(2,))

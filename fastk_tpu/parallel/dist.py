@@ -241,11 +241,10 @@ def _count_received(words, valid, D_cap: int, want_rec_counts: bool,
         res["inst_words"] = widen_words(tuple(s_words), k)
         res["inst_pos"] = s_vals[o]
         res["inst_slot"] = s_vals[o + 1]
-        # segment slot of each sorted instance: the mesh profile spill
-        # stores (seg_rel, pos, src) instead of key words — instances
-        # reference the chip's unique records by index (see the ooc
-        # seg-indexed spill), so keys never transfer to the host
-        res["inst_seg"] = res["elem_seg"].astype(jnp.uint32)
+        # the per-instance segment index is NOT returned: hosts derive
+        # it as repeat(arange(nseg_valid), seg_counts) — the instance
+        # stream is the segments concatenated in order (the mesh spill
+        # stores (seg_rel, pos, src) rows built that way)
         res["n_inst"] = jnp.sum(valid > 0).astype(jnp.int32)
     return res
 
@@ -345,7 +344,6 @@ def sharded_count_fn(mesh: Mesh, k: int, shard_size: int, slack: float = 1.6,
             out["inst_words"] = tuple(w[None] for w in res["inst_words"])
             out["inst_pos"] = res["inst_pos"][None]
             out["inst_slot"] = res["inst_slot"][None]
-            out["inst_seg"] = res["inst_seg"][None]
             out["n_inst"] = res["n_inst"][None]
 
         if want_positions:
@@ -383,7 +381,6 @@ def sharded_count_fn(mesh: Mesh, k: int, shard_size: int, slack: float = 1.6,
         out_specs["inst_words"] = tuple(P(axis) for _ in range(W))
         out_specs["inst_pos"] = P(axis)
         out_specs["inst_slot"] = P(axis)
-        out_specs["inst_seg"] = P(axis)
         out_specs["n_inst"] = P(axis)
 
     fn = shard_map(step, mesh=mesh, in_specs=in_specs, out_specs=out_specs,

@@ -462,7 +462,6 @@ def count_files_mesh(
             ninst = _rows_of(out["n_inst"])
             ipos = _rows_of(out["inst_pos"])
             islot = _rows_of(out["inst_slot"])
-            iseg = _rows_of(out["inst_seg"])
         round_rec = 0
         for li in range(n_local):
             ns = int(nseg[li][0])
@@ -489,7 +488,10 @@ def count_files_mesh(
             round_rec += len(cc)
             if profiles:
                 ni = int(ninst[li][0])
-                s_seg = iseg[li][:ni].astype(np.int64)
+                # derived, not fetched: the chip's instance stream is its
+                # valid segments concatenated in key order
+                s_seg = np.repeat(np.arange(len(cc), dtype=np.int64),
+                                  cc.astype(np.int64))
                 src_chip = (islot[li][:ni] // cap).astype(np.int64)
                 # batch-local position on the SOURCE host: sub-slice
                 # offset + feeding rank of the source chip times the

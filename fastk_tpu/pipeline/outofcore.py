@@ -382,7 +382,12 @@ def count_files_ooc(
                 # upre[p], recorded in imeta), and phase 2 resolves
                 # counts straight from the merge (want_back), so no
                 # table join or query upload happens at all
-                s_seg = np.asarray(res["s_seg"][:nval]).astype(np.int64)
+                # seg of instance i, derived for free: the instance
+                # stream is the segments concatenated in key order, so
+                # repeat(arange(nu), counts) IS the per-instance segment
+                # index (no device fetch — only s_pos crosses the link)
+                s_seg = np.repeat(np.arange(nu, dtype=np.int64),
+                                  counts.astype(np.int64))
                 ipos = np.asarray(res["s_pos"][:nval]) + np.uint32(off)
                 icuts = ([0] + [int(np.searchsorted(s_seg, c))
                                 for c in cuts[1:-1]] + [nval])

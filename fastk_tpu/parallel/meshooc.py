@@ -61,7 +61,7 @@ from fastk_tpu.formats.hist import HIST_HIGH, Histogram
 from fastk_tpu.formats.ktab import KmerTable, KtabWriter
 from fastk_tpu.formats.prof import ProfWriter, encode_profiles_bulk
 from fastk_tpu.io.reader import batched_reads
-from fastk_tpu.ops.count import merge_unique_blocks, profile_join_keys
+from fastk_tpu.ops.count import merge_unique_blocks
 from fastk_tpu.ops.kmers import nwords, pad_needed, words_to_packed
 from fastk_tpu.parallel.dist import (
     prefix_histogram,

@@ -58,7 +58,6 @@ from fastk_tpu.formats.prof import ProfWriter, encode_profiles_bulk
 from fastk_tpu.io.reader import batched_reads
 from fastk_tpu.ops.count import (
     merge_unique_blocks,
-    profile_join_keys,
     unique_batch,
     unique_batch_inst,
 )
